@@ -1,0 +1,89 @@
+"""Named, oracle-checked query builders — the engine's operator inventory.
+
+Each entry pairs a PySpark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with the equivalent ANSI SQL that DuckDB runs on the same parquet files
+(driver contract, /root/repo/__spark_entry__.py). One entry per operator of
+SURVEY.md §2. Column names are aligned on both sides (the driver's compare
+sorts columns by name before hashing).
+
+Determinism discipline (so value hashes match across engines):
+- Sums over doubles are order-dependent in the last ULPs, so money-style
+  aggregates round to integer cents per row and sum as BIGINT (exact in any
+  order), then divide once. ``F.money`` / SQL ``ROUND(x*100)::BIGINT``.
+- DuckDB ``SUM(BIGINT)`` returns INT128 — every integer sum is cast back to
+  BIGINT in the oracle to match Spark's LongType.
+- Quantities are integer-valued doubles; their sums are exact as-is.
+- Hash-derived values use md5/sha2 (bit-identical across engines), never
+  engine-native ``hash``/``xxhash64`` (different seeds/algorithms).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible; driver does rows-only
+    category: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, category: str):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(name, fn, oracle, category)
+        return fn
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table (TESTDATA.md: one parquet file per table).
+
+    events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects (PARQUET_TYPE_ILLEGAL); read it as long ns and truncate to µs —
+    the same truncation DuckDB applies, so both engines see identical values.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_MODULES = [
+    "relational",
+    "aggregates",
+    "windows",
+    "setops",
+    "functions",
+    "events",
+    "text",
+    "dedup",
+    "similarity",
+]
+
+
+def load_registry() -> dict[str, QuerySpec]:
+    """Import all query modules (idempotent) and return the registry."""
+    for mod in _MODULES:
+        importlib.import_module(f"glue_etl_framework_spark.queries.{mod}")
+    return REGISTRY

@@ -1,0 +1,264 @@
+"""Aggregations (SURVEY.md §2.4): hash aggregate, DISTINCT aggs, approx,
+collection aggs, ROLLUP/CUBE/GROUPING SETS, HAVING, pivot, percentiles.
+
+IMPLICIT-SQL in the reference (single call site glue_etl_framework.py:60).
+Spark plans each as partial (map-side) -> shuffle on group keys -> final
+aggregate; at 100 TB the partial agg is what keeps shuffle volume ~ |groups|
+not |rows|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from glue_etl_framework_spark.queries import register, t
+
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_disc_price,
+           SUM(l_quantity) / COUNT(*) AS avg_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    category="aggregate",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary. l_quantity is integer-valued so its
+    double sum is exact in any order; money columns use the cents trick."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0).alias("sum_base_price"),
+        (F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")) / 100.0).alias("sum_disc_price"),
+        (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           SUM(DISTINCT l_quantity) AS sum_distinct_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="aggregate",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.sum_distinct(F.col("l_quantity")).alias("sum_distinct_qty"),
+    )
+
+
+@register(
+    "agg_minmax",
+    oracle="""
+    SELECT o_orderstatus,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+           MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+    category="aggregate",
+)
+def agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM part GROUP BY p_brand
+    HAVING COUNT(*) > 5
+    """,
+    category="aggregate",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+        .filter(F.col("n_parts") > 5)
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT r.r_name, n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    category="aggregate",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, n, r = t(spark, sf_dir, "customer"), t(spark, sf_dir, "nation"), t(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    category="aggregate",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "lineitem").cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    category="aggregate",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_collect_set",
+    oracle="""
+    SELECT n.n_regionkey AS regionkey,
+           array_to_string(list_sort(list(DISTINCT n.n_name)), ',') AS nations
+    FROM nation n GROUP BY n.n_regionkey
+    """,
+    category="aggregate",
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set made deterministic by sorting and joining to one string."""
+    return t(spark, sf_dir, "nation").groupBy(F.col("n_regionkey").alias("regionkey")).agg(
+        F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations")
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    category="aggregate",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (continuous) percentile — matches DuckDB quantile_cont. The
+    approximate variant (percentile_approx / HLL sketches) is benchmarked
+    separately since sketch internals differ across engines."""
+    return t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+    )
+
+
+@register(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS approx_flags,
+           CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS approx_status
+    FROM lineitem
+    """,
+    category="aggregate",
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++). Oracle uses exact COUNT(DISTINCT):
+    at these cardinalities (3 and 2) the HLL sparse path is exact, so the
+    values coincide; the high-cardinality behavior is covered by pytest
+    (relative-error bound), not the oracle."""
+    return t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_returnflag").alias("approx_flags"),
+        F.approx_count_distinct("l_linestatus").alias("approx_status"),
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
+           SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    category="aggregate",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+    SELECT e.event_type,
+           CAST(COUNT(*) FILTER (WHERE e.value > 100) AS BIGINT) AS n_big,
+           CAST(SUM(CASE WHEN e.user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even_users,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) FILTER (WHERE e.value > 100) AS BIGINT) / 100.0 AS big_value
+    FROM events e GROUP BY e.event_type
+    """,
+    category="aggregate",
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation (COUNT/SUM ... FILTER)."""
+    e = t(spark, sf_dir, "events")
+    big = F.col("value") > 100
+    return e.groupBy("event_type").agg(
+        F.count(F.when(big, 1)).alias("n_big"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("n_even_users"),
+        (F.sum(F.when(big, F.round(F.col("value") * 100).cast("long"))) / 100.0).alias("big_value"),
+    )

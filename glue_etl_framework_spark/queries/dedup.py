@@ -1,0 +1,276 @@
+"""Deduplication operators (EXT — north star BASELINE.json:6): exact,
+normalized-exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB: every variant avoids the all-pairs cross product —
+exact/normalized dedup is one hash-groupBy; MinHash/LSH and SimHash band
+candidates so the self-join only touches same-bucket rows. All hashing uses
+md5 (bit-identical across engines) so each operator is fully oracle-checked;
+the pyspark.ml MinHashLSH variant lives in glue_etl_framework_spark.ext.dedup
+(pytest-verified, since ml seeds aren't portable SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from glue_etl_framework_spark.queries import register, t
+
+N_MINHASH = 8     # signature length
+BAND_SIZE = 2     # rows per LSH band -> 4 bands
+SHINGLE = 3       # word n-gram size
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    category="dedup",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup = hash-groupBy on content hash, keep lowest doc_id.
+    One shuffle on a 32-byte key regardless of document size."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    category="dedup",
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after normalization (lowercase, whitespace collapse) —
+    catches trivially-reformatted duplicates."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        d.groupBy(F.md5(norm).alias("norm_hash"))
+        .agg(F.min("doc_id").alias("keep_doc"), F.count("*").alias("n_copies"))
+    )
+
+
+_SHINGLE_SQL = """
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, length(w) - 1),
+                                   i -> array_to_string(w[i:i+2], ' '))) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      WHERE length(w) >= 3
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-3-gram shingles per document."""
+    d = t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (SHINGLE - 1)),
+        lambda i: F.array_join(F.slice(w, i, SHINGLE), " "),
+    )
+    return (
+        d.filter(F.size(w) >= SHINGLE)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5
+    """,
+    category="dedup",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (J >= 0.5). The pair space is
+    pruned by the shingle equi-join (only docs sharing a shingle meet) —
+    at 100 TB the further pruning is MinHash banding (next operator);
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) is an exact integer ratio."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _minhash_band_sql() -> str:
+    sigs = ",\n           ".join(
+        f"min(md5('{i}:' || shingle)) AS s{i}" for i in range(N_MINHASH)
+    )
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(s{2*b} || s{2*b+1}) AS bh FROM sig"
+        for b in range(N_MINHASH // BAND_SIZE)
+    )
+    return f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sig AS (
+      SELECT doc_id,
+           {sigs}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {bands}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_band_sql(), category="dedup")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 signatures, string-min over md5 — a valid random
+    permutation proxy, portable across engines) + LSH banding (4 bands x 2
+    rows): candidate pairs collide on at least one band. The self-join key
+    is (band, band_hash) so only same-bucket docs are compared — the
+    shuffle is O(docs x bands), never O(docs^2). Recall/threshold behavior
+    is property-tested in tests/ against exact Jaccard."""
+    sh = _shingles(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"s{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat(F.col(f"s{2*b}"), F.col(f"s{2*b+1}"))).alias("bh"),
+            )
+            for b in range(N_MINHASH // BAND_SIZE)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("x")).select(
+        "doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+N_SIMHASH_BITS = 32
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN substr(md5(token), {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(N_SIMHASH_BITS)
+    )
+    value = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(N_SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    sums AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({value} AS BIGINT) AS simhash
+    FROM sums
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_sql(), category="dedup")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over distinct tokens. Bit j of a token = the top bit
+    of hex digit j of md5(token) (portable across engines); the doc bit is
+    the sign of the per-bit vote sum. Near-dup pairs = small Hamming
+    distance (see dedup_simhash_pairs)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).distinct()
+    bit_votes = [
+        F.sum(
+            F.when(F.substring(F.md5("token"), j + 1, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(N_SIMHASH_BITS)
+    ]
+    sums = toks.groupBy("doc_id").agg(*bit_votes)
+    value = None
+    for j in range(N_SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        value = term if value is None else value + term
+    return sums.select("doc_id", value.cast("long").alias("simhash"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH sh AS ({_simhash_sql()})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sh a
+    JOIN sh b ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+    category="dedup",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidate pairs: band on the top 16 bits (equi-join — no
+    cross product), verify Hamming distance <= 6 via bit_count(xor).
+    Banding makes this approximate (pairs differing in the top band are
+    missed) — the standard recall/cost trade; multiple rotated bands raise
+    recall (ext.dedup)."""
+    sig = dedup_simhash(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(
+            b,
+            (F.shiftright(F.col("ha"), 16) == F.shiftright(F.col("hb"), 16))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .filter(hamming <= 6)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+    )

@@ -1,0 +1,166 @@
+"""Time-windowed operators over the events table (SURVEY.md §2.9).
+
+ABSENT in the reference (strictly batch, no readStream anywhere in
+glue_etl_framework.py) — this is the EXT streaming-capable surface, built
+batch-first so the DuckDB oracle applies; the same expressions run under
+Structured Streaming in glue_etl_framework_spark.streaming (readStream +
+watermark + availableNow replaces Glue job bookmarks,
+glue_etl_framework.py:101).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from glue_etl_framework_spark.queries import register, t
+
+
+@register(
+    "tumbling_window_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    category="time-window",
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window — groupBy(F.window(...)): identical code path
+    for batch and streaming."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+@register(
+    "sliding_window_agg",
+    oracle="""
+    WITH b AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS tb, user_id, value FROM events)
+    SELECT ws AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM b, UNNEST([tb, tb - INTERVAL '5 minutes']) AS u(ws)
+    GROUP BY ws
+    """,
+    category="time-window",
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute window sliding every 5 — each event lands in exactly two
+    windows; the oracle reproduces that with an UNNEST of the two
+    epoch-aligned starts."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n_events", "n_users")
+    )
+
+
+@register(
+    "session_window_agg",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS session_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    category="time-window",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap (F.session_window — a new
+    session starts when the gap since the previous event reaches 30min;
+    window end = last event + gap). The oracle rebuilds the same semantics
+    with LAG + running-sum session ids."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events", "session_value",
+        )
+    )
+
+
+@register(
+    "watermark_late_filter",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_recent
+    FROM events
+    WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
+    GROUP BY event_type
+    """,
+    category="time-window",
+)
+def watermark_late_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch equivalent of a 7-day watermark: drop rows older than
+    max(event time) - delay. In streaming this is df.withWatermark(ts, ...)
+    (glue_etl_framework_spark.streaming)."""
+    e = t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("__wm_events")
+    return spark.sql(
+        """
+        SELECT event_type, COUNT(*) AS n_recent
+        FROM __wm_events
+        WHERE ts >= (SELECT MAX(ts) FROM __wm_events) - INTERVAL 7 DAY
+        GROUP BY event_type
+        """
+    )
+
+
+@register(
+    "event_dedup_first",
+    oracle="""
+    SELECT user_id, event_type, MIN(ts) AS first_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_dupes
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+    category="time-window",
+)
+def event_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup per (user, type) — the batch shape of streaming
+    dropDuplicates-with-watermark; exposed as first-event + dupe count so
+    the result is deterministic."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.count("*").alias("n_dupes")
+    )

@@ -1,0 +1,375 @@
+"""Scans, projections, filters, joins (SURVEY.md §2.2-§2.3).
+
+All of these are IMPLICIT-SQL capabilities of the reference — reachable
+through its single spark.sql call site (glue_etl_framework.py:57-61) — here
+exposed as typed DataFrame builders so each operator is individually
+oracle-checked.
+
+Scale notes: every builder is a declarative plan — filters/projections push
+to the parquet scan, dimension joins broadcast (explicit F.broadcast on the
+small side), fact-fact joins shuffle on their keys with AQE handling skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from glue_etl_framework_spark.queries import register, t
+
+
+def money(col):
+    """Order-independent money aggregate: per-row round to integer cents ->
+    exact BIGINT sum in any partition/order. Pair with SQL
+    SUM(CAST(ROUND(x*100) AS BIGINT))."""
+    return F.sum(F.round(col * 100).cast("long"))
+
+
+# --- flagship: the README Example-1 analogue (reference README.md:136-143) —
+# revenue by region: lineitem⋈orders⋈customer⋈nation⋈region + grouped sum.
+@register(
+    "flagship_revenue_by_region",
+    oracle="""
+    SELECT r.r_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    category="join",
+)
+def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    # Fact joins the order dimension on the shuffle key; all other dims are
+    # broadcast (region/nation/customer are tiny relative to lineitem).
+    return (
+        lineitem
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            (money(F.col("l_extendedprice") * (1 - F.col("l_discount"))) / 100.0).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "scan_filter_projection",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    category="scan",
+)
+def scan_filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + conjunctive predicates; all four filters and the 4-column
+    projection push down to the parquet scan (PushedFilters/ReadSchema)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@register(
+    "filter_in_like_between",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      AND c_name LIKE 'Customer#00000%'
+      AND c_acctbal BETWEEN 0 AND 5000
+      AND c_nationkey IS NOT NULL
+    """,
+    category="filter",
+)
+def filter_in_like_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "customer")
+        .filter(
+            F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            & F.col("c_name").like("Customer#00000%")
+            & F.col("c_acctbal").between(0, 5000)
+            & F.col("c_nationkey").isNotNull()
+        )
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    )
+
+
+@register(
+    "project_case_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CASE WHEN o_totalprice >= 300000 THEN 'large'
+                WHEN o_totalprice >= 100000 THEN 'medium'
+                ELSE 'small' END AS size_class,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+           CAST(ROUND(o_totalprice * 1.1 * 100) AS BIGINT) / 100.0 AS taxed
+    FROM orders
+    WHERE o_orderstatus <> 'P'
+    """,
+    category="projection",
+)
+def project_case_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed columns: CASE WHEN, CAST, arithmetic (SURVEY §2.2)."""
+    o = t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") != "P").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.when(F.col("o_totalprice") >= 300000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.col("o_totalprice").cast("long").alias("price_floor"),
+        (F.round(F.col("o_totalprice") * 1.1 * 100).cast("long") / 100.0).alias("taxed"),
+    )
+
+
+@register(
+    "distinct_projection",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+    category="projection",
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+# ---------------------------------------------------------------- joins ----
+
+@register(
+    "join_inner_nway",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_bal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_regionkey < 3
+    GROUP BY n.n_name
+    """,
+    category="join",
+)
+def join_inner_nway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s, n, r = t(spark, sf_dir, "supplier"), t(spark, sf_dir, "nation"), t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_regionkey") < 3)), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            (F.sum(F.round(F.col("s_acctbal") * 100).cast("long")) / 100.0).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, CAST(COUNT(s.s_suppkey) AS BIGINT) AS n_suppliers
+    FROM nation n
+    LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_nationkey, n.n_name
+    """,
+    category="join",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n, s = t(spark, sf_dir, "nation"), t(spark, sf_dir, "supplier")
+    return (
+        n.join(s, s.s_nationkey == n.n_nationkey, "left")
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, CAST(COUNT(c.c_custkey) AS BIGINT) AS n_customers
+    FROM customer c
+    RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_nationkey, n.n_name
+    """,
+    category="join",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, n = t(spark, sf_dir, "customer"), t(spark, sf_dir, "nation")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey, "right")
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(cn.k, sn.k) AS nationkey,
+           CAST(COALESCE(cn.n_cust, 0) AS BIGINT) AS n_cust,
+           CAST(COALESCE(sn.n_supp, 0) AS BIGINT) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.k = sn.k
+    """,
+    category="join",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = t(spark, sf_dir, "customer").groupBy(F.col("c_nationkey").alias("k")).agg(F.count("*").alias("n_cust"))
+    sn = t(spark, sf_dir, "supplier").groupBy(F.col("s_nationkey").alias("k")).agg(F.count("*").alias("n_supp"))
+    return cn.join(sn, "k", "full").select(
+        F.col("k").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+    """,
+    category="join",
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, l = t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem")
+    big = l.filter(F.col("l_quantity") >= 49)
+    return o.join(big, o.o_orderkey == big.l_orderkey, "left_semi").select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    category="join",
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no large order (NOT EXISTS -> left_anti)."""
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    WHERE r.r_regionkey <> n.n_regionkey
+    """,
+    category="join",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r, n = t(spark, sf_dir, "region"), t(spark, sf_dir, "nation")
+    return r.crossJoin(n).filter(F.col("r_regionkey") != F.col("n_regionkey")).select("r_name", "n_name")
+
+
+@register(
+    "join_range_theta",
+    oracle="""
+    SELECT s.s_suppkey, CAST(COUNT(c.c_custkey) AS BIGINT) AS n_close
+    FROM supplier s
+    LEFT JOIN customer c
+      ON c.c_acctbal BETWEEN s.s_acctbal - 500 AND s.s_acctbal + 500
+    GROUP BY s.s_suppkey
+    """,
+    category="join",
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join. The small side broadcasts -> BroadcastNestedLoop;
+    a large-large range join would instead bin both sides on
+    floor(acctbal/1000) and equi-join the bin (SURVEY §7.3)."""
+    s, c = t(spark, sf_dir, "supplier"), t(spark, sf_dir, "customer")
+    cond = c.c_acctbal.between(s.s_acctbal - 500, s.s_acctbal + 500)
+    return (
+        s.join(F.broadcast(c), cond, "left")
+        .groupBy("s_suppkey")
+        .agg(F.count("c_custkey").alias("n_close"))
+    )
+
+
+@register(
+    "join_broadcast_hint",
+    oracle="""
+    SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS gross
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    category="join",
+)
+def join_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the part dimension — at 100 TB the fact side
+    never shuffles for a small-dim join."""
+    l, p = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0).alias("gross"),
+        )
+    )
+
+
+@register(
+    "subquery_scalar",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    """,
+    category="subquery",
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery -> Catalyst plans a subquery broadcast, no collect."""
+    c = t(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("__sq_customer")
+    return spark.sql(
+        "SELECT c_custkey, c_acctbal FROM __sq_customer "
+        "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM __sq_customer)"
+    )
+
+
+@register(
+    "subquery_in",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+    category="subquery",
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return o.join(F.broadcast(building), o.o_custkey == building.c_custkey, "left_semi").select(
+        "o_orderkey", "o_custkey"
+    )

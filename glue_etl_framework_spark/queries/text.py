@@ -1,0 +1,153 @@
+"""Text-analysis operators over the documents table (EXT — SURVEY.md §2.10,
+north star BASELINE.json:6): token counting, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+All pure JVM-side column expressions (no Python UDFs) — at 100 TB these run
+inside whole-stage codegen over the parquet scan with zero shuffles except
+the final aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from glue_etl_framework_spark.queries import register, t
+
+# Tiny stopword lexicons per language for the heuristic language scorer.
+# (Deterministic, broadcast-size; a real pipeline would load a lexicon table
+# and broadcast-join it.)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "fr": ["le", "la", "de", "et", "que"],
+}
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    WITH toks AS (SELECT doc_id, lang, n_chars, text,
+                         string_split(text, ' ') AS words
+                  FROM documents)
+    SELECT doc_id, lang,
+           CAST(length(words) AS INTEGER) AS n_tokens,
+           CAST(length(list_distinct(words)) AS INTEGER) AS n_distinct_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_actual,
+           CAST(n_chars AS BIGINT) AS n_chars_recorded,
+           CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END AS chars_consistent,
+           round(CAST(length(text) AS DOUBLE) / length(words), 6) AS avg_token_len
+    FROM toks
+    """,
+    category="text",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + data-quality check of the recorded
+    n_chars column against the actual text length."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id", "lang",
+        F.size(words).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.col("n_chars").alias("n_chars_recorded"),
+        F.when(F.length("text") == F.col("n_chars"), 1).otherwise(0).alias("chars_consistent"),
+        F.round(F.length("text").cast("double") / F.size(words), 6).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS INTEGER) AS n_chars,
+             CAST(length(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             CAST(length(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct
+      FROM documents)
+    SELECT doc_id, source, n_chars, n_tokens,
+           round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS lexical_diversity,
+           CASE WHEN n_tokens BETWEEN 20 AND 1000
+                 AND CAST(n_distinct AS DOUBLE) / n_tokens > 0.3
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM s
+    """,
+    category="text",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length bounds + lexical diversity (distinct/total
+    token ratio) — the standard cheap pre-filter for LLM training data."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    diversity = n_distinct.cast("double") / n_tokens
+    return d.select(
+        "doc_id", "source",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(diversity, 6).alias("lexical_diversity"),
+        F.when(n_tokens.between(20, 1000) & (diversity > 0.3), 1).otherwise(0).alias("passes_quality"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = STOPWORDS[lang]
+    arr = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"length(list_filter(string_split(text, ' '), x -> list_contains([{arr}], x)))"
+    )
+
+
+@register(
+    "text_langid_heuristic",
+    oracle=f"""
+    SELECT doc_id, lang AS lang_recorded,
+           CASE WHEN {_lang_score_sql('en')} >= 1 THEN 'en' ELSE 'unknown' END AS lang_predicted,
+           CAST({_lang_score_sql('en')} AS INTEGER) AS en_stopword_hits
+    FROM documents
+    """,
+    category="text",
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (n-gram heuristic family). The fixture text
+    is an English-ish word soup, so the useful signal is en-vs-unknown; the
+    per-language scoring generalizes by adding lexicons to STOPWORDS."""
+    d = t(spark, sf_dir, "documents")
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    hits = F.size(F.filter(F.split(F.col("text"), " "), lambda x: F.array_contains(en, x)))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_recorded"),
+        F.when(hits >= 1, "en").otherwise("unknown").alias("lang_predicted"),
+        hits.alias("en_stopword_hits"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+      FROM documents)
+    SELECT fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS representative_doc
+    FROM fp GROUP BY fingerprint
+    """,
+    category="text",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-vocabulary fingerprint (order/multiplicity-insensitive content
+    hash) — groups docs that are permutations/repetitions of the same word
+    set; the classic cheap near-dup fingerprint."""
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.sort_array(F.array_distinct(F.split(F.col("text"), " "))), " "))
+    return (
+        d.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("representative_doc"))
+    )
