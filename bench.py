@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized through the noop sink (measures scan +
+compute + shuffle, not driver collection). Median of N_RUNS warm runs per
+query; one untimed warm-up first (JVM/codegen warmup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from glue_etl_framework_spark import get_spark
+from glue_etl_framework_spark.queries import load_registry
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+
+# Headline queries: one per major operator family, weighted toward the
+# shapes that dominate real pipelines (join+agg, window, dedup, similarity).
+HEADLINE = [
+    "flagship_revenue_by_region",   # 5-table join + grouped sum
+    "agg_pricing_summary",          # wide hash aggregate
+    "agg_distinct",                 # distinct aggregates (expand)
+    "topk_per_group",               # window rank + filter
+    "window_running_sum",           # running frame aggregate
+    "orderby_limit",                # global top-k
+    "explode_unnest",               # explode + agg (token counts)
+    "json_struct_parse",            # from_json + agg
+    "tumbling_window_agg",          # time window
+    "session_window_agg",           # session window
+    "dedup_exact",                  # hash dedup
+    "dedup_minhash_lsh",            # shingle -> minhash -> band join
+    "text_quality_score",           # text scoring expressions
+    "similarity_topk_bruteforce",   # broadcast query x corpus cosine top-k
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    registry = load_registry()
+    names = [n for n in HEADLINE if n in registry]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry[name].fn
+        materialize(fn(spark, SF_DIR))  # warm-up (untimed)
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            materialize(fn(spark, SF_DIR))
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
