@@ -1,0 +1,114 @@
+"""Near-duplicate text dedup at scale: pyspark.ml MinHashLSH pipeline +
+cluster-pick, complementing the portable md5-minhash variant in
+queries/dedup.py.
+
+100 TB shape: shingle -> HashingTF sparse vectors -> MinHashLSH
+approxSimilarityJoin (band-bucketed join, never all-pairs) -> greedy
+cluster representative pick via iterative min-id propagation (a bounded
+number of self-joins, each a shuffle on doc_id — no driver-side graph).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # pyspark.ml is bundled with pyspark; guard anyway for slim builds
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    HAS_ML = True
+except ImportError:  # pragma: no cover
+    HAS_ML = False
+
+
+def shingle_tokens(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Add a ``shingles`` array column of word n-grams (distinct)."""
+    w = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+    return df.withColumn("shingles", F.array_distinct(sh)).filter(F.size("shingles") > 0)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """(id_a, id_b, jaccard_distance) candidate pairs with estimated
+    Jaccard distance <= 1 - threshold, via MinHashLSH.approxSimilarityJoin.
+    The join only compares same-band rows — linear in corpus size for fixed
+    collision rates."""
+    if not HAS_ML:  # pragma: no cover
+        raise NotImplementedError("pyspark.ml not available")
+    shingled = shingle_tokens(df.select(id_col, text_col), text_col)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=num_features)
+    feats = tf.transform(shingled)
+    # MinHashLSH requires at least one non-zero entry; HashingTF of a
+    # non-empty shingle array always qualifies.
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 1.0 - jaccard_threshold, distCol="jaccard_distance")
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            "jaccard_distance",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+
+
+def dedup_keep_representative(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Drop near-duplicates, keeping one representative (min id) per
+    connected component of the pair graph. Min-id label propagation:
+    each round joins current labels across edges and takes the min —
+    converges in O(component diameter) rounds; every round is two
+    shuffles, nothing on the driver. Duplicate clusters from pairwise
+    similarity are near-cliques, so few rounds suffice in practice."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        df.select(F.col(id_col).alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage each round
+        if changed == 0:
+            break
+    keep = labels.filter(F.col("node") == F.col("label")).select(F.col("node").alias(id_col))
+    return df.join(keep, id_col, "left_semi")

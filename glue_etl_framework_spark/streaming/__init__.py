@@ -1,0 +1,7 @@
+from glue_etl_framework_spark.streaming.ingest import (  # noqa: F401
+    incremental_file_ingest,
+    read_file_stream,
+    stream_dedup,
+    stream_session_agg,
+    stream_window_agg,
+)

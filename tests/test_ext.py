@@ -1,0 +1,171 @@
+"""Property/metamorphic tests for the EXT operators (SURVEY.md §5):
+dedup idempotence, planted near-duplicates recovered, LSH recall vs the
+exact baseline, multimodal plumbing with the fake decoder."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from glue_etl_framework_spark.ext import dedup as D
+from glue_etl_framework_spark.ext import multimodal as M
+from glue_etl_framework_spark.ext import similarity as S
+from glue_etl_framework_spark.ext import text as X
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+# ------------------------------------------------------------------ dedup --
+
+def test_minhash_finds_planted_duplicates(spark, docs):
+    base = docs.limit(50)
+    # plant: copy of doc with ids shifted by 10_000 — exact dup (J=1.0)
+    planted = base.withColumn("doc_id", F.col("doc_id") + 10_000)
+    corpus = base.unionByName(planted)
+    pairs = D.minhash_candidate_pairs(corpus, jaccard_threshold=0.8)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    expected = {(r.doc_id, r.doc_id + 10_000) for r in base.collect()}
+    recall = len(found & expected) / len(expected)
+    assert recall >= 0.9, f"planted-dup recall {recall}"
+
+
+def test_dedup_idempotent(spark, docs):
+    base = docs.limit(40)
+    planted = base.withColumn("doc_id", F.col("doc_id") + 10_000)
+    corpus = base.unionByName(planted)
+    pairs = D.minhash_candidate_pairs(corpus, jaccard_threshold=0.8)
+    once = D.dedup_keep_representative(corpus, pairs)
+    pairs2 = D.minhash_candidate_pairs(once, jaccard_threshold=0.8)
+    twice = D.dedup_keep_representative(once, pairs2)
+    assert once.count() == twice.count()  # dedup(dedup(X)) == dedup(X)
+    assert once.count() <= base.count()  # all planted dups collapsed
+    # representatives are the original (min) ids
+    assert once.filter(F.col("doc_id") >= 10_000).count() == 0
+
+
+def test_connected_components_transitivity(spark):
+    df = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    # chain 0-1-2 and pair 4-5: components {0,1,2}, {3}, {4,5}
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")
+    kept = D.dedup_keep_representative(df, pairs)
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 3, 4]
+
+
+# ------------------------------------------------------------- similarity --
+
+def test_ann_lsh_recall_vs_bruteforce(spark, embeddings):
+    corpus = embeddings
+    queries = embeddings.filter(F.col("vec_id") < 15)
+    exact = S.brute_force_topk(corpus, queries, k=5)
+    # few planes + many tables: the fixture embeddings are weakly clustered
+    # (top-5 neighbor cosine ~0.3-0.5), so per-plane collision ~0.6 needs
+    # short signatures for usable recall
+    approx = S.ann_topk_lsh(corpus, queries, k=5, n_planes=4, n_tables=8)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"ANN recall vs exact top-5: {recall}"
+
+
+def test_ann_candidates_subset_semantics(spark, embeddings):
+    # every ANN result's cosine must equal the exact cosine (scores are
+    # exact; only the candidate set is approximate)
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    approx = S.ann_topk_lsh(embeddings, queries, k=3, n_planes=8, n_tables=3)
+    exact = S.brute_force_topk(embeddings, queries, k=embeddings.count())
+    ex = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    for r in approx.collect():
+        assert abs(ex[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
+def test_brp_lsh_similarity_join(spark, embeddings):
+    small = embeddings.limit(100)
+    planted = small.withColumn("vec_id", F.col("vec_id") + 10_000)
+    corpus = small.unionByName(planted)
+    pairs = S.brp_lsh_similarity_join(corpus, distance_threshold=0.01)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    expected = {(r.vec_id, r.vec_id + 10_000) for r in small.collect()}
+    recall = len(found & expected) / len(expected)
+    assert recall >= 0.9, f"identical-vector recall {recall}"
+
+
+# ------------------------------------------------------------------- text --
+
+def test_quality_features_ranges(spark, docs):
+    out = X.quality_features(docs).limit(200).collect()
+    for r in out:
+        assert 0 <= r.stopword_ratio <= 1
+        assert 0 <= r.punct_ratio <= 1
+        assert 0 < r.lexical_diversity <= 1
+        assert r.est_bpe_tokens >= r.n_words_q  # BPE estimate >= word count
+
+
+def test_language_scores_argmax(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is in the house and it is big"),
+         (2, "el gato que vive en la casa"),
+         (3, "zzz qqq xxx")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang_predicted for r in X.language_scores(df).collect()}
+    assert out[1] == "en" and out[2] == "es" and out[3] == "unknown"
+
+
+def test_rolling_fingerprints_copy_detection(spark, docs):
+    a = docs.limit(20)
+    b = a.withColumn("doc_id", F.col("doc_id") + 10_000)  # verbatim copies
+    fps = X.rolling_fingerprints(a.unionByName(b))
+    # verbatim copies share every fingerprint -> join on fingerprint links them
+    links = (
+        fps.alias("x").join(fps.alias("y"), "fingerprint")
+        .filter(F.col("x.doc_id") + 10_000 == F.col("y.doc_id"))
+        .select("x.doc_id").distinct().count()
+    )
+    assert links == 20
+
+
+def test_tokenize_strips_punct(spark):
+    df = spark.createDataFrame([(1, "Hello, World!  foo-bar")], "id int, text string")
+    toks = X.tokenize(df).first().tokens
+    assert toks == ["hello", "world", "foo", "bar"]
+
+
+# ------------------------------------------------------------- multimodal --
+
+def test_multimodal_pipeline_fake_decoder(spark, docs):
+    blobs = M.attach_binary_payload(docs.limit(30))
+    meta = M.binary_metadata(blobs)
+    assert meta.filter(F.col("byte_len") > 0).count() == 30
+    assert meta.first().sha256 is not None
+    feats = M.extract_image_features(blobs, decoder=M.fake_image_decoder, partitions=2)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r.width >= 16 and r.height >= 16 and 0 <= r.mean_luma <= 1
+
+
+def test_multimodal_default_decoder_is_stub(spark, docs):
+    blobs = M.attach_binary_payload(docs.limit(1))
+    with pytest.raises(Exception) as ei:
+        M.extract_image_features(blobs).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_frame_sampling(spark, docs):
+    blobs = M.attach_binary_payload(docs.limit(5))
+    frames = M.sample_frames(blobs, every_nth=2, frame_size=16)
+    got = frames.groupBy("doc_id").agg(F.count("*").alias("n"), F.min("frame_index").alias("lo")).collect()
+    for r in got:
+        assert r.n >= 1 and r.lo == 0
+    # frame indices are the sampled (even) positions
+    idx = sorted(r.frame_index for r in frames.filter(F.col("doc_id") == got[0].doc_id).collect())
+    assert all(i % 2 == 0 for i in idx)

@@ -1,0 +1,218 @@
+"""End-to-end pipeline tests: YAML config + SQL file -> output parquet,
+mirroring the reference's README Example 1 surface, plus the config-layer
+edge cases the reference gets wrong (SURVEY.md §5 bugs, done right here)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from glue_etl_framework_spark.io.writers import staged_write, upsert_by_key, write_table
+from glue_etl_framework_spark.pipeline import run_pipeline
+from glue_etl_framework_spark.pipeline.config import interpolate, prepare_sql
+from tests.conftest import SF_SMOKE
+
+FLAGSHIP_SQL = """
+-- revenue by region (README Example 1 analogue)
+SELECT r.r_name,
+       sum(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT)) AS revenue_cents,
+       count(*) AS n
+FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+JOIN customer c ON o.o_custkey=c.c_custkey
+JOIN nation n ON c.c_nationkey=n.n_nationkey
+JOIN region r ON n.n_regionkey=r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+def write_config(tmp_path, sql_file="query.sql", refresh="full", out_name="out"):
+    tables = "\n".join(
+        f"""  - name: {t}
+    source: file
+    location: /root/testdata/{{sf}}/{t}.parquet"""
+        for t in ["lineitem", "orders", "customer", "nation", "region"]
+    )
+    cfg = f"""
+job:
+  type: spark-sql
+  name: revenue_by_region
+variables:
+  demo:
+    sf: sf0.001
+input_tables:
+{tables}
+sql_file: {sql_file}
+output_table:
+  target: file
+  location: {tmp_path}/{out_name}
+  partition_keys: r_name
+  coalesce: 1
+  refresh: {refresh}
+"""
+    (tmp_path / "config.yaml").write_text(cfg)
+    (tmp_path / sql_file).write_text(FLAGSHIP_SQL)
+    return tmp_path / "config.yaml"
+
+
+def test_flagship_pipeline_end_to_end(tmp_path, spark):
+    cfg = write_config(tmp_path)
+    run_pipeline(spark, cfg, "demo")
+    out = spark.read.parquet(f"{tmp_path}/out")
+    assert out.count() == 5
+    # partitioned layout on disk
+    parts = [d for d in os.listdir(f"{tmp_path}/out") if d.startswith("r_name=")]
+    assert len(parts) == 5
+    # golden check against direct SQL over the same fixtures
+    for t in ["lineitem", "orders", "customer", "nation", "region"]:
+        spark.read.parquet(f"{SF_SMOKE}/{t}.parquet").createOrReplaceTempView(t)
+    want = {r.r_name: r.revenue_cents for r in spark.sql(FLAGSHIP_SQL).collect()}
+    got = {r.r_name: r.revenue_cents for r in out.collect()}
+    assert got == want
+
+
+def test_incremental_refresh_rewrites_only_touched_partitions(tmp_path, spark):
+    cfg = write_config(tmp_path)
+    run_pipeline(spark, cfg, "demo")
+    before = {r.r_name: r.n for r in spark.read.parquet(f"{tmp_path}/out").collect()}
+
+    (tmp_path / "query.sql").write_text(
+        "SELECT r_name, CAST(0 AS BIGINT) AS revenue_cents, CAST(0 AS BIGINT) AS n "
+        "FROM region WHERE r_name = 'ASIA'"
+    )
+    cfg2 = write_config(tmp_path, refresh="incremental")
+    (tmp_path / "query.sql").write_text(
+        "SELECT r_name, CAST(0 AS BIGINT) AS revenue_cents, CAST(0 AS BIGINT) AS n "
+        "FROM region WHERE r_name = 'ASIA'"
+    )
+    run_pipeline(spark, cfg2, "demo")
+    after = {r.r_name: r.n for r in spark.read.parquet(f"{tmp_path}/out").collect()}
+    assert after["ASIA"] == 0
+    assert after["EUROPE"] == before["EUROPE"]
+    assert len(after) == 5
+
+
+def test_undefined_variable_raises(tmp_path, spark):
+    cfg = write_config(tmp_path)
+    text = cfg.read_text().replace("{sf}", "{missing}")
+    cfg.write_text(text)
+    with pytest.raises(KeyError, match="missing"):
+        run_pipeline(spark, cfg, "demo")
+
+
+def test_apostrophe_literal_survives(spark):
+    # the reference's quote-rewrite (glue_etl_framework.py:175) corrupts
+    # literals with apostrophes; prepare_sql must not
+    sql = prepare_sql("SELECT 1 WHERE 'don''t' <> 'x'", {})
+    assert "don''t" in sql
+    assert spark.sql(sql).count() == 1
+
+
+def test_comment_stripping_and_semicolon():
+    sql = prepare_sql("-- header comment\nSELECT {n} AS v;\n", {"n": "42"})
+    assert sql == "SELECT 42 AS v"
+
+
+def test_interpolate_nested():
+    cfg = {"a": ["{x}/1", {"b": "{x}-2"}], "c": 3}
+    out = interpolate(cfg, {"x": "V"})
+    assert out == {"a": ["V/1", {"b": "V-2"}], "c": 3}
+
+
+def test_python_script_job(tmp_path, spark):
+    (tmp_path / "user.py").write_text("result = spark.range(7).count()\n")
+    (tmp_path / "py.yaml").write_text(
+        f"""
+job:
+  type: python-script
+variables:
+  demo: {{}}
+python_file: {tmp_path}/user.py
+"""
+    )
+    ns = run_pipeline(spark, tmp_path / "py.yaml", "demo")
+    assert ns["result"] == 7
+
+
+def test_csv_source_with_glue_format_options(tmp_path, spark):
+    src = f"{tmp_path}/region_csv"
+    spark.read.parquet(f"{SF_SMOKE}/region.parquet").coalesce(1).write.option(
+        "header", True
+    ).csv(src)
+    (tmp_path / "csv.yaml").write_text(
+        f"""
+job:
+  type: spark-sql
+variables:
+  demo: {{}}
+input_tables:
+  - name: region
+    source: file
+    location: {src}
+    format: csv
+    format_options:
+      withHeader: true
+      separator: ","
+      inferSchema: true
+sql: SELECT count(*) AS n FROM region
+"""
+    )
+    out = run_pipeline(spark, tmp_path / "csv.yaml", "demo", write=False)
+    assert out.first().n == 5
+
+
+def test_json_source_roundtrip(tmp_path, spark):
+    src = f"{tmp_path}/region_json"
+    spark.read.parquet(f"{SF_SMOKE}/region.parquet").write.json(src)
+    (tmp_path / "j.yaml").write_text(
+        f"""
+job:
+  type: spark-sql
+variables:
+  demo: {{}}
+input_tables:
+  - name: region
+    source: file
+    location: {src}
+    format: json
+sql: SELECT max(r_regionkey) AS mx FROM region
+"""
+    )
+    assert run_pipeline(spark, tmp_path / "j.yaml", "demo", write=False).first().mx == 4
+
+
+def test_staged_write_failure_leaves_old_data(tmp_path, spark):
+    loc = f"{tmp_path}/tbl"
+    good = spark.createDataFrame([(1, "a")], "k int, v string")
+    staged_write(good, {"location": loc, "format": "parquet"})
+    bad = spark.createDataFrame([(1,)], "k int").selectExpr("assert_true(k > 5) AS x", "k")
+    with pytest.raises(Exception):
+        staged_write(bad, {"location": loc, "format": "parquet"})
+    assert [(r.k, r.v) for r in spark.read.parquet(loc).collect()] == [(1, "a")]
+    assert not [d for d in os.listdir(tmp_path) if "__stage__" in d or "__old__" in d]
+
+
+def test_upsert_by_key_last_writer_wins(tmp_path, spark):
+    loc = f"{tmp_path}/upsert"
+    upsert_by_key(spark, spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), loc, ["k"])
+    upsert_by_key(spark, spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"), loc, ["k"])
+    assert sorted((r.k, r.v) for r in spark.read.parquet(loc).collect()) == [
+        (1, "a"), (2, "B"), (3, "c"),
+    ]
+
+
+def test_catalog_sink_roundtrip(tmp_path, spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+    write_table(
+        df,
+        {
+            "target": "catalog",
+            "database": "testdb",
+            "table_name": "region_copy",
+            "location": f"{tmp_path}/region_copy",
+            "refresh": "full",
+        },
+    )
+    assert spark.table("testdb.region_copy").count() == 5
+    spark.sql("DROP TABLE testdb.region_copy")

@@ -1,0 +1,121 @@
+"""Structured Streaming tests: bookmarked incremental ingest (the Glue
+job-bookmark replacement), streaming window aggs matching the batch/oracle
+results, and stream dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from glue_etl_framework_spark import streaming as ST
+from tests.conftest import SF_SMOKE
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_incremental_ingest_is_bookmarked(tmp_path, spark, events):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    first, second = events.limit(100), events.filter(F.col("event_id").between(100, 149))
+
+    first.write.mode("append").parquet(src)
+    ST.incremental_file_ingest(spark, src, dst, EVENTS_SCHEMA, ckpt)
+    assert spark.read.parquet(dst).count() == 100
+
+    # run again with NO new files -> nothing reprocessed
+    ST.incremental_file_ingest(spark, src, dst, EVENTS_SCHEMA, ckpt)
+    assert spark.read.parquet(dst).count() == 100
+
+    # new files arrive -> only the delta is appended
+    second.write.mode("append").parquet(src)
+    ST.incremental_file_ingest(spark, src, dst, EVENTS_SCHEMA, ckpt)
+    assert spark.read.parquet(dst).count() == 150
+
+
+def test_incremental_ingest_with_transform(tmp_path, spark, events):
+    src, dst, ckpt = (str(tmp_path / n) for n in ("src", "dst", "ckpt"))
+    events.limit(50).write.parquet(src)
+    ST.incremental_file_ingest(
+        spark, src, dst, EVENTS_SCHEMA, ckpt,
+        transform=lambda df: df.filter(F.col("event_type") == "purchase").select("event_id", "value"),
+    )
+    out = spark.read.parquet(dst)
+    assert out.columns == ["event_id", "value"]
+    assert out.count() == events.limit(50).filter("event_type = 'purchase'").count()
+
+
+def _run_stream_to_memory(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_stream_window_agg_matches_batch(tmp_path, spark, events):
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    stream = ST.read_file_stream(spark, src, EVENTS_SCHEMA)
+    result = _run_stream_to_memory(
+        spark, ST.stream_window_agg(stream, "1 hour", keys=["event_type"]), "win_agg"
+    )
+    batch = (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n_events")
+    )
+    # append-mode emits only watermark-closed windows; every emitted row must
+    # match batch exactly, and all but the trailing watermark horizon emits
+    got = {(r.window_start, r.event_type): r.n_events for r in result.collect()}
+    want = {(r.window_start, r.event_type): r.n_events for r in batch.collect()}
+    assert got, "stream emitted nothing"
+    for key, n in got.items():
+        assert want[key] == n
+    missing = set(want) - set(got)
+    horizon = max(ws for ws, _ in want)
+    assert all(ws >= max(ws for ws, _ in got) for ws, _ in missing), (
+        "non-trailing window missing from stream output"
+    )
+
+
+def test_stream_dedup(tmp_path, spark, events):
+    src = str(tmp_path / "src")
+    dup = events.limit(80)
+    dup.unionByName(dup).write.parquet(src)  # every event twice
+    stream = ST.read_file_stream(spark, src, EVENTS_SCHEMA)
+    result = _run_stream_to_memory(spark, ST.stream_dedup(stream, ["event_id"]), "dedup")
+    assert result.count() == 80
+    assert result.select("event_id").distinct().count() == 80
+
+
+def test_stream_session_agg_runs(tmp_path, spark, events):
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    stream = ST.read_file_stream(spark, src, EVENTS_SCHEMA)
+    result = _run_stream_to_memory(spark, ST.stream_session_agg(stream), "sess")
+    # closed sessions must agree with the batch session_window computation
+    batch = (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("session_window.start").alias("session_start"), "n_events")
+    )
+    want = {(r.user_id, r.session_start): r.n_events for r in batch.collect()}
+    got = {(r.user_id, r.session_start): r.n_events for r in result.collect()}
+    assert got, "no sessions emitted"
+    for key, n in got.items():
+        assert want[key] == n
