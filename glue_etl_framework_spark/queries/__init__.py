@@ -79,6 +79,7 @@ _MODULES = [
     "text",
     "dedup",
     "similarity",
+    "multimodal",
 ]
 
 

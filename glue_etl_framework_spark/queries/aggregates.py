@@ -262,3 +262,66 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("n_even_users"),
         (F.sum(F.when(big, F.round(F.col("value") * 100).cast("long"))) / 100.0).alias("big_value"),
     )
+
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice) AS BIGINT) AS x,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM q GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+             AS corr_price_discount,
+           round(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 / CAST(n AS DOUBLE), 9) AS stddev_pop_price
+    FROM s
+    """,
+    category="aggregate",
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr, population stddev) computed from exact
+    integer co-moments: inputs quantized per row, the five sums are
+    order-independent BIGINTs (one partial+final hash aggregate — the same
+    single shuffle as any SUM), and the float math happens once per group on
+    exact integers. Unlike streaming corr/stddev implementations this is
+    bit-reproducible at any parallelism — the property that matters when a
+    100 TB job must be re-run and diffed. Built-in F.corr/F.stddev remain
+    available where last-ULP reproducibility doesn't matter."""
+    li = t(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_extendedprice")).cast("long")
+    y = F.round(F.col("l_discount") * 100).cast("long")
+    s = (
+        li.select("l_returnflag", x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, syyd, sxyd = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
+    var_x = nd * sxxd - sxd * sxd
+    var_y = nd * syyd - syd * syd
+    return s.select(
+        "l_returnflag", "n", "sx", "sy", "sxx", "syy", "sxy",
+        F.round((nd * sxyd - sxd * syd) / (F.sqrt(var_x) * F.sqrt(var_y)), 9).alias("corr_price_discount"),
+        F.round(F.sqrt(var_x) / nd, 9).alias("stddev_pop_price"),
+    )

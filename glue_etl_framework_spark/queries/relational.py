@@ -13,6 +13,7 @@ small side), fact-fact joins shuffle on their keys with AQE handling skew.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from glue_etl_framework_spark.queries import register, t
@@ -372,4 +373,112 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     return o.join(F.broadcast(building), o.o_custkey == building.c_custkey, "left_semi").select(
         "o_orderkey", "o_custkey"
+    )
+
+
+@register(
+    "subquery_exists_correlated",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > c.c_acctbal
+                    AND o.o_orderstatus = 'F')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+    category="subquery",
+)
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (with a non-equi correlated predicate) + NOT
+    EXISTS: Catalyst decorrelates these into a left-semi and a left-anti
+    join — both shuffle on the correlation key only, never materializing
+    the subquery per outer row."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    finished = o.filter(F.col("o_orderstatus") == "F")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        c.join(
+            finished,
+            (c.c_custkey == finished.o_custkey) & (finished.o_totalprice > c.c_acctbal),
+            "left_semi",
+        )
+        .join(urgent, F.col("c_custkey") == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH orep AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS last_orderkey, o.o_orderdate AS last_orderdate
+    FROM events e
+    ASOF LEFT JOIN orep o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    category="join",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each event picks the most recent order of the
+    same user at-or-before its timestamp — the time-series enrichment join
+    Spark SQL lacks as a keyword. Implementation: equi-join on the user key
+    with the range predicate, then row_number over (event, orderdate DESC)
+    keeps the latest match; unmatched events survive via the left join.
+    The right side is pre-deduplicated per (key, ts) so the pick is
+    deterministic. At 100 TB both sides shuffle once on the user key
+    (AQE handles skewed users); for a sorted-bucketed layout this becomes
+    a merge without re-shuffle."""
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = e.join(
+        o, (e.user_id == o.o_custkey) & (e.ts >= o.o_orderdate), "left"
+    )
+    w = W.partitionBy("event_id").orderBy(F.col("o_orderdate").desc_nulls_last())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").alias("last_orderdate"),
+        )
+    )
+
+
+@register(
+    "unpivot_melt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+    category="reshape",
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt) via the native DataFrame.unpivot — an
+    Expand node that emits 3 rows per input row in one pass, no shuffle
+    and no N scans of the fact table (the UNION ALL oracle formulation
+    would rescan per metric)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
     )

@@ -149,6 +149,206 @@ def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS_MOD = 50  # vec_id % 50 == 0 -> corpus_size/50 deterministic centroids
+N_PROBE = 2           # IVF: query probes its 2 nearest centroid lists
+
+_COSINE_SQL = (
+    "CAST(list_sum(list_transform(range(1, 65), i -> {a}.q[i] * {b}.q[i])) AS BIGINT)"
+    " / (sqrt(CAST({a}.nq AS DOUBLE)) * sqrt(CAST({b}.nq AS DOUBLE)))"
+)
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=f"""
+    WITH quant AS ({_QUANT_SQL}),
+    normed AS ({_NORM_SQL}),
+    cent AS (SELECT vec_id AS cid, q, nq FROM normed WHERE vec_id % {N_CENTROIDS_MOD} = 0),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {_COSINE_SQL.format(a='n', b='c')} DESC, c.cid) AS rn
+        FROM normed n CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT n.vec_id AS query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {_COSINE_SQL.format(a='n', b='c')} DESC, c.cid) AS rn
+        FROM normed n CROSS JOIN cent c
+        WHERE n.vec_id < {N_QUERIES}
+      ) WHERE rn <= {N_PROBE}
+    )
+    SELECT query_id, neighbor_id, round(cosine, 9) AS cosine FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_COSINE_SQL.format(a='qv', b='nv')} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                ORDER BY {_COSINE_SQL.format(a='qv', b='nv')} DESC, a.vec_id) AS rn
+      FROM probes p
+      JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+      JOIN normed qv ON qv.vec_id = p.query_id
+      JOIN normed nv ON nv.vec_id = a.vec_id
+    ) WHERE rn <= {TOP_K}
+    """,
+    category="similarity",
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the 100 TB scale path for
+    ANN. Coarse quantizer: a deterministic centroid subset (vec_id %
+    50 == 0, i.e. ~corpus/50 centroids); every vector is assigned to
+    its nearest centroid (an n x K broadcast join — K centroids always fit
+    in a broadcast, so assignment is shuffle-free); a query scores only the
+    vectors in its nprobe=2 nearest centroid lists, cutting scored pairs by
+    ~K/nprobe vs brute force. Exact quantized cosine everywhere, so the
+    whole pipeline is oracle-checkable; recall vs brute force is
+    property-tested in tests/test_ext.py."""
+    v = _quantized(spark, sf_dir)
+    cent = F.broadcast(
+        v.filter(F.col("vec_id") % N_CENTROIDS_MOD == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("nq").alias("cnq"))
+    )
+    cos_to_cent = _dot(F.col("q"), F.col("cq")) / (
+        F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("cnq").cast("double"))
+    )
+    rn_w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
+    scored = v.join(cent, how="cross").select("vec_id", "cid", cos_to_cent.alias("cos"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    probes = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    qv = v.select(F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), F.col("nq").alias("na"))
+    nv = v.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"), F.col("nq").alias("nb"))
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    cosine = _dot(F.col("qa"), F.col("qb")) / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    topk_w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rn", F.row_number().over(topk_w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cosine", 9).alias("cosine"))
+    )
+
+
+N_HYPERPLANES = 16  # signature bits; bands of 8 -> 2 bands
+_BAND_BITS = 8
+
+
+def _hyperplane_signs(j: int, dim: int = 64) -> list[int]:
+    """Deterministic pseudo-random +-1 hyperplane components: sign of the
+    top bit of md5("j:i") — reproducible in any engine/language, baked into
+    both the Spark plan and the oracle SQL as literals."""
+    import hashlib
+
+    return [
+        1 if hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0] >= "8" else -1
+        for i in range(1, dim + 1)
+    ]
+
+
+def _band_exprs_sql() -> list[str]:
+    """SQL expressions for the two 8-bit band values of the hyperplane
+    signature of q (quantized embedding array)."""
+    bands = []
+    for b in range(N_HYPERPLANES // _BAND_BITS):
+        bits = []
+        for k in range(_BAND_BITS):
+            j = b * _BAND_BITS + k
+            signs = _hyperplane_signs(j)
+            arr = "list_value(" + ", ".join(str(s) for s in signs) + ")"
+            proj = f"list_sum(list_transform(range(1, 65), i -> {arr}[i] * q[i]))"
+            bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << k} ELSE 0 END)")
+        bands.append(" + ".join(bits))
+    return bands
+
+
+@register(
+    "similarity_lsh_hyperplane_pairs",
+    oracle=f"""
+    WITH quant AS ({_QUANT_SQL}),
+    normed AS ({_NORM_SQL}),
+    sig AS (
+      SELECT vec_id, q, nq,
+             {_band_exprs_sql()[0]} AS band0,
+             {_band_exprs_sql()[1]} AS band1
+      FROM normed
+    ),
+    cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sig a JOIN sig b ON a.band0 = b.band0 AND a.vec_id < b.vec_id
+      UNION
+      SELECT a.vec_id, b.vec_id
+      FROM sig a JOIN sig b ON a.band1 = b.band1 AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(cosine, 9) AS cosine FROM (
+      SELECT c.vec_a, c.vec_b, {_COSINE_SQL.format(a='x', b='y')} AS cosine
+      FROM cand c
+      JOIN normed x ON x.vec_id = c.vec_a
+      JOIN normed y ON y.vec_id = c.vec_b
+    ) WHERE cosine >= 0.35
+    """,
+    category="similarity",
+)
+def similarity_lsh_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) LSH near-dup pairs WITHOUT a
+    given blocking label — the honest 100 TB path: 16 signature bits from
+    +-1 hyperplane projections (exact integer dot products), banded 2x8 so
+    candidates collide on a band equi-join (shuffle keyed on an 8-bit band
+    value — never an all-pairs product), then exact cosine >= 0.35 verify.
+    Raising bands/bits trades recall vs candidate volume; recall against
+    the label-blocked exact pairs is property-tested in tests/."""
+    v = _quantized(spark, sf_dir)
+    band_cols = []
+    for b in range(N_HYPERPLANES // _BAND_BITS):
+        bits = []
+        for k in range(_BAND_BITS):
+            j = b * _BAND_BITS + k
+            signs = F.array(*[F.lit(s) for s in _hyperplane_signs(j)])
+            proj = F.aggregate(
+                F.zip_with(F.col("q"), signs, lambda x, s: x * s.cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0)))
+        band_cols.append(sum(bits[1:], bits[0]).alias(f"band{b}"))
+    sig = v.select("vec_id", "q", "nq", *band_cols)
+    pairs = None
+    for b in range(N_HYPERPLANES // _BAND_BITS):
+        a_side = sig.select(F.col("vec_id").alias("vec_a"), F.col(f"band{b}").alias("bv"))
+        b_side = sig.select(F.col("vec_id").alias("vec_b"), F.col(f"band{b}").alias("bv"))
+        p = a_side.join(b_side, "bv").filter(F.col("vec_a") < F.col("vec_b")).select("vec_a", "vec_b")
+        pairs = p if pairs is None else pairs.union(p)
+    cand = pairs.distinct()
+    x = v.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("nq").alias("na"))
+    y = v.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("nq").alias("nb"))
+    cosine = _dot(F.col("qa"), F.col("qb")) / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
+        .filter(cosine >= 0.35)
+        .select("vec_a", "vec_b", F.round(cosine, 9).alias("cosine"))
+    )
+
+
 @register(
     "similarity_label_centroid",
     oracle=f"""

@@ -151,3 +151,39 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fingerprint")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("representative_doc"))
     )
+
+
+BPE_ISH = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+@register(
+    "text_bpe_regex_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+           CAST(length(regexp_extract_all(text, '{BPE_ISH}')) AS INTEGER) AS n_bpe_tokens,
+           round(CAST(octet_length(encode(text)) AS DOUBLE)
+                 / length(regexp_extract_all(text, '{BPE_ISH}')), 6) AS bytes_per_token
+    FROM documents
+    WHERE length(regexp_extract_all(text, '{BPE_ISH}')) > 0
+    """,
+    category="text",
+)
+def text_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a subword-style regex (letter runs, single
+    digits, punctuation marks) approximates BPE token counts without a
+    vocab file — the standard cheap cost estimator for LLM training data.
+    Pure per-row projection (regexp_extract_all + size), no shuffle; a real
+    tokenizer drops in as an Arrow-batched Pandas UDF with this exact
+    schema."""
+    d = t(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH), 0)
+    return (
+        d.filter(F.size(bpe) > 0)
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_ws_tokens"),
+            F.size(bpe).alias("n_bpe_tokens"),
+            F.round(F.length(F.encode(F.col("text"), "UTF-8")).cast("double") / F.size(bpe), 6).alias("bytes_per_token"),
+        )
+    )
