@@ -5,3 +5,6 @@ from glue_etl_framework_spark.streaming.ingest import (  # noqa: F401
     stream_session_agg,
     stream_window_agg,
 )
+from glue_etl_framework_spark.streaming.stateful import (  # noqa: F401
+    running_user_stats,
+)

@@ -119,3 +119,48 @@ def test_stream_session_agg_runs(tmp_path, spark, events):
     assert got, "no sessions emitted"
     for key, n in got.items():
         assert want[key] == n
+
+
+def test_stateful_running_totals_matches_batch(tmp_path, spark, events):
+    """applyInPandasWithState over a 2-file stream: the final per-user
+    totals must equal the batch groupBy answer (exact integer cents), and
+    intermediate updates must be monotone in n_events."""
+    src = str(tmp_path / "stateful_src")
+    ckpt = str(tmp_path / "stateful_ckpt")
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+    first.write.parquet(src)
+    second.write.mode("append").parquet(src)
+
+    stream = ST.read_file_stream(spark, src, EVENTS_SCHEMA, max_files_per_trigger=1)
+    q = (
+        ST.running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = (
+        spark.table("running_totals")
+        .groupBy("user_id")
+        .agg(
+            F.max_by("n_events", "n_events").alias("n_events"),
+            F.max_by("total_value_cents", "n_events").alias("total_value_cents"),
+        )
+    )
+    want = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_value_cents"),
+    )
+    diff = got.join(want, "user_id") \
+        .filter(
+            (got.n_events != want.n_events)
+            | (got.total_value_cents != want.total_value_cents)
+        )
+    assert got.count() == want.count()
+    assert diff.count() == 0
+
