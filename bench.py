@@ -43,6 +43,10 @@ HEADLINE = [
     "dedup_minhash_lsh",            # shingle -> minhash -> band join
     "text_quality_score",           # text scoring expressions
     "similarity_topk_bruteforce",   # broadcast query x corpus cosine top-k
+    "similarity_ann_ivf",           # IVF coarse-quantized ANN (scale path)
+    "join_asof",                    # as-of time-series enrichment join
+    "multimodal_chunk_manifest",    # blob chunking via explode
+    "unpivot_melt",                 # wide-to-long Expand
 ]
 
 

@@ -429,33 +429,55 @@ def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of (backward) join: each event picks the most recent order of the
     same user at-or-before its timestamp — the time-series enrichment join
-    Spark SQL lacks as a keyword. Implementation: equi-join on the user key
-    with the range predicate, then row_number over (event, orderdate DESC)
-    keeps the latest match; unmatched events survive via the left join.
-    The right side is pre-deduplicated per (key, ts) so the pick is
-    deterministic. At 100 TB both sides shuffle once on the user key
-    (AQE handles skewed users); for a sorted-bucketed layout this becomes
-    a merge without re-shuffle."""
+    Spark SQL lacks as a keyword. Implementation is the merge formulation,
+    not join-then-rank: union both sides into one stream, sort per user by
+    time (order rows before event rows on ties, so ts >= orderdate is
+    inclusive), and carry the last seen order forward with
+    last_value(ignore nulls). The intermediate is |events| + |orders| —
+    never |events| x matches — and the whole operator is ONE shuffle on the
+    user key plus a partition-local sort; on a sorted-bucketed layout even
+    that shuffle disappears. AQE handles skewed users."""
     e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     o = (
         t(spark, sf_dir, "orders")
         .groupBy("o_custkey", "o_orderdate")
         .agg(F.max("o_orderkey").alias("o_orderkey"))
     )
-    joined = e.join(
-        o, (e.user_id == o.o_custkey) & (e.ts >= o.o_orderdate), "left"
+    combined = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.col("ts").alias("ts"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+    ).unionByName(
+        o.select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("t"),
+            F.lit(0).alias("is_event"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            "o_orderkey",
+            "o_orderdate",
+        )
     )
-    w = W.partitionBy("event_id").orderBy(F.col("o_orderdate").desc_nulls_last())
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "is_event")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
+        combined.select(
             "event_id",
             "user_id",
             "ts",
-            F.col("o_orderkey").alias("last_orderkey"),
-            F.col("o_orderdate").alias("last_orderdate"),
+            "is_event",
+            F.last("o_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
+            F.last("o_orderdate", ignorenulls=True).over(w).alias("last_orderdate"),
         )
+        .filter(F.col("is_event") == 1)
+        .drop("is_event")
     )
 
 
