@@ -72,7 +72,16 @@ def read_table(spark: SparkSession, table: dict[str, Any]) -> DataFrame:
         )
         if "schema" in table:
             reader = reader.schema(table["schema"])
-        return reader.load(str(location))
+        try:
+            return reader.load(str(location))
+        except Exception as exc:  # noqa: BLE001 - re-raise with actionable context
+            if fmt == "avro" and "Failed to find data source" in str(exc):
+                raise RuntimeError(
+                    "format 'avro' needs the external spark-avro package on the "
+                    "classpath (org.apache.spark:spark-avro); it is not bundled "
+                    "with this Spark build"
+                ) from exc
+            raise
     if source in {"catalog", "gdc"}:
         database = table.get("database")
         name = table.get("table_name") or table.get("name")

@@ -216,3 +216,69 @@ def test_catalog_sink_roundtrip(tmp_path, spark):
     )
     assert spark.table("testdb.region_copy").count() == 5
     spark.sql("DROP TABLE testdb.region_copy")
+
+
+def test_orc_source_roundtrip(tmp_path, spark):
+    src = f"{tmp_path}/region_orc"
+    spark.read.parquet(f"{SF_SMOKE}/region.parquet").write.orc(src)
+    (tmp_path / "orc.yaml").write_text(
+        f"""
+job:
+  type: spark-sql
+variables:
+  demo: {{}}
+input_tables:
+  - name: region
+    source: file
+    location: {src}
+    format: orc
+output_table:
+  name: out
+  source: file
+  location: {tmp_path}/out
+sql: SELECT count(*) AS n FROM region
+"""
+    )
+    out = run_pipeline(spark, tmp_path / "orc.yaml", "demo", write=False)
+    assert out.collect()[0]["n"] == 5
+
+
+def test_avro_unavailable_gives_clear_error(tmp_path, spark):
+    from glue_etl_framework_spark.io.readers import read_table
+
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        read_table(
+            spark,
+            {"name": "x", "source": "file", "location": str(tmp_path), "format": "avro"},
+        )
+
+
+def test_catalog_source_and_sink(tmp_path, spark):
+    """Session-catalog round trip: saveAsTable (the Glue Data Catalog sink
+    equivalent) then a pipeline reading source: catalog."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS gdc_test")
+    spark.read.parquet(f"{SF_SMOKE}/region.parquet").write.mode("overwrite").saveAsTable(
+        "gdc_test.region_cat"
+    )
+    (tmp_path / "cat.yaml").write_text(
+        f"""
+job:
+  type: spark-sql
+variables:
+  demo: {{}}
+input_tables:
+  - name: region
+    source: catalog
+    database: gdc_test
+    table_name: region_cat
+output_table:
+  name: out
+  source: file
+  location: {tmp_path}/out
+sql: SELECT r_regionkey, r_name FROM region
+"""
+    )
+    out = run_pipeline(spark, tmp_path / "cat.yaml", "demo", write=False)
+    assert out.count() == 5
+    spark.sql("DROP TABLE gdc_test.region_cat")
+    spark.sql("DROP DATABASE gdc_test")
