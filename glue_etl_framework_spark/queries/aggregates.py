@@ -325,3 +325,40 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((nd * sxyd - sxd * syd) / (F.sqrt(var_x) * F.sqrt(var_y)), 9).alias("corr_price_discount"),
         F.round(F.sqrt(var_x) / nd, 9).alias("stddev_pop_price"),
     )
+
+
+@register(
+    "agg_salted_twophase",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="aggregate",
+)
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant aggregation: 3 hot keys (l_returnflag) would hash 600M
+    rows/key onto 3 reducers at 100 TB, so phase 1 groups by (key, salt)
+    — 16-way fan-out, map-side partials stay effective — and phase 2 merges
+    the 48 partials. Identical result to the direct groupBy (the oracle IS
+    the direct groupBy); the salt (l_orderkey % 16) is deterministic.
+    Spark's AQE skew handling covers sort-merge joins, not single-key agg
+    hotspots — this is the manual pattern for those."""
+    li = t(spark, sf_dir, "lineitem")
+    partial = (
+        li.withColumn("salt", (F.col("l_orderkey") % 16).cast("int"))
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("l_quantity").cast("long")).alias("pq"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("pp"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n_rows"),
+        F.sum("pq").alias("sum_qty"),
+        (F.sum("pp") / 100.0).alias("sum_price"),
+    )

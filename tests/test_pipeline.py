@@ -282,3 +282,30 @@ sql: SELECT r_regionkey, r_name FROM region
     assert out.count() == 5
     spark.sql("DROP TABLE gdc_test.region_cat")
     spark.sql("DROP DATABASE gdc_test")
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Both sides bucketed by the join key -> sort-merge join with zero
+    Exchange in the plan (the write-once-join-many co-location contract)."""
+    from glue_etl_framework_spark.io.bucketing import (
+        assert_no_shuffle,
+        bucketed_join,
+        write_bucketed,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", ["o_orderkey"], 8, sort_cols=["o_orderkey"],
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "b_lineitem", "b_orders", ["o_orderkey"])
+        assert_no_shuffle(joined)
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
