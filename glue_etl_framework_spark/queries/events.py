@@ -164,3 +164,52 @@ def event_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id", "event_type").agg(
         F.min("ts").alias("first_ts"), F.count("*").alias("n_dupes")
     )
+
+
+@register(
+    "event_funnel_conversion",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'signup') AS first_signup
+      FROM events GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.first_signup
+      GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.first_signup, p.first_purchase,
+           CASE WHEN p.first_purchase IS NOT NULL THEN 1 ELSE 0 END AS converted
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    WHERE s.first_signup IS NOT NULL
+    """,
+    category="time-window",
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel (signup -> first purchase at-or-after it) per user:
+    conditional MIN for step 1, a key-equi-join with a range predicate for
+    step 2, left join for the conversion flag. Both joins and all three
+    aggregates shuffle only on user_id — the same single key — so AQE can
+    reuse/coalesce those exchanges; nothing is per-event-pair."""
+    e = t(spark, sf_dir, "events")
+    s = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup")
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("first_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        s.filter(F.col("first_signup").isNotNull())
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "first_signup",
+            "first_purchase",
+            F.when(F.col("first_purchase").isNotNull(), 1).otherwise(0).alias("converted"),
+        )
+    )

@@ -10,6 +10,7 @@ the final aggregates.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from glue_etl_framework_spark.queries import register, t
@@ -186,4 +187,53 @@ def text_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(bpe).alias("n_bpe_tokens"),
             F.round(F.length(F.encode(F.col("text"), "UTF-8")).cast("double") / F.size(bpe), 6).alias("bytes_per_token"),
         )
+    )
+
+
+TFIDF_TOP = 3
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, token),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf GROUP BY token),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT doc_id, token, tf, df, round(tfidf, 9) AS tfidf FROM (
+      SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS tfidf,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) DESC,
+                                         tf.token) AS rn
+      FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+    ) WHERE rn <= {TFIDF_TOP}
+    """,
+    category="text",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document. All counts are
+    exact integers; the only float op (tf * ln(N/df)) happens once per
+    (doc, token) in both engines, so values hash-match. Shape at scale:
+    tf is one shuffle on (doc, token); df is one shuffle on token; the df
+    side joins back as a broadcast when |vocab| is small, else a keyed
+    shuffle join; the scalar N rides along as a 1-row broadcast (never a
+    driver collect)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    tfidf = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    w = W.partitionBy("doc_id").orderBy(tfidf.desc(), "token")
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP)
+        .select("doc_id", "token", "tf", "df", F.round(tfidf, 9).alias("tfidf"))
     )

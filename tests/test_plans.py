@@ -1,0 +1,88 @@
+"""Physical-plan regression tests: the scale properties (pushdown, pruning,
+broadcast, single-shuffle, top-k short-circuits) asserted on the actual
+plans, so a refactor can't silently trade them away. These are the
+100 TB-discipline checks of SURVEY.md §4/§7 made executable."""
+
+from __future__ import annotations
+
+import pytest
+
+from glue_etl_framework_spark.queries import load_registry
+from tests.conftest import SF_SMOKE
+
+REGISTRY = load_registry()
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def count_shuffles(plan: str) -> int:
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        or "Exchange rangepartitioning" in line
+        or "Exchange SinglePartition" in line
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "scan_filter_projection")
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate, not an empty list
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "no predicates pushed to the parquet scan"
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = plan_of(spark, "scan_filter_projection")
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    # lineitem has 11 columns; the query needs far fewer
+    assert read_schema.count(":") <= 6, f"scan reads too many columns: {read_schema}"
+
+
+def test_flagship_broadcasts_all_dimensions(spark):
+    plan = plan_of(spark, "flagship_revenue_by_region")
+    assert plan.count("BroadcastHashJoin") == 4
+    # single shuffle: the final group-by aggregate
+    assert count_shuffles(plan) == 1, plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    plan = plan_of(spark, "topk_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_orderby_limit_uses_take_ordered(spark):
+    plan = plan_of(spark, "orderby_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_assignment_is_broadcast(spark):
+    # centroid assignment must be a broadcast nested-loop/hash join, never a
+    # shuffled cross product
+    plan = plan_of(spark, "similarity_ann_ivf")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    # merge-formulation as-of join: one hash shuffle for the window on
+    # user_id (+ one for the small orders pre-aggregate), never a per-match
+    # blowup join
+    plan = plan_of(spark, "join_asof")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert count_shuffles(plan) <= 2, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_minhash_lsh", "dedup_simhash_pairs", "similarity_lsh_hyperplane_pairs"],
+)
+def test_candidate_generation_never_cross_product(spark, name):
+    # every near-dup pipeline must key its self-join (band/bucket equi-join)
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
