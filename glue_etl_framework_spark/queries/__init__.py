@@ -80,6 +80,7 @@ _MODULES = [
     "dedup",
     "similarity",
     "multimodal",
+    "curation",
 ]
 
 

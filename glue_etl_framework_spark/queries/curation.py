@@ -1,0 +1,162 @@
+"""End-to-end training-data curation pipeline as ONE operator (EXT — the
+north-star composite, BASELINE.json:6): quality filter -> exact dedup ->
+MinHash near-dup removal -> token accounting, over the documents table.
+
+This is the shape a 100 TB pretraining-data job actually runs, expressed as
+a single declarative plan so Catalyst fuses the filter stages into the scan
+and the three dedup shuffles are the only exchanges. Every stage reuses the
+individually-oracle-checked primitives (text_quality_score, dedup_exact_*,
+dedup_minhash_lsh), and the composite itself is oracle-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from glue_etl_framework_spark.queries import register, t
+from glue_etl_framework_spark.queries.dedup import BAND_SIZE, N_MINHASH, SHINGLE
+
+MIN_TOKENS, MAX_TOKENS = 20, 1000
+MIN_DIVERSITY = 0.3
+
+
+def _curation_sql() -> str:
+    sigs = ",\n             ".join(
+        f"min(md5('{i}:' || shingle)) AS s{i}" for i in range(N_MINHASH)
+    )
+    bands = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(s{2*b} || s{2*b+1}) AS bh FROM sig"
+        for b in range(N_MINHASH // BAND_SIZE)
+    )
+    return f"""
+    WITH quality AS (
+      SELECT doc_id, lang, text,
+             length(string_split(text, ' ')) AS n_tokens
+      FROM documents
+      WHERE length(string_split(text, ' ')) BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+        AND CAST(length(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / length(string_split(text, ' ')) > {MIN_DIVERSITY}
+    ),
+    exact AS (
+      SELECT * FROM (
+        SELECT q.*,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                 ORDER BY doc_id) AS rn
+        FROM quality q
+      ) WHERE rn = 1
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, length(w) - 1),
+                                   i -> array_to_string(w[i:i+2], ' '))) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM exact)
+      WHERE length(w) >= {SHINGLE}
+    ),
+    sig AS (
+      SELECT doc_id,
+             {sigs}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {bands}
+    ),
+    neardup_losers AS (
+      SELECT DISTINCT a.doc_id AS drop_id
+      FROM bands b
+      JOIN bands a ON a.band = b.band AND a.bh = b.bh AND b.doc_id < a.doc_id
+    )
+    SELECT e.doc_id, e.lang, CAST(e.n_tokens AS BIGINT) AS n_tokens,
+           md5(e.text) AS content_hash
+    FROM exact e
+    LEFT JOIN neardup_losers d ON e.doc_id = d.drop_id
+    WHERE d.drop_id IS NULL
+    """
+
+
+@register("pipeline_training_data_curation", oracle=_curation_sql(), category="curation")
+def pipeline_training_data_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite curation pass over documents:
+
+    1. quality gate — token-count bounds + lexical diversity (pure scan-side
+       predicates, fused into the parquet read);
+    2. exact dedup — keep the lowest doc_id per normalized content hash (one
+       shuffle on a 32-byte key);
+    3. near-dup removal — MinHash/LSH candidate pairs among survivors, drop
+       every doc that collides with a lower-id doc (banded self-join, shuffle
+       keyed on (band, hash) — never all-pairs);
+    4. emit the curated corpus with token counts and a content hash.
+
+    Deterministic end to end (md5 hashing, integer counts, lowest-id keep
+    rules), so the whole pipeline hash-matches the DuckDB oracle."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words)
+    diversity = F.size(F.array_distinct(words)).cast("double") / n_tokens
+    quality = d.filter(
+        n_tokens.between(MIN_TOKENS, MAX_TOKENS) & (diversity > MIN_DIVERSITY)
+    ).select("doc_id", "lang", "text", n_tokens.alias("n_tokens"))
+
+    norm_hash = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    from pyspark.sql import Window as W
+
+    exact = (
+        quality.withColumn(
+            "rn", F.row_number().over(W.partitionBy(norm_hash).orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    sh = (
+        exact.filter(F.size(F.split("text", " ")) >= SHINGLE)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(F.split("text", " ")) - (SHINGLE - 1)),
+                    lambda i: F.array_join(F.slice(F.split(F.col("text"), " "), i, SHINGLE), " "),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"s{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat(F.col(f"s{2*b}"), F.col(f"s{2*b+1}"))).alias("bh"),
+            )
+            for b in range(N_MINHASH // BAND_SIZE)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("x")).select(
+        "doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    losers = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("b.doc_id") < F.col("a.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        exact.join(losers, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.md5("text").alias("content_hash"),
+        )
+    )
