@@ -504,3 +504,34 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+@register(
+    "transform_apply_mapping",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS customer_id,
+           c_name AS customer_name,
+           CAST(c_acctbal AS DOUBLE) AS balance,
+           upper(c_mktsegment) AS segment
+    FROM customer
+    """,
+    category="transform",
+)
+def transform_apply_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ApplyMapping (the Glue transform: per-column rename + cast,
+    glue_etl_framework.py:2 star-import surface) as one projection — the
+    transforms.verbs.apply_mapping verb expressed as an oracle-checked
+    query. Pure narrow op: fused into the scan, zero shuffles."""
+    from glue_etl_framework_spark.transforms import apply_mapping
+
+    c = t(spark, sf_dir, "customer")
+    mapped = apply_mapping(
+        c,
+        [
+            ("c_custkey", "customer_id", "bigint"),
+            ("c_name", "customer_name", "string"),
+            ("c_acctbal", "balance", "double"),
+            ("c_mktsegment", "segment", "string"),
+        ],
+    )
+    return mapped.withColumn("segment", F.upper("segment"))

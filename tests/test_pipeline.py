@@ -309,3 +309,12 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_jdbc_source_validates_config(spark):
+    from glue_etl_framework_spark.io.readers import read_table
+
+    with pytest.raises(ValueError, match="jdbc source requires"):
+        read_table(spark, {"name": "j", "source": "jdbc", "options": {"url": "jdbc:x"}})
+    with pytest.raises(ValueError, match="jdbc source requires"):
+        read_table(spark, {"name": "j", "source": "jdbc", "dbtable": "t"})
