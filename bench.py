@@ -47,6 +47,8 @@ HEADLINE = [
     "join_asof",                    # as-of time-series enrichment join
     "multimodal_chunk_manifest",    # blob chunking via explode
     "unpivot_melt",                 # wide-to-long Expand
+    "text_tfidf_top_terms",         # tf/df shuffles + broadcast N + top-k
+    "pipeline_training_data_curation",  # full curation composite
 ]
 
 
