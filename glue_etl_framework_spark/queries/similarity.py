@@ -376,3 +376,116 @@ def similarity_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.element_at("q", 64)).alias("sum_dim64_q"),
         )
     )
+
+
+def _kmeans_assign_sql(centroids_cte: str) -> str:
+    """Nearest-centroid assignment (exact quantized cosine, ties to the
+    lowest centroid id) against a centroid CTE with (cid, q, nq)."""
+    return f"""
+      SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {_COSINE_SQL.format(a='n', b='c')} DESC, c.cid) AS rn
+        FROM normed n CROSS JOIN {centroids_cte} c
+      ) WHERE rn = 1
+    """
+
+
+@register(
+    "similarity_kmeans_refine",
+    oracle=f"""
+    WITH quant AS ({_QUANT_SQL}),
+    normed AS ({_NORM_SQL}),
+    c0 AS (SELECT vec_id AS cid, q, nq FROM normed WHERE vec_id % {N_CENTROIDS_MOD} = 0),
+    a1 AS ({_kmeans_assign_sql('c0')}),
+    ex AS (
+      SELECT a1.cid, unnest(n.q) AS val, generate_subscripts(n.q, 1) AS pos
+      FROM a1 JOIN normed n ON n.vec_id = a1.vec_id
+    ),
+    agg AS (
+      SELECT cid, pos, CAST(SUM(val) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ex GROUP BY cid, pos
+    ),
+    newc AS (
+      SELECT cid,
+             list(CAST(FLOOR(CAST(s AS DOUBLE) / cnt) AS BIGINT) ORDER BY pos) AS q
+      FROM agg GROUP BY cid
+    ),
+    c1 AS (
+      SELECT cid, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq
+      FROM newc
+    ),
+    a2 AS ({_kmeans_assign_sql('c1')})
+    SELECT a2.cid,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(n.q[1]) AS BIGINT) AS sum_dim1_q
+    FROM a2 JOIN normed n ON n.vec_id = a2.vec_id
+    GROUP BY a2.cid
+    """,
+    category="similarity",
+)
+def similarity_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the corpus — the iterative-
+    algorithm representative, fully distributed AND fully deterministic
+    (hence oracle-checked, rare for an iterative op): init centroids =
+    vec_id % 50 == 0; assign by exact quantized cosine (n x K broadcast
+    join); update = per-(centroid, dim) integer sums via posexplode — one
+    shuffle keyed on (cid, dim), floor-averaged back to quantized space,
+    arrays rebuilt with a sorted collect per centroid (K x 64 rows, tiny);
+    reassign against refined centroids; report cluster sizes. More
+    iterations = loop the same two shuffles with localCheckpoint lineage
+    truncation (see ext.dedup.dedup_keep_representative for the pattern)."""
+    v = _quantized(spark, sf_dir)
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        cos = _dot(F.col("q"), F.col("cq")) / (
+            F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("cnq").cast("double"))
+        )
+        w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
+        return (
+            v.join(F.broadcast(centroids), how="cross")
+            .select("vec_id", "cid", cos.alias("cos"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+
+    c0 = v.filter(F.col("vec_id") % N_CENTROIDS_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("nq").alias("cnq")
+    )
+    a1 = assign(c0)
+    ex = a1.join(v, "vec_id").select(
+        "cid", F.posexplode("q").alias("pos0", "val")
+    )
+    agg = ex.groupBy("cid", (F.col("pos0") + 1).alias("pos")).agg(
+        F.sum("val").alias("s"), F.count("*").alias("cnt")
+    )
+    newc = agg.groupBy("cid").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "pos",
+                        F.floor(F.col("s").cast("double") / F.col("cnt")).cast("long").alias("v"),
+                    )
+                )
+            ),
+            lambda st: st["v"],
+        ).alias("cq")
+    )
+    c1 = newc.select(
+        "cid",
+        "cq",
+        F.aggregate(
+            F.transform("cq", lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("cnq"),
+    )
+    a2 = assign(c1)
+    return (
+        a2.join(v, "vec_id")
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.element_at("q", 1)).alias("sum_dim1_q"),
+        )
+    )
