@@ -213,3 +213,82 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("first_purchase").isNotNull(), 1).otherwise(0).alias("converted"),
         )
     )
+
+
+@register(
+    "window_range_time_rolling",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, value,
+             CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) AS sec
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_10min,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) / 100.0 AS value_last_10min
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+    """,
+    category="time-window",
+)
+def window_range_time_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 10-minute per-user window via a RANGE frame over epoch
+    seconds — the time-based frame spec (SURVEY §2.5 RANGE BETWEEN) applied
+    to event time. One shuffle on user_id + a partition-local sort; the
+    frame is evaluated by a sliding aggregate, never a self-join. Epoch
+    seconds are floor-truncated identically in both engines."""
+    e = t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    w = W.partitionBy("user_id").orderBy("sec").rangeBetween(-600, 0)
+    return (
+        e.select("event_id", "user_id", "value", sec.alias("sec"))
+        .select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).alias("n_last_10min"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).over(w) / 100.0).alias(
+                "value_last_10min"
+            ),
+        )
+    )
+
+
+@register(
+    "event_pattern_detect",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CASE WHEN regexp_matches(path, 'view>(.*>)?click') THEN 1 ELSE 0 END AS saw_view_then_click,
+           CASE WHEN regexp_matches(path, 'signup>(.*>)?purchase') THEN 1 ELSE 0 END AS converted_after_signup
+    FROM seq
+    """,
+    category="time-window",
+)
+def event_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence detection: order each user's events by time
+    (ties broken by event_id for full determinism), join into a path
+    string, and regex-match funnels — MATCH_RECOGNIZE-style analysis with
+    one shuffle on user_id. The ordered collect is a sort_array over
+    (ts, event_id) structs, not a window + groupBy double-shuffle."""
+    e = t(spark, sf_dir, "events")
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda s: s["event_type"],
+    )
+    path = F.array_join(ordered, ">")
+    return (
+        e.groupBy("user_id")
+        .agg(path.alias("path"), F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.when(F.col("path").rlike("view>(.*>)?click"), 1).otherwise(0).alias("saw_view_then_click"),
+            F.when(F.col("path").rlike("signup>(.*>)?purchase"), 1).otherwise(0).alias("converted_after_signup"),
+        )
+    )
