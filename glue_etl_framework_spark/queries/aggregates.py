@@ -362,3 +362,31 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pq").alias("sum_qty"),
         (F.sum("pp") / 100.0).alias("sum_price"),
     )
+
+
+BUCKET_WIDTH = 50
+
+
+@register(
+    "agg_value_histogram",
+    oracle=f"""
+    SELECT CAST(FLOOR(value / {BUCKET_WIDTH}) AS BIGINT) * {BUCKET_WIDTH} AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS bucket_value
+    FROM events
+    GROUP BY 1
+    """,
+    category="aggregate",
+)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor-bucketing — the distributed
+    histogram shape: one hash aggregate on the bucket key (a few hundred
+    groups however large the input), map-side partials doing ~all the
+    work. Portable floor() bucketing instead of width_bucket (whose edge
+    semantics differ across engines)."""
+    e = t(spark, sf_dir, "events")
+    bucket = (F.floor(F.col("value") / BUCKET_WIDTH) * BUCKET_WIDTH).cast("long")
+    return e.groupBy(bucket.alias("bucket_lo")).agg(
+        F.count("*").alias("n"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("bucket_value"),
+    )

@@ -535,3 +535,42 @@ def transform_apply_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return mapped.withColumn("segment", F.upper("segment"))
+
+
+@register(
+    "quality_fk_orphans",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_nationkey IS NULL
+    """,
+    category="quality",
+)
+def quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the join graph: orphan counts per
+    foreign key via left-anti joins (each a broadcast when the parent fits,
+    else a keyed shuffle) — the pipeline QA gate a 100 TB ingest runs
+    before publishing a snapshot."""
+    li, o = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
+    c, n = t(spark, sf_dir, "customer"), t(spark, sf_dir, "nation")
+
+    def orphans(child: DataFrame, parent: DataFrame, ck: str, pk: str, label: str) -> DataFrame:
+        return (
+            child.join(F.broadcast(parent.select(pk)), child[ck] == parent[pk], "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans(li, o, "l_orderkey", "o_orderkey", "lineitem->orders")
+        .unionByName(orphans(o, c, "o_custkey", "c_custkey", "orders->customer"))
+        .unionByName(orphans(c, n, "c_nationkey", "n_nationkey", "customer->nation"))
+    )

@@ -237,3 +237,45 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TFIDF_TOP)
         .select("doc_id", "token", "tf", "df", F.round(tfidf, 9).alias("tfidf"))
     )
+
+
+LEV_PREFIX = 24  # compare fixed-length prefixes: O(P^2) per pair, bounded
+
+
+@register(
+    "text_levenshtein_block_pairs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, source, substr(text, 1, {LEV_PREFIX}) AS prefix
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_distance
+    FROM d a
+    JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 8
+    """,
+    category="text",
+)
+def text_levenshtein_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: candidate pairs restricted to the same
+    (lang, source) block — an equi-join, so the quadratic levenshtein work
+    is per-block, never corpus-wide — and the edit distance runs on a
+    fixed-length prefix to bound per-pair cost. The FindMatches-style
+    fuzzy-dedup building block (SURVEY §2.10) without an ML model."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.substring("text", 1, LEV_PREFIX).alias("prefix")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source", F.col("prefix").alias("pa")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), "lang", "source", F.col("prefix").alias("pb")
+    )
+    dist = F.levenshtein(F.col("pa"), F.col("pb"))
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(dist <= 8)
+        .select("doc_a", "doc_b", dist.cast("int").alias("edit_distance"))
+    )
