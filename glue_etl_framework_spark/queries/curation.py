@@ -22,9 +22,9 @@ MIN_DIVERSITY = 0.3
 
 
 def _curation_sql() -> str:
-    sigs = ",\n             ".join(
-        f"min(md5('{i}:' || shingle)) AS s{i}" for i in range(N_MINHASH)
-    )
+    from glue_etl_framework_spark.queries.dedup import _minhash_sig_sql
+
+    sigs = ",\n             ".join(_minhash_sig_sql())
     bands = "\n        UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5(s{2*b} || s{2*b+1}) AS bh FROM sig"
         for b in range(N_MINHASH // BAND_SIZE)
@@ -122,12 +122,9 @@ def pipeline_training_data_curation(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .distinct()
     )
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"s{i}")
-            for i in range(N_MINHASH)
-        ]
-    )
+    from glue_etl_framework_spark.queries.dedup import _minhash_sig_cols
+
+    sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
     band_structs = F.array(
         *[
             F.struct(
