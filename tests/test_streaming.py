@@ -164,3 +164,62 @@ def test_stateful_running_totals_matches_batch(tmp_path, spark, events):
     assert got.count() == want.count()
     assert diff.count() == 0
 
+
+
+def test_stream_stream_interval_join(tmp_path, spark, events):
+    """Purchases join clicks of the same user within the prior 30 minutes;
+    the streaming result must equal the equivalent batch interval join."""
+    src = str(tmp_path / "ssj_src")
+    events.write.parquet(src)
+    purchases_s = (
+        ST.read_file_stream(spark, src, EVENTS_SCHEMA)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id"), F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"))
+    )
+    clicks_s = (
+        ST.read_file_stream(spark, src, EVENTS_SCHEMA)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id"), F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id"))
+    )
+    joined = ST.stream_stream_join(
+        purchases_s, clicks_s, "user_id", left_ts="p_ts", right_ts="c_ts"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("ssj").count()
+
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("c_ts")
+    )
+    want = p.join(
+        c,
+        (p.user_id == c.u2)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 30 minutes"))
+        & (c.c_ts <= p.p_ts),
+    ).count()
+    assert got == want > 0
+
+
+def test_streaming_upsert_sink(tmp_path, spark, events):
+    """foreachBatch upsert sink: latest value per user lands in the parquet
+    table with last-writer-wins key semantics."""
+    src = str(tmp_path / "ups_src")
+    out = str(tmp_path / "ups_out")
+    events.limit(200).write.parquet(src)
+    stream = ST.read_file_stream(spark, src, EVENTS_SCHEMA)
+    latest = stream.select("user_id", "event_id", "value")
+    q = ST.upsert_sink(latest, out, ["user_id"], str(tmp_path / "ups_ckpt"))
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == got.select("user_id").distinct().count()
+    assert got.count() == events.limit(200).select("user_id").distinct().count()
