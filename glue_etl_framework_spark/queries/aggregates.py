@@ -390,3 +390,29 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("bucket_value"),
     )
+
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(max_by(o_orderkey, o_totalprice) AS BIGINT) AS priciest_order,
+           CAST(min_by(o_orderkey, o_totalprice) AS BIGINT) AS cheapest_order,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    category="aggregate",
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin) aggregates — single-pass partial+final,
+    no window needed for 'row with the extreme value per group'.
+    Deterministic here because o_totalprice values are unique per status
+    group in the fixture; for tied keys prefer the window+row_number
+    formulation (topk_per_group) which has an explicit tie-break."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max("o_totalprice").alias("max_price"),
+    )
