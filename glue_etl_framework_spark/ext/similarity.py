@@ -182,3 +182,103 @@ def brp_lsh_similarity_join(
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------- IVF ----
+# Inverted-file ANN: the third scale path (coarse-quantize -> probe nearest
+# lists). queries/similarity.similarity_ann_ivf is the oracle-checked fixed
+# pipeline; these are the reusable library pieces.
+
+
+def _cos(qa, na, qb, nb):
+    dot = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Add ``sqnorm`` (squared L2 norm, double) for reuse across scoring."""
+    nq = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn("sqnorm", nq)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign every corpus vector to its ``n_probe`` nearest centroids by
+    cosine (ties to the lowest centroid id). ``centroids`` must have
+    (cid, cvec) and be small enough to broadcast — the IVF contract (K ~
+    sqrt(corpus) even at 100 TB broadcasts fine). Returns (id, cid, rank).
+    One broadcast join + one window; no shuffle of the vectors beyond the
+    window's key partitioning."""
+    c = with_norm(centroids.select("cid", F.col("cvec")), "cvec").withColumnRenamed(
+        "sqnorm", "c_sqnorm"
+    )
+    v = with_norm(corpus.select(id_col, vec_col), vec_col)
+    cos = _cos(F.col(vec_col), F.col("sqnorm"), F.col("cvec"), F.col("c_sqnorm"))
+    w = W.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        v.join(F.broadcast(c), how="cross")
+        .select(id_col, "cid", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_probe)
+        .select(id_col, "cid", "rank")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN search: corpus vectors live in their nearest-centroid list
+    (n_probe=1 assignment); each query scores only the lists of its
+    ``n_probe`` nearest centroids. Returns (query_id, neighbor_id, cosine)
+    with ``k`` rows per query. The only non-broadcast shuffle is the
+    per-list candidate join keyed on cid — pairs scored shrink by ~K/n_probe
+    vs brute force."""
+    corpus_lists = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).select(
+        F.col(id_col).alias("neighbor_id"), "cid"
+    )
+    probes = ivf_assign(queries, centroids, id_col, vec_col, n_probe=n_probe).select(
+        F.col(id_col).alias("query_id"), "cid"
+    )
+    qv = with_norm(queries.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("sqnorm").alias("q_sqnorm"),
+    )
+    nv = with_norm(corpus.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.col("sqnorm").alias("n_sqnorm"),
+    )
+    cos = _cos(F.col("q_vec"), F.col("q_sqnorm"), F.col("n_vec"), F.col("n_sqnorm"))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        F.broadcast(probes)
+        .join(corpus_lists, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -169,3 +169,32 @@ def test_frame_sampling(spark, docs):
     # frame indices are the sampled (even) positions
     idx = sorted(r.frame_index for r in frames.filter(F.col("doc_id") == got[0].doc_id).collect())
     assert all(i % 2 == 0 for i in idx)
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, embeddings):
+    from glue_etl_framework_spark.ext.similarity import brute_force_topk, ivf_topk
+
+    centroids = (
+        embeddings.filter(F.col("vec_id") % 25 == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    queries = embeddings.filter(F.col("vec_id") < 8)
+    approx = ivf_topk(queries, embeddings, centroids, k=5, n_probe=3)
+    exact = brute_force_topk(embeddings, queries, k=5)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert len(a) == 8 * 5
+    recall = len(a & e) / len(e)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+
+def test_ivf_assign_partitions_whole_corpus(spark, embeddings):
+    from glue_etl_framework_spark.ext.similarity import ivf_assign
+
+    centroids = (
+        embeddings.filter(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    assign = ivf_assign(embeddings, centroids, n_probe=1)
+    assert assign.count() == embeddings.count()
+    assert assign.select("vec_id").distinct().count() == embeddings.count()
