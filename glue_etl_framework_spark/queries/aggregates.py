@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from glue_etl_framework_spark.queries import register, t
 
@@ -416,3 +417,45 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+@register(
+    "agg_median_mode",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, round(median(l_quantity), 6) AS median_qty
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    cnt AS (
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ),
+    md AS (
+      SELECT l_returnflag, l_linestatus AS mode_status,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, l_linestatus) AS rn
+      FROM cnt
+    )
+    SELECT m.l_returnflag, m.median_qty, md.mode_status
+    FROM med m JOIN md ON md.l_returnflag = m.l_returnflag AND md.rn = 1
+    """,
+    category="aggregate",
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (interpolated percentile 0.5 — identical semantics in
+    Spark F.median and DuckDB median) plus a DETERMINISTIC mode: built-in
+    mode() leaves ties engine-defined, so the mode is computed as
+    count-desc/value-asc row_number over the (group, value) counts — two
+    shuffles, both on small post-aggregation data. Exact median at 100 TB
+    requires a full sort per group; swap in percentile_approx when a
+    bounded-error estimate is acceptable (agg_percentile)."""
+    li = t(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(F.round(F.median("l_quantity"), 6).alias("median_qty"))
+    cnt = li.groupBy("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+    w = W.partitionBy("l_returnflag").orderBy(F.col("n").desc(), F.col("l_linestatus"))
+    md = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_linestatus").alias("mode_status"))
+    )
+    return med.join(md, "l_returnflag").select("l_returnflag", "median_qty", "mode_status")

@@ -291,3 +291,40 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hamming <= 6)
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
     )
+
+
+@register(
+    "dedup_against_corpus",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT md5(text) AS content_hash
+      FROM documents WHERE source = 'src0'
+    ),
+    incoming AS (
+      SELECT doc_id, md5(text) AS content_hash
+      FROM documents WHERE source <> 'src0'
+    )
+    SELECT i.doc_id, i.content_hash
+    FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.content_hash = i.content_hash)
+    """,
+    category="dedup",
+)
+def dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: drop incoming documents whose content hash already
+    exists in a reference corpus (here: source='src0' plays the corpus,
+    the rest play the new batch). One left_anti equi-join on a 32-byte
+    hash — the shape of 'dedupe today's crawl against the training set'.
+    At 100 TB the corpus side is a hash-only projection (32 bytes/doc);
+    broadcast it when it fits, else it's a shuffle join on uniformly
+    distributed keys (no skew by construction)."""
+    d = t(spark, sf_dir, "documents")
+    corpus = (
+        d.filter(F.col("source") == "src0")
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+    )
+    incoming = d.filter(F.col("source") != "src0").select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    return incoming.join(corpus, "content_hash", "left_anti").select("doc_id", "content_hash")

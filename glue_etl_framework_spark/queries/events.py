@@ -292,3 +292,51 @@ def event_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("path").rlike("signup>(.*>)?purchase"), 1).otherwise(0).alias("converted_after_signup"),
         )
     )
+
+
+@register(
+    "events_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id, MIN(ts::DATE) AS d0, MAX(ts::DATE) AS d1
+      FROM events GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ),
+    counts AS (
+      SELECT user_id, ts::DATE AS day, COUNT(*) AS n
+      FROM events GROUP BY user_id, ts::DATE
+    )
+    SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM spine s
+    LEFT JOIN counts c ON c.user_id = s.user_id AND c.day = s.day
+    """,
+    category="events",
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill (date spine): per user, one row per day between
+    that user's first and last event, zero-filling days with no events —
+    the standard densify step before rolling features on sparse activity.
+    The spine is generated DISTRIBUTED (sequence+explode per key, never a
+    driver-side calendar loop); the left join is an equi-join on
+    (user_id, day) so AQE can pick broadcast when the counts side is
+    small. At 100 TB the spine size is keys x days — bounded and
+    predictable, independent of event volume."""
+    e = t(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("day"))
+    bounds = e.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    counts = e.groupBy("user_id", "day").agg(F.count("*").alias("n"))
+    return (
+        spine.join(counts, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
