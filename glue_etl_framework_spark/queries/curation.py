@@ -76,7 +76,9 @@ def _curation_sql() -> str:
 
 
 @register("pipeline_training_data_curation", oracle=_curation_sql(), category="curation")
-def pipeline_training_data_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_training_data_curation(
+    spark: SparkSession, sf_dir: str, persist_intermediate: bool = False
+) -> DataFrame:
     """The composite curation pass over documents:
 
     1. quality gate — token-count bounds + lexical diversity (pure scan-side
@@ -99,15 +101,24 @@ def pipeline_training_data_curation(spark: SparkSession, sf_dir: str) -> DataFra
     ).select("doc_id", "lang", "text", n_tokens.alias("n_tokens"))
 
     norm_hash = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
-    from pyspark.sql import Window as W
-
+    # min_by(struct, doc_id) keeps the lowest-id row per normalized hash with a
+    # partial+final hash aggregate — one shuffle, no per-partition sort (the
+    # row_number window formulation sorts every hash partition). doc_id is
+    # unique, so the winner is deterministic.
     exact = (
-        quality.withColumn(
-            "rn", F.row_number().over(W.partitionBy(norm_hash).orderBy("doc_id"))
-        )
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        quality.withColumn("nh", norm_hash)
+        .groupBy("nh")
+        .agg(F.min_by(F.struct("doc_id", "lang", "text", "n_tokens"), "doc_id").alias("r"))
+        .select("r.doc_id", "r.lang", "r.text", "r.n_tokens")
     )
+    # `exact` feeds BOTH the shingle/minhash branch and the final anti-join
+    # (a diamond — Spark recomputes it once per branch). Persisting it is a
+    # wash at sf0.1 (cache store ≈ recompute cost for this cheap scan) but
+    # wins when the upstream scan is expensive; opt in at scale.
+    if persist_intermediate:
+        from pyspark.storagelevel import StorageLevel
+
+        exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
 
     sh = (
         exact.filter(F.size(F.split("text", " ")) >= SHINGLE)
