@@ -227,11 +227,21 @@ def ivf_assign(
     )
     v = with_norm(corpus.select(id_col, vec_col), vec_col)
     cos = _cos(F.col(vec_col), F.col("sqnorm"), F.col("cvec"), F.col("c_sqnorm"))
+    scored = v.join(F.broadcast(c), how="cross").select(id_col, "cid", cos.alias("cos"))
+    if n_probe == 1:
+        # Fast path for the bulk corpus assignment: max_by over (cos, -cid)
+        # partially aggregates map-side, so the shuffle carries one row per
+        # vector instead of all n x K scored rows (the window formulation
+        # shuffles + sorts everything). Same winner: cos desc, ties to
+        # lowest cid.
+        return (
+            scored.groupBy(id_col)
+            .agg(F.max_by("cid", F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))).alias("cid"))
+            .select(id_col, "cid", F.lit(1).alias("rank"))
+        )
     w = W.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("cid"))
     return (
-        v.join(F.broadcast(c), how="cross")
-        .select(id_col, "cid", cos.alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= n_probe)
         .select(id_col, "cid", "rank")
     )

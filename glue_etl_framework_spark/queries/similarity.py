@@ -214,10 +214,12 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rn_w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
     scored = v.join(cent, how="cross").select("vec_id", "cid", cos_to_cent.alias("cos"))
-    assign = (
-        scored.withColumn("rn", F.row_number().over(rn_w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
+    # Nearest centroid via max_by over (cos, -cid): a partial+final hash
+    # aggregate that combines map-side, so only ONE row per vector reaches
+    # the shuffle — the row_number window formulation shuffles and sorts all
+    # n x K scored rows. Same winner (cos desc, ties to lowest cid).
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))).alias("cid")
     )
     probes = (
         scored.filter(F.col("vec_id") < N_QUERIES)
