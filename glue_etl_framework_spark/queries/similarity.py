@@ -443,13 +443,13 @@ def similarity_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         cos = _dot(F.col("q"), F.col("cq")) / (
             F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("cnq").cast("double"))
         )
-        w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
+        # max_by over (cos, -cid): partial+final hash aggregate, one row per
+        # vector at the shuffle (vs sorting all n x K rows under a window).
         return (
             v.join(F.broadcast(centroids), how="cross")
             .select("vec_id", "cid", cos.alias("cos"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid")
+            .groupBy("vec_id")
+            .agg(F.max_by("cid", F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))).alias("cid"))
         )
 
     c0 = v.filter(F.col("vec_id") % N_CENTROIDS_MOD == 0).select(
