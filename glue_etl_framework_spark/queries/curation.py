@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from glue_etl_framework_spark.queries import register, t
 from glue_etl_framework_spark.queries.dedup import BAND_SIZE, N_MINHASH, SHINGLE
@@ -167,4 +168,101 @@ def pipeline_training_data_curation(
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.md5("text").alias("content_hash"),
         )
+    )
+
+
+# Per-language keep fractions for deterministic stratified sampling: the
+# md5(doc_id) hex prefix is a uniform 24-bit integer; keep iff it falls
+# under fraction * 2^24. Portable to any engine with md5.
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 0.25}
+_HASH_SPACE = 1 << 24
+
+
+def _stratified_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {int(frac * _HASH_SPACE)}"
+        for lang, frac in sorted(SAMPLE_FRACTIONS.items())
+    )
+    return f"""
+    SELECT doc_id, lang,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS bucket
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+          < (CASE {cases} ELSE 0 END)
+    """
+
+
+@register("sample_stratified_language", oracle=_stratified_sql(), category="curation")
+def sample_stratified_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep fractions
+    applied via a hash threshold on md5(doc_id) — the language-rebalancing
+    step of corpus curation (downsample dominant languages, keep the rest).
+    Unlike rand()-based sampleBy this is REPRODUCIBLE across runs, engines,
+    and partitionings (no seed plumbing), idempotent under re-runs, and a
+    pure narrow scan-side filter — zero shuffles at any scale."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast("long")
+    threshold = None
+    for lang, frac in sorted(SAMPLE_FRACTIONS.items()):
+        clause = (F.col("lang") == lang, F.lit(int(frac * _HASH_SPACE)))
+        threshold = F.when(*clause) if threshold is None else threshold.when(*clause)
+    threshold = threshold.otherwise(F.lit(0))
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < threshold)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+PACK_BUDGET = 512   # tokens per packed sequence (context-window bin)
+PACK_SHARDS = 64    # independent packing shards (parallelism unit)
+
+
+@register(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % {PACK_SHARDS} AS shard
+      FROM documents
+      WHERE length(string_split(text, ' ')) <= {PACK_BUDGET}
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens, shard,
+             CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING) - 1)
+                        / {PACK_BUDGET}) AS BIGINT) AS bin_in_shard
+      FROM sized
+    )
+    SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard,
+           CAST(shard * 1000000 + bin_in_shard AS BIGINT) AS bin_id
+    FROM packed
+    """,
+    category="curation",
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: assign each document to a
+    context-window bin of ~PACK_BUDGET tokens. Documents are hash-sharded
+    (md5 — deterministic, uniform), then packed within each shard by a
+    running token sum; bin = floor((cumsum-1)/budget). Bins can overflow
+    the budget by at most one document (first-fit-streaming semantics) —
+    the standard approximation that makes packing EMBARRASSINGLY PARALLEL:
+    exact global first-fit-decreasing is inherently sequential, while this
+    is one window over shard partitions (single shuffle on shard id, each
+    shard an independent sort — scales by adding shards)."""
+    d = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    shard = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") % PACK_SHARDS
+    sized = (
+        d.select("doc_id", n_tokens.alias("n_tokens"), shard.alias("shard"))
+        .filter(F.col("n_tokens") <= PACK_BUDGET)
+    )
+    w = W.partitionBy("shard").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    bin_in_shard = F.floor((F.sum("n_tokens").over(w) - 1) / PACK_BUDGET)
+    return sized.select(
+        "doc_id",
+        "n_tokens",
+        F.col("shard").cast("long").alias("shard"),
+        (F.col("shard") * 1000000 + bin_in_shard).cast("long").alias("bin_id"),
     )

@@ -340,3 +340,67 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
         )
     )
+
+
+SESSION_GAP_MIN = 30  # minutes of inactivity that closes a session
+
+
+@register(
+    "events_sessionize_gap",
+    oracle=f"""
+    WITH us AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS tus FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, value, tus,
+             CASE WHEN tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+                       > {SESSION_GAP_MIN} * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM us
+    ),
+    numbered AS (
+      SELECT user_id, value, tus,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           CAST((MAX(tus) - MIN(tus)) // 1000000 AS BIGINT) AS duration_s
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    category="events",
+)
+def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization the MANUAL way (lag + running sum of
+    session-break flags), complementing the built-in F.session_window
+    (session_window_agg): this formulation also yields a stable per-user
+    session NUMBER and works when session identity must join back to other
+    tables. Both windows share ONE shuffle (same partition key user_id,
+    same ordering — Catalyst plans a single Exchange + sort). All time
+    arithmetic is integer MICROSECONDS (unix_micros both engines) so gap
+    comparison and duration are exact; value sums use integer cents. At
+    100 TB per-user partitions are small; skewed power-users are the known
+    hazard (salt or pre-split by day if one user exceeds a partition)."""
+    e = t(spark, sf_dir, "events")
+    us = e.select("user_id", "event_id", "value", F.unix_micros("ts").alias("tus"))
+    w_ord = W.partitionBy("user_id").orderBy("tus", "event_id")
+    gap_us = F.col("tus") - F.lag("tus").over(w_ord)
+    marked = us.select(
+        "user_id", "event_id", "value", "tus",
+        F.when(gap_us > SESSION_GAP_MIN * 60 * 1_000_000, 1).otherwise(0).alias("new_session"),
+    )
+    numbered = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        numbered.groupBy("user_id", F.col("session_no").cast("long").alias("session_no"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+            ((F.max("tus") - F.min("tus")) / 1_000_000).cast("long").alias("duration_s"),
+        )
+    )
