@@ -404,3 +404,49 @@ def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.max("tus") - F.min("tus")) / 1_000_000).cast("long").alias("duration_s"),
         )
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(ts::DATE) AS first_day FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             date_diff('day', f.first_day, e.ts::DATE) // 7 AS week_offset,
+             f.first_day - (((date_part('dow', f.first_day)::INTEGER + 6) % 7)::INTEGER) AS cohort_week
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+    category="events",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by the Monday-aligned week of their
+    first event; n_active_users counts distinct users from each cohort seen
+    again k weeks after their own first day. Three shuffles, all on
+    user-sized keys (first-day agg, user-level distinct, final small agg) —
+    the fact table is touched twice but never self-joined row-to-row. The
+    user_id-keyed join broadcasts when the user dimension fits."""
+    e = t(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("day"))
+    firsts = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    # Monday alignment: Spark dayofweek is 1=Sunday..7=Saturday; shift back
+    # (dayofweek+5) % 7 days to reach the preceding Monday.
+    cohort_week = F.date_sub(F.col("first_day"), (F.dayofweek("first_day") + 5) % 7)
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.floor(F.datediff(F.col("day"), F.col("first_day")) / 7).alias("week_offset"),
+            F.date_format(cohort_week, "yyyy-MM-dd").alias("cohort_week"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active_users")
+    )

@@ -279,3 +279,53 @@ def text_levenshtein_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 8)
         .select("doc_a", "doc_b", dist.cast("int").alias("edit_distance"))
     )
+
+
+LM_SCALE = 1_000_000  # fixed-point scale for log-prob sums (exact integer agg)
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    freq AS (
+      SELECT token, COUNT(*) AS tf FROM toks GROUP BY token
+    ),
+    total AS (SELECT SUM(tf) AS n FROM freq),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(round(ln(CAST(f.tf AS DOUBLE) / total.n) * {LM_SCALE}) AS BIGINT) AS lp
+      FROM toks t JOIN freq f ON t.token = f.token CROSS JOIN total
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(lp) AS BIGINT) AS logprob_fp,
+           CAST(SUM(lp) // COUNT(*) AS BIGINT) AS per_token_fp
+    FROM scored
+    GROUP BY doc_id
+    """,
+    category="text",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical quality score: per-document unigram log-likelihood under
+    the corpus's own unigram distribution (low per-token log-prob = rare-
+    token soup = likely junk; the statistical complement of the heuristic
+    text_quality_score). The frequency table is corpus-wide but VOCABULARY-
+    sized, so the token->frequency join broadcasts at any corpus scale;
+    log-probs are summed as fixed-point integers (round(ln(p)*1e6)) so the
+    aggregate is order-independent and hash-matches the oracle exactly."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    freq = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    total = freq.agg(F.sum("tf").alias("n"))
+    lp = F.round(F.log(F.col("tf").cast("double") / F.col("n")) * LM_SCALE).cast("long")
+    scored = toks.join(F.broadcast(freq), "token").crossJoin(F.broadcast(total)).select(
+        "doc_id", lp.alias("lp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("lp").alias("logprob_fp"),
+        (F.sum("lp") / F.count("*")).cast("long").alias("per_token_fp"),
+    )
