@@ -86,3 +86,36 @@ def test_candidate_generation_never_cross_product(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_assignment_has_no_window_sort(spark):
+    """The nearest-centroid step must stay a hash aggregate (max_by) —
+    a Window operator here means every n x K scored row gets shuffled."""
+    plan = plan_of(spark, "similarity_ann_ivf")
+    # Exactly two real Window operators remain: the n_probe=2 probe ranking
+    # (tiny query side) and the final top-k. The full-corpus assignment must
+    # be a max_by aggregate with a map-side partial, not a third window.
+    windows = sum(1 for ln in plan.splitlines() if "+- Window [" in ln or ln.startswith("Window ["))
+    assert windows <= 2, plan[:2000]
+    assert "partial_max_by" in plan, "assignment lost its map-side partial aggregation"
+
+
+def test_sessionize_single_exchange_for_both_windows(spark):
+    """lag and the running session counter share partitioning AND ordering,
+    so Catalyst must plan exactly one hashpartitioning exchange for them
+    (plus the final aggregation exchange)."""
+    plan = plan_of(spark, "events_sessionize_gap")
+    assert count_shuffles(plan) <= 2, plan[:2000]
+
+
+def test_stratified_sample_is_narrow(spark):
+    """Deterministic stratified sampling is a pure filter: zero exchanges."""
+    plan = plan_of(spark, "sample_stratified_language")
+    assert count_shuffles(plan) == 0, plan[:2000]
+
+
+def test_unigram_logprob_broadcasts_frequency_table(spark):
+    """The token->frequency join must be broadcast (vocabulary-sized side),
+    never a shuffle join keyed on token strings."""
+    plan = plan_of(spark, "text_unigram_logprob")
+    assert "BroadcastHashJoin" in plan
