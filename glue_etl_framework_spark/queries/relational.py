@@ -574,3 +574,52 @@ def quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(orphans(o, c, "o_custkey", "c_custkey", "orders->customer"))
         .unionByName(orphans(c, n, "c_nationkey", "n_nationkey", "customer->nation"))
     )
+
+
+JOIN_SALT = 8  # salt buckets for the skewed-key join
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    category="join",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manual salted-join skew pattern: the probe side scatters each key
+    across JOIN_SALT sub-keys (deterministic md5-derived salt), the build
+    side replicates every row to ALL salts (explode of a literal sequence),
+    and the join runs on (key, salt) — a hot key's rows now land on
+    JOIN_SALT different reducers instead of one. The JOIN RESULT is
+    salt-invariant, so the oracle is the plain join. This is the explicit
+    fallback for when AQE's skewedJoin split (our default answer, §4) can't
+    engage — e.g. a key so hot one partition still exceeds memory after AQE
+    splitting, or bucketed inputs where AQE won't re-split. Cost: build side
+    is shuffled JOIN_SALT times larger — only worth it under real skew."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    salt = (
+        F.conv(F.substring(F.md5(F.col("l_linenumber").cast("string")), 1, 4), 16, 10)
+        .cast("long") % JOIN_SALT
+    )
+    big = li.select("l_orderkey", "l_quantity", salt.alias("salt"))
+    small = o.select(
+        "o_orderkey", "o_orderpriority",
+        F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALT - 1)).cast("array<long>")).alias("salt"),
+    )
+    # shuffle_hash hint: at fixture scale Catalyst would broadcast the small
+    # side (defeating the demonstration); under real skew the build side is
+    # far over the broadcast threshold and this is the join you'd get anyway.
+    joined = big.join(
+        small.hint("shuffle_hash"),
+        (big.l_orderkey == small.o_orderkey) & (big.salt == small.salt),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )

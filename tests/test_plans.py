@@ -119,3 +119,11 @@ def test_unigram_logprob_broadcasts_frequency_table(spark):
     never a shuffle join keyed on token strings."""
     plan = plan_of(spark, "text_unigram_logprob")
     assert "BroadcastHashJoin" in plan
+
+
+def test_salted_join_shuffles_on_key_and_salt(spark):
+    """The salted join must actually partition on (key, salt) — that's the
+    mechanism that spreads a hot key across reducers."""
+    plan = plan_of(spark, "join_salted_skew")
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan[:1500]
+    assert "salt" in plan, "salt column missing from the join plan"
