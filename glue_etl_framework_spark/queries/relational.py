@@ -623,3 +623,56 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
     )
+
+
+RANGE_HALF_WIDTH = 500   # the +-500 acctbal window
+RANGE_BIN = 1000         # bin width >= 2*half-width -> each probe spans <= 2 bins
+
+
+@register(
+    "join_range_binned",
+    oracle="""
+    SELECT s.s_suppkey, CAST(COUNT(c.c_custkey) AS BIGINT) AS n_close
+    FROM supplier s
+    LEFT JOIN customer c
+      ON c.c_acctbal BETWEEN s.s_acctbal - 500 AND s.s_acctbal + 500
+    GROUP BY s.s_suppkey
+    """,
+    category="join",
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LARGE-LARGE range-join pattern (SURVEY §7.3): identical semantics
+    to join_range_theta but restructured so no side needs to broadcast.
+    Each build row lands in ONE bin (floor(val/binwidth)); each probe row
+    explodes to the <= 2 bins its +-window can overlap (bin >= 2*halfwidth
+    guarantees the cap); the join is then a plain EQUI-join on bin plus the
+    residual BETWEEN filter — shuffle-partitionable on bin, linear in input,
+    never a nested loop. A matched pair meets in exactly one bin (the build
+    row's), so no dedup is needed; unmatched probes are restored by a final
+    left join against the aggregated counts. Bin-width tuning is the usual
+    trade: wider bins = fewer probe duplicates but more residual-filter
+    work per bucket."""
+    s, c = t(spark, sf_dir, "supplier"), t(spark, sf_dir, "customer")
+    lo = F.floor((F.col("s_acctbal") - RANGE_HALF_WIDTH) / RANGE_BIN)
+    hi = F.floor((F.col("s_acctbal") + RANGE_HALF_WIDTH) / RANGE_BIN)
+    probes = s.select(
+        "s_suppkey", "s_acctbal", F.explode(F.sequence(lo, hi)).alias("bin")
+    )
+    build = c.select(
+        "c_custkey", "c_acctbal", F.floor(F.col("c_acctbal") / RANGE_BIN).alias("bin")
+    )
+    matches = (
+        probes.join(build, "bin")
+        .filter(
+            F.col("c_acctbal").between(
+                F.col("s_acctbal") - RANGE_HALF_WIDTH, F.col("s_acctbal") + RANGE_HALF_WIDTH
+            )
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count("c_custkey").alias("n"))
+    )
+    return (
+        s.select("s_suppkey")
+        .join(matches, "s_suppkey", "left")
+        .select("s_suppkey", F.coalesce("n", F.lit(0)).alias("n_close"))
+    )

@@ -127,3 +127,11 @@ def test_salted_join_shuffles_on_key_and_salt(spark):
     plan = plan_of(spark, "join_salted_skew")
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan[:1500]
     assert "salt" in plan, "salt column missing from the join plan"
+
+
+def test_binned_range_join_is_equi_join(spark):
+    """The large-large range-join pattern must plan as a keyed join on bin —
+    no nested loop, no cartesian product anywhere."""
+    plan = plan_of(spark, "join_range_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
