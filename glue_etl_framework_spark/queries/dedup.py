@@ -328,3 +328,67 @@ def dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5("text").alias("content_hash")
     )
     return incoming.join(corpus, "content_hash", "left_anti").select("doc_id", "content_hash")
+
+
+@register(
+    "dedup_minhash_verified",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sig AS (
+      SELECT doc_id,
+           {",".join(_minhash_sig_sql())}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, md5(s{2*b} || s{2*b+1}) AS bh FROM sig" for b in range(N_MINHASH // BAND_SIZE))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5
+    """,
+    category="dedup",
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup shape: LSH banding proposes candidate pairs
+    (cheap, some false positives), then EXACT Jaccard is computed for
+    candidates only — never for all pairs. Verification joins the shingle
+    sets of candidate pairs through a semi-join-shaped equi-join on
+    (doc_id, shingle); cost is O(candidates x shingles-per-doc), decoupled
+    from corpus size. Combines dedup_minhash_lsh (recall-bounded candidates)
+    with dedup_ngram_jaccard's exact measure (precision) — the output has
+    NO false positives and exactly the LSH candidate recall."""
+    cand = dedup_minhash_lsh(spark, sf_dir)
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("b_id")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -450,3 +450,69 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count("*").alias("n_active_users")
     )
+
+
+ZSCORE_FP = 1_000_000  # fixed-point scale for the z-score (exact compare)
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day, COUNT(*) AS n
+      FROM events GROUP BY event_type, ts::DATE
+    ),
+    stats AS (
+      SELECT event_type, day, n,
+             SUM(n) OVER w AS s1, SUM(n * n) OVER w AS s2, COUNT(*) OVER w AS cnt
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
+           CAST(round(
+             (n - CAST(s1 AS DOUBLE) / cnt)
+             / sqrt(CAST(s2 AS DOUBLE) / cnt - (CAST(s1 AS DOUBLE) / cnt) * (CAST(s1 AS DOUBLE) / cnt))
+             * {ZSCORE_FP}) AS BIGINT) AS zscore_fp
+    FROM stats
+    WHERE cnt >= 3
+      AND CAST(s2 AS DOUBLE) / cnt - (CAST(s1 AS DOUBLE) / cnt) * (CAST(s1 AS DOUBLE) / cnt) > 0
+    """,
+    category="events",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly detection on daily event volumes: each
+    (event_type, day) count is scored against the mean/std of its own
+    trailing 7 days (exclusive — ROWS 7 PRECEDING TO 1 PRECEDING, so the
+    current day never contaminates its baseline). Mean and variance come
+    from integer SUM/SUM-of-squares window aggregates — exact in any
+    order — and the z-score is emitted as a fixed-point integer so both
+    engines agree bit-for-bit. One shuffle: daily rollup and the trailing
+    window share the event_type partitioning. The daily rollup shrinks the
+    fact table to (types x days) rows first, so the window input is tiny
+    at any event volume."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    stats = daily.select(
+        "event_type", "day", "n",
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+        F.count("*").over(w).alias("cnt"),
+    )
+    mean = F.col("s1").cast("double") / F.col("cnt")
+    var = F.col("s2").cast("double") / F.col("cnt") - mean * mean
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        stats.filter((F.col("cnt") >= 3) & (var > 0))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("long").alias("n"),
+            F.round(z * ZSCORE_FP).cast("long").alias("zscore_fp"),
+        )
+    )
