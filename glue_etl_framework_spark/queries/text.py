@@ -329,3 +329,47 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lp").alias("logprob_fp"),
         (F.sum("lp") / F.count("*")).cast("long").alias("per_token_fp"),
     )
+
+
+@register(
+    "text_token_entropy",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY doc_id, token
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(c * log2(CAST(c AS DOUBLE)) * {LM_SCALE}) AS BIGINT)) AS BIGINT) AS s_fp
+      FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_tokens,
+           CAST(round(log2(CAST(n AS DOUBLE)) * {LM_SCALE} - CAST(s_fp AS DOUBLE) / n) AS BIGINT)
+             AS entropy_fp
+    FROM agg
+    """,
+    category="text",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution (fixed-point
+    bits): H = log2(N) - sum(c*log2(c))/N. Low entropy = repetitive
+    boilerplate, high = diverse text — a quality gate orthogonal to the
+    unigram log-prob (which scores against the CORPUS; entropy scores the
+    doc against ITSELF, so it needs no global state at all). Per-term
+    contributions are rounded to fixed-point integers before summing, so
+    aggregation order can't change the result; two shuffles on doc-sized
+    keys ((doc,token) count, then per-doc sum)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    term_fp = F.round(F.col("c") * F.log2(F.col("c").cast("double")) * LM_SCALE).cast("long")
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.sum(term_fp).alias("s_fp")
+    )
+    entropy_fp = F.round(
+        F.log2(F.col("n").cast("double")) * LM_SCALE - F.col("s_fp").cast("double") / F.col("n")
+    ).cast("long")
+    return agg.select("doc_id", F.col("n").alias("n_tokens"), entropy_fp.alias("entropy_fp"))
