@@ -114,3 +114,57 @@ def multimodal_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(chunk).alias("chunk_md5"),
         )
     )
+
+
+FRAME_STRIDE = 4      # keep every 4th chunk ("frame")
+FRAME_MAX_PER_DOC = 8  # cap sampled frames per blob
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(length(text) / {CHUNK_CHARS}.0) AS BIGINT))) AS chunk_idx
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT) AS frame_idx,
+           CAST(chunk_idx // {FRAME_STRIDE} AS INT) AS sample_no,
+           md5(substr(text, CAST(chunk_idx * {CHUNK_CHARS} + 1 AS INT), {CHUNK_CHARS})) AS frame_md5
+    FROM c
+    WHERE chunk_idx % {FRAME_STRIDE} = 0
+      AND chunk_idx // {FRAME_STRIDE} < {FRAME_MAX_PER_DOC}
+    """,
+    category="multimodal",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided frame sampling over the chunk manifest: keep every Nth chunk
+    up to a per-blob cap — the video-keyframe / audio-snippet selection
+    step that feeds a Pandas-UDF decoder (ext.multimodal.sample_frames has
+    the mapInPandas plumbing; here the SELECTION itself is a pure narrow
+    plan). The stride predicate applies during the explode, so skipped
+    frames are never materialized, and the cap bounds per-task output no
+    matter how large one blob is."""
+    d = t(spark, sf_dir, "documents")
+    n_chunks = F.ceil(F.length("text") / F.lit(float(CHUNK_CHARS))).cast("long")
+    frame = F.encode(
+        F.expr(f"substring(text, frame_idx * {CHUNK_CHARS} + 1, {CHUNK_CHARS})"), "UTF-8"
+    )
+    return (
+        d.filter(F.length("text") > 0)
+        .select(
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("frame_idx"),
+        )
+        .filter(
+            (F.col("frame_idx") % FRAME_STRIDE == 0)
+            & (F.floor(F.col("frame_idx") / FRAME_STRIDE) < FRAME_MAX_PER_DOC)
+        )
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            F.floor(F.col("frame_idx") / FRAME_STRIDE).cast("int").alias("sample_no"),
+            F.md5(frame).alias("frame_md5"),
+        )
+    )
