@@ -65,3 +65,21 @@ def upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Enrich a stream with a STATIC dimension table — the most common
+    production streaming join. No watermark is needed (static side holds no
+    streaming state); the dimension is re-read per micro-batch, so an
+    updated dim parquet is picked up on the next trigger. Broadcast by
+    default: a dimension that fits in memory never shuffles the stream.
+    For a dimension too large to broadcast, pass broadcast_dim=False and
+    pre-bucket both sides on the key."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, key, how)

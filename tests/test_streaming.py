@@ -223,3 +223,30 @@ def test_streaming_upsert_sink(tmp_path, spark, events):
     got = spark.read.parquet(out)
     assert got.count() == got.select("user_id").distinct().count()
     assert got.count() == events.limit(200).select("user_id").distinct().count()
+
+
+def test_stream_static_enrich_matches_batch(tmp_path, spark, events):
+    from glue_etl_framework_spark.streaming.ingest import read_file_stream
+    from glue_etl_framework_spark.streaming.joins import stream_static_enrich
+
+    src = tmp_path / "src"
+    events.write.parquet(str(src))
+    dim = spark.createDataFrame(
+        [(t,) for t in ["click", "view", "purchase"]], "event_type string"
+    ).withColumn("category", F.upper("event_type"))
+
+    stream = read_file_stream(spark, str(src), schema=events.schema)
+    enriched = stream_static_enrich(stream, dim, "event_type", how="inner")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("enrich_out")
+    expect = events.join(F.broadcast(dim), "event_type", "inner")
+    assert got.count() == expect.count()
+    # spot-check the enrichment column actually joined
+    assert got.filter(F.col("category") != F.upper("event_type")).count() == 0
