@@ -65,25 +65,26 @@ def minhash_candidate_pairs(
     )
 
 
-def dedup_keep_representative(
-    df: DataFrame,
+def connected_component_labels(
+    nodes: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 10,
 ) -> DataFrame:
-    """Drop near-duplicates, keeping one representative (min id) per
-    connected component of the pair graph. Min-id label propagation:
-    each round joins current labels across edges and takes the min —
-    converges in O(component diameter) rounds; every round is two
-    shuffles, nothing on the driver. Duplicate clusters from pairwise
-    similarity are near-cliques, so few rounds suffice in practice."""
+    """(node, label) per input node: label = min id in the node's connected
+    component of the pair graph. Min-id label propagation: each round joins
+    current labels across edges and takes the min — converges in
+    O(component diameter) rounds; every round is two shuffles, nothing on
+    the driver, with localCheckpoint truncating lineage so the plan stays
+    flat over many rounds. Duplicate clusters from pairwise similarity are
+    near-cliques, so few rounds suffice in practice."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
     )
     labels = (
-        df.select(F.col(id_col).alias("node"))
+        nodes.select(F.col(id_col).alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
@@ -110,5 +111,18 @@ def dedup_keep_representative(
         labels = new_labels.localCheckpoint(eager=True)  # truncate lineage each round
         if changed == 0:
             break
+    return labels
+
+
+def dedup_keep_representative(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Drop near-duplicates, keeping one representative (min id) per
+    connected component of the pair graph (see
+    connected_component_labels)."""
+    labels = connected_component_labels(df, pairs, id_col, max_iterations)
     keep = labels.filter(F.col("node") == F.col("label")).select(F.col("node").alias(id_col))
     return df.join(keep, id_col, "left_semi")

@@ -392,3 +392,51 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def _components_sql() -> str:
+    band_query = _minhash_band_sql().strip()
+    # embed the banding CTEs inside one WITH RECURSIVE (DuckDB allows mixing
+    # recursive and plain CTEs under a single RECURSIVE keyword)
+    inner = band_query[len("WITH "):]  # strip the leading WITH
+    cte_part, select_part = inner.rsplit(")\n    SELECT DISTINCT", 1)
+    return f"""
+    WITH RECURSIVE {cte_part}),
+    pairs AS (
+      SELECT DISTINCT{select_part}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT e.dst AS node, r.label
+      FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """
+
+
+@register("dedup_connected_components", oracle=_components_sql(), category="dedup")
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash candidate-pair graph — the
+    cluster step of near-dup dedup, ORACLE-CHECKED (rare for an iterative
+    distributed algorithm; the DuckDB side is a recursive-CTE transitive
+    closure, the Spark side min-id label propagation from ext.dedup:
+    O(component diameter) rounds of two shuffles each, lineage truncated
+    per round via localCheckpoint, nothing driver-side). component = the
+    smallest doc_id reachable through shared LSH bands; singleton docs are
+    their own component. Near-dup clusters are near-cliques, so the loop
+    converges in 2-3 rounds regardless of corpus size."""
+    from glue_etl_framework_spark.ext.dedup import connected_component_labels
+
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    labels = connected_component_labels(d.select("doc_id"), pairs, id_col="doc_id")
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
