@@ -121,17 +121,12 @@ def pipeline_training_data_curation(
 
         exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
 
+    # one-pass regex shingling — see queries.dedup.SHINGLE_REGEX for the
+    # equivalence argument and its word-character assumption
+    from glue_etl_framework_spark.queries.dedup import SHINGLE_REGEX
+
     sh = (
-        exact.filter(F.size(F.split("text", " ")) >= SHINGLE)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(F.split("text", " ")) - (SHINGLE - 1)),
-                    lambda i: F.array_join(F.slice(F.split(F.col("text"), " "), i, SHINGLE), " "),
-                )
-            ).alias("shingle"),
-        )
+        exact.select("doc_id", F.explode(F.expr(SHINGLE_REGEX)).alias("shingle"))
         .distinct()
     )
     from glue_etl_framework_spark.queries.dedup import _minhash_sig_cols
