@@ -218,21 +218,22 @@ TFIDF_TOP = 3
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction: top-3 terms per document. All counts are
     exact integers; the only float op (tf * ln(N/df)) happens once per
-    (doc, token) in both engines, so values hash-match. Shape at scale:
-    tf is one shuffle on (doc, token); df is one shuffle on token; the df
-    side joins back as a broadcast when |vocab| is small, else a keyed
-    shuffle join; the scalar N rides along as a 1-row broadcast (never a
-    driver collect)."""
+    (doc, token) in both engines, so values hash-match. df comes from a
+    count(*) window over token ON the tf relation — tf is computed ONCE
+    (the aggregate-then-join formulation recomputes the whole token
+    pipeline for the df branch and needs a vocabulary-sized broadcast,
+    which a web-scale vocabulary breaks). Shuffles: tokens once into tf,
+    tf once for the token window, tf once for the per-doc top-k; the
+    scalar N rides along as a 1-row broadcast (never a driver collect)."""
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
+    with_df = tf.withColumn("df", F.count("*").over(W.partitionBy("token")))
     tfidf = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
     w = W.partitionBy("doc_id").orderBy(tfidf.desc(), "token")
     return (
-        tf.join(dfreq, "token")
-        .crossJoin(F.broadcast(n))
+        with_df.crossJoin(F.broadcast(n))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TFIDF_TOP)
         .select("doc_id", "token", "tf", "df", F.round(tfidf, 9).alias("tfidf"))
