@@ -198,3 +198,56 @@ def test_ivf_assign_partitions_whole_corpus(spark, embeddings):
     assign = ivf_assign(embeddings, centroids, n_probe=1)
     assert assign.count() == embeddings.count()
     assert assign.select("vec_id").distinct().count() == embeddings.count()
+
+
+def test_pack_sequences_bin_budget_invariant(spark):
+    """Every packed bin holds <= budget tokens plus at most ONE overflowing
+    document (first-fit-streaming semantics), and no document is lost."""
+    from glue_etl_framework_spark.queries.curation import PACK_BUDGET, text_pack_sequences
+    from tests.conftest import SF_ORACLE
+
+    rows = text_pack_sequences(spark, SF_ORACLE).collect()
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault(r["bin_id"], []).append(r["n_tokens"])
+    assert rows, "packing produced no assignments"
+    for bin_id, sizes in by_bin.items():
+        total = sum(sizes)
+        # overflow bounded by one doc: total - largest doc must fit in budget
+        assert total - max(sizes) < PACK_BUDGET, (bin_id, total, sizes)
+    # every document <= budget got packed exactly once
+    docs = [r["doc_id"] for r in rows]
+    assert len(docs) == len(set(docs))
+
+
+def test_sessionize_gap_invariants(spark):
+    """Within a session no consecutive gap exceeds the threshold; the next
+    session of the same user starts more than the threshold later."""
+    from pyspark.sql import functions as F
+
+    from glue_etl_framework_spark.queries.events import SESSION_GAP_MIN, events_sessionize_gap
+    from glue_etl_framework_spark.queries import t as load_t
+    from tests.conftest import SF_ORACLE
+
+    sessions = events_sessionize_gap(spark, SF_ORACLE)
+    e = load_t(spark, SF_ORACLE, "events").select(
+        "user_id", F.unix_micros("ts").alias("tus")
+    )
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+
+    # reconstruct per-event session assignment the same way and check gaps
+    rows = e.orderBy("user_id", "tus").collect()
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r["user_id"]].append(r["tus"])
+    expect_sessions = 0
+    for times in per_user.values():
+        expect_sessions += 1 + sum(
+            1 for a, b in zip(times, times[1:]) if b - a > gap_us
+        )
+    assert sessions.count() == expect_sessions
+    # durations must never exceed what the event span allows
+    bad = sessions.filter(F.col("duration_s") < 0).count()
+    assert bad == 0
