@@ -261,3 +261,47 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard").cast("long").alias("shard"),
         (F.col("shard") * 1000000 + bin_in_shard).cast("long").alias("bin_id"),
     )
+
+
+PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _profile_sql() -> str:
+    parts = [
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM documents"""
+        for c in PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register("quality_profile_columns", oracle=_profile_sql(), category="quality")
+def quality_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling report (the Glue Data Quality shape): per column,
+    null count, distinct count, min and max — the standard pre-ingest audit
+    before a table enters a training pipeline. One aggregation pass PER
+    COLUMN unioned long-format; each is a partial+final aggregate, and
+    Catalyst collapses the shared scan. The count(distinct) per column is
+    the expensive part at scale — swap to approx_count_distinct when an
+    estimate suffices (agg_approx_count_distinct shows the parity caveat).
+    Min/max stringified so heterogeneous column types share one schema."""
+    d = t(spark, sf_dir, "documents")
+    parts = [
+        d.agg(
+            F.lit(c).alias("column_name"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c).cast("string").alias("min_value"),
+            F.max(c).cast("string").alias("max_value"),
+        )
+        for c in PROFILE_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
