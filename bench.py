@@ -24,7 +24,7 @@ from glue_etl_framework_spark import get_spark
 from glue_etl_framework_spark.queries import load_registry
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+N_RUNS = int(os.environ.get("BENCH_RUNS", "5"))  # median of 5: box noise is ±15%
 
 # Headline queries: one per major operator family, weighted toward the
 # shapes that dominate real pipelines (join+agg, window, dedup, similarity).
