@@ -459,3 +459,30 @@ def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", F.col("l_linestatus").alias("mode_status"))
     )
     return med.join(md, "l_returnflag").select("l_returnflag", "median_qty", "mode_status")
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             / CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) / 100.0 AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="aggregate",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price: both the weight sum and the weighted
+    value sum are exact integers (quantities are integral, prices rounded
+    to cents per row), so the aggregate is order-independent and the single
+    final division is the only float op — the pattern for any exact
+    weighted mean at scale. One partial+final hash aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(qty).alias("total_qty"),
+        (F.sum(qty * cents) / F.sum(qty) / 100.0).alias("wavg_price"),
+    )

@@ -226,3 +226,45 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(
         F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1")
     ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "window_pct_change",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate::DATE AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY o_orderdate::DATE
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, rev_cents,
+           CAST(round((rev_cents - prev) * 1000000.0 / prev) AS BIGINT) AS pct_change_ppm
+    FROM (SELECT day, rev_cents,
+                 LAG(rev_cents) OVER (ORDER BY day) AS prev
+          FROM daily)
+    WHERE prev IS NOT NULL AND prev <> 0
+    """,
+    category="window",
+)
+def window_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period change: daily revenue vs the previous day, as
+    parts-per-million of the prior value (fixed-point — exact cross-engine).
+    The daily rollup reduces the fact table to ~|days| rows FIRST, so the
+    single-partition lag window (unavoidable for a global time series) runs
+    on trivially small data — the pattern that makes 'global' time-series
+    ops safe at 100 TB: aggregate to the time grain, then window."""
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"))
+    )
+    w = W.orderBy("day")
+    with_prev = daily.withColumn("prev", F.lag("rev_cents").over(w))
+    pct_ppm = F.round((F.col("rev_cents") - F.col("prev")) * 1000000.0 / F.col("prev")).cast("long")
+    return (
+        with_prev.filter(F.col("prev").isNotNull() & (F.col("prev") != 0))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "rev_cents",
+            pct_ppm.alias("pct_change_ppm"),
+        )
+    )
