@@ -676,3 +676,71 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(matches, "s_suppkey", "left")
         .select("s_suppkey", F.coalesce("n", F.lit(0)).alias("n_close"))
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    WITH orep AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS next_orderkey, o.o_orderdate AS next_orderdate
+    FROM events e
+    ASOF LEFT JOIN orep o
+      ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    """,
+    category="join",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event picks the EARLIEST order of the same
+    user at-or-after its timestamp — the mirror of join_asof (backward),
+    used for 'time to next conversion' style enrichment. Same merge
+    formulation, reversed: order rows sort AFTER event rows on ties
+    (ts <= orderdate is inclusive), and the carry scans from the future
+    side with an UNBOUNDED FOLLOWING frame + first_value(ignore nulls).
+    Still |events| + |orders| intermediate and ONE shuffle on the user
+    key."""
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    combined = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("tag"),  # events first on equal timestamps
+        "event_id",
+        F.col("ts").alias("ts"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+    ).unionByName(
+        o.select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("t"),
+            F.lit(1).alias("tag"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            "o_orderkey",
+            "o_orderdate",
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "tag")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    return (
+        combined.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "tag",
+            F.first("o_orderkey", ignorenulls=True).over(w).alias("next_orderkey"),
+            F.first("o_orderdate", ignorenulls=True).over(w).alias("next_orderdate"),
+        )
+        .filter(F.col("tag") == 0)
+        .drop("tag")
+    )
