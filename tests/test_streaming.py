@@ -250,3 +250,41 @@ def test_stream_static_enrich_matches_batch(tmp_path, spark, events):
     assert got.count() == expect.count()
     # spot-check the enrichment column actually joined
     assert got.filter(F.col("category") != F.upper("event_type")).count() == 0
+
+
+def test_stream_sliding_window_matches_batch(tmp_path, spark, events):
+    from glue_etl_framework_spark.streaming.ingest import read_file_stream, stream_window_agg
+
+    src = tmp_path / "src"
+    events.write.parquet(str(src))
+    stream = read_file_stream(spark, str(src), schema=events.schema)
+    agg = stream_window_agg(stream, window="10 minutes", slide="5 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slide_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("slide_out")
+    expect = (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("total_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n_events", "total_value")
+    )
+    # streaming append-mode emits only windows closed by the final watermark;
+    # every emitted row must exactly match its batch twin, and most windows
+    # should have been emitted
+    j = got.join(expect, "window_start", "inner")
+    assert got.count() > 0
+    assert j.count() == got.count()
+    mismatches = j.filter(
+        (got["n_events"] != expect["n_events"])
+        | (got["total_value"] != expect["total_value"])
+    ).count()
+    assert mismatches == 0
