@@ -69,18 +69,24 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Registration order drives the driver's CORRECTNESS sampling (it records the
+# first N registry entries). Round 1 proved the first 50 (relational/agg/
+# window/sort); round 2 front-loads the 50 least-proven operators — dedup(9) +
+# similarity(6) + text(9) + curation(3) + multimodal(4) + setops(7) +
+# functions(12) = 50 — then events/time-window, then the already-proven
+# families. Rotate per round until every operator has a driver row.
 _MODULES = [
-    "relational",
-    "aggregates",
-    "windows",
+    "dedup",
+    "similarity",
+    "text",
+    "curation",
+    "multimodal",
     "setops",
     "functions",
     "events",
-    "text",
-    "dedup",
-    "similarity",
-    "multimodal",
-    "curation",
+    "windows",
+    "relational",
+    "aggregates",
 ]
 
 

@@ -149,8 +149,17 @@ def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_CENTROIDS_MOD = 50  # vec_id % 50 == 0 -> corpus_size/50 deterministic centroids
-N_PROBE = 2           # IVF: query probes its 2 nearest centroid lists
+# FIXED centroid count (not a corpus fraction): K stays constant as the
+# corpus grows, so the centroid broadcast is O(K) bytes and assignment work
+# is O(n*K) — linear in n, never quadratic. Centroids are a deterministic
+# bottom-K-by-md5 sample of vec_ids (TakeOrdered: map-side keeps K rows per
+# partition, no full shuffle), reproducible bit-identically in DuckDB. At
+# production scale you'd raise K (e.g. 4096) — the plan shape is unchanged.
+N_CENTROIDS = 16
+N_PROBE = 2  # IVF: query probes its 2 nearest centroid lists
+
+_CENT_SQL = f"""SELECT vec_id AS cid, q, nq FROM normed
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {N_CENTROIDS}"""
 
 _COSINE_SQL = (
     "CAST(list_sum(list_transform(range(1, 65), i -> {a}.q[i] * {b}.q[i])) AS BIGINT)"
@@ -163,7 +172,7 @@ _COSINE_SQL = (
     oracle=f"""
     WITH quant AS ({_QUANT_SQL}),
     normed AS ({_NORM_SQL}),
-    cent AS (SELECT vec_id AS cid, q, nq FROM normed WHERE vec_id % {N_CENTROIDS_MOD} = 0),
+    cent AS ({_CENT_SQL}),
     assign AS (
       SELECT vec_id, cid FROM (
         SELECT n.vec_id, c.cid,
@@ -196,17 +205,20 @@ _COSINE_SQL = (
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the 100 TB scale path for
-    ANN. Coarse quantizer: a deterministic centroid subset (vec_id %
-    50 == 0, i.e. ~corpus/50 centroids); every vector is assigned to
-    its nearest centroid (an n x K broadcast join — K centroids always fit
-    in a broadcast, so assignment is shuffle-free); a query scores only the
-    vectors in its nprobe=2 nearest centroid lists, cutting scored pairs by
+    ANN. Coarse quantizer: a FIXED-size deterministic centroid sample
+    (bottom-K vec_ids by md5 — a TakeOrdered, so selection is map-side
+    top-K with no full shuffle, and K does NOT grow with the corpus);
+    every vector is assigned to its nearest centroid (an n x K broadcast
+    join — the K-row broadcast is constant-size, so assignment is
+    shuffle-free and O(n*K), linear in n); a query scores only the vectors
+    in its nprobe=2 nearest centroid lists, cutting scored pairs by
     ~K/nprobe vs brute force. Exact quantized cosine everywhere, so the
     whole pipeline is oracle-checkable; recall vs brute force is
     property-tested in tests/test_ext.py."""
     v = _quantized(spark, sf_dir)
     cent = F.broadcast(
-        v.filter(F.col("vec_id") % N_CENTROIDS_MOD == 0)
+        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(N_CENTROIDS)
         .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("nq").alias("cnq"))
     )
     cos_to_cent = _dot(F.col("q"), F.col("cq")) / (
@@ -398,7 +410,7 @@ def _kmeans_assign_sql(centroids_cte: str) -> str:
     oracle=f"""
     WITH quant AS ({_QUANT_SQL}),
     normed AS ({_NORM_SQL}),
-    c0 AS (SELECT vec_id AS cid, q, nq FROM normed WHERE vec_id % {N_CENTROIDS_MOD} = 0),
+    c0 AS ({_CENT_SQL}),
     a1 AS ({_kmeans_assign_sql('c0')}),
     ex AS (
       SELECT a1.cid, unnest(n.q) AS val, generate_subscripts(n.q, 1) AS pos
@@ -429,8 +441,10 @@ def _kmeans_assign_sql(centroids_cte: str) -> str:
 def similarity_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd iteration of k-means over the corpus — the iterative-
     algorithm representative, fully distributed AND fully deterministic
-    (hence oracle-checked, rare for an iterative op): init centroids =
-    vec_id % 50 == 0; assign by exact quantized cosine (n x K broadcast
+    (hence oracle-checked, rare for an iterative op): init centroids = a
+    FIXED-size bottom-K-by-md5 sample (K constant as the corpus grows, so
+    the broadcast never scales with n and assignment stays O(n*K));
+    assign by exact quantized cosine (n x K broadcast
     join); update = per-(centroid, dim) integer sums via posexplode — one
     shuffle keyed on (cid, dim), floor-averaged back to quantized space,
     arrays rebuilt with a sorted collect per centroid (K x 64 rows, tiny);
@@ -452,8 +466,10 @@ def similarity_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max_by("cid", F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))).alias("cid"))
         )
 
-    c0 = v.filter(F.col("vec_id") % N_CENTROIDS_MOD == 0).select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("nq").alias("cnq")
+    c0 = (
+        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(N_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("nq").alias("cnq"))
     )
     a1 = assign(c0)
     ex = a1.join(v, "vec_id").select(
