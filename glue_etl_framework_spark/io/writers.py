@@ -34,7 +34,13 @@ SUPPORTED_FORMATS = {"parquet", "csv", "json", "orc", "avro"}
 
 
 def _strip_scheme(path: str) -> str:
-    return path[len("file://"):] if path.startswith("file://") else path
+    # Accept both file://host-less and the file:/p single-slash rendering
+    # that Spark's catalog (DESCRIBE FORMATTED) uses for local locations.
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if path.startswith("file:/"):
+        return path[len("file:"):]
+    return path
 
 
 def _layout(df: DataFrame, output: dict[str, Any]) -> tuple[DataFrame, list[str]]:
@@ -77,9 +83,11 @@ def write_table(df: DataFrame, output: dict[str, Any]) -> None:
     if refresh == "full":
         writer = writer.mode("overwrite")
     elif partition_keys:
-        # dynamic partitionOverwriteMode: only partitions present in df are
-        # replaced — incremental refresh on partitioned tables (README.md:68).
-        writer = writer.mode("overwrite")
+        # Partition-level upsert (README.md:68): only partitions present in
+        # df are replaced. The semantics are set PER-WRITE so incremental
+        # refresh is safe even on a session without our get_spark default of
+        # spark.sql.sources.partitionOverwriteMode=dynamic.
+        writer = writer.mode("overwrite").option("partitionOverwriteMode", "dynamic")
     else:
         writer = writer.mode("append")
 
@@ -97,9 +105,33 @@ def write_table(df: DataFrame, output: dict[str, Any]) -> None:
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
         table = f"{database}.{name}"
         if refresh == "incremental" and spark.catalog.tableExists(table):
-            # insertInto honors dynamic partition overwrite (UPDATE_IN_DATABASE
-            # semantics of the reference's catalog sink, :245-258).
-            df.write.format(fmt).mode("overwrite").insertInto(table)
+            # insertInto resolves columns POSITIONALLY — align df to the
+            # table's column order first so a reordered query can't silently
+            # write values into the wrong columns.
+            aligned = df.select(*spark.table(table).columns)
+            part_cols = [c.name for c in spark.catalog.listColumns(table) if c.isPartition]
+            w = aligned.write.format(fmt)
+            if part_cols:
+                # Dynamic partition overwrite replaces only the partitions
+                # present in df (UPDATE_IN_DATABASE semantics of the
+                # reference's catalog sink, :245-258). insertInto ignores
+                # writer-level options (unlike .save), so force the session
+                # conf for the duration of this write and restore it after.
+                conf_key = "spark.sql.sources.partitionOverwriteMode"
+                prev = spark.conf.get(conf_key, None)
+                spark.conf.set(conf_key, "dynamic")
+                try:
+                    w.mode("overwrite").insertInto(table)
+                finally:
+                    if prev is None:
+                        spark.conf.unset(conf_key)
+                    else:
+                        spark.conf.set(conf_key, prev)
+            else:
+                # A NON-partitioned table has no partitions to scope an
+                # overwrite, so overwrite-insertInto would truncate the whole
+                # table; incremental means append (mirrors the file branch).
+                w.mode("append").insertInto(table)
         else:
             location = output.get("location")
             if location:
@@ -110,15 +142,25 @@ def write_table(df: DataFrame, output: dict[str, Any]) -> None:
 
 
 def staged_write(df: DataFrame, output: dict[str, Any]) -> str:
-    """Transactional write on plain files: stage to a temp dir next to the
-    target, then atomically rename into place (replaces the reference's Lake
-    Formation governed transaction, glue_etl_framework.py:237-266 — begin/
-    commit/cancel). On failure the stage dir is removed (cancel_transaction
-    equivalent, :264-266). Returns the final location. Local-FS rename is
-    atomic; on object stores this maps to a manifest swap."""
+    """Transactional write: stage to a temp dir next to the target, then
+    atomically swap into place (replaces the reference's Lake Formation
+    governed transaction, glue_etl_framework.py:237-266 — begin/commit/
+    cancel). On failure the stage dir is removed and the previous data is
+    restored (cancel_transaction equivalent, :264-266); the old data is
+    deleted only after the new data is live. Returns the final location.
+
+    File targets: stage dir + os.rename (atomic on a local FS; on object
+    stores this maps to a manifest swap). Catalog targets (the reference's
+    governed-table path, :245-266): see :func:`_staged_write_catalog` —
+    stage dir + ``ALTER TABLE ... SET LOCATION`` metadata swap, so readers
+    see either the old table or the new one, never a partial write."""
+    target = str(output.get("target", output.get("sink", "file"))).lower()
+    if target in {"catalog", "gdc"}:
+        return _staged_write_catalog(df, output)
     location = _strip_scheme(str(output["location"]).rstrip("/"))
     stage = f"{location}.__stage__{uuid.uuid4().hex[:8]}"
     staged_cfg = dict(output)
+    staged_cfg["target"] = "file"
     staged_cfg["location"] = stage
     staged_cfg["refresh"] = "full"
     try:
@@ -127,7 +169,14 @@ def staged_write(df: DataFrame, output: dict[str, Any]) -> str:
         had_old = os.path.exists(location)
         if had_old:
             os.rename(location, backup)
-        os.rename(stage, location)
+        try:
+            os.rename(stage, location)
+        except BaseException:
+            # Commit failed after the old dir was moved aside: put the old
+            # data back before cleanup, or the target would be left empty.
+            if had_old:
+                os.rename(backup, location)
+            raise
         if had_old:
             shutil.rmtree(backup, ignore_errors=True)
     except BaseException:
@@ -136,28 +185,111 @@ def staged_write(df: DataFrame, output: dict[str, Any]) -> str:
     return location
 
 
+def _table_location(spark: SparkSession, table: str) -> str | None:
+    for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if (row.col_name or "").strip() == "Location":
+            return _strip_scheme((row.data_type or "").strip())
+    return None
+
+
+def _staged_write_catalog(df: DataFrame, output: dict[str, Any]) -> str:
+    """Governed catalog write: stage the data to a fresh directory, then
+    commit with a single metastore operation — ``ALTER TABLE ... SET
+    LOCATION`` for an existing table (metadata-only, atomic at the
+    metastore; the old directory is deleted only afterwards), or ``CREATE
+    TABLE ... LOCATION`` for a new one. A failure during the stage write
+    leaves the old table fully readable and removes the stage dir (the
+    reference's cancel_transaction, glue_etl_framework.py:264-266).
+
+    Schema note: the swap keeps the table's registered schema; a governed
+    full refresh that *changes* the schema should drop+recreate instead
+    (same as the reference's recreate_table path, :217-233)."""
+    database = output.get("database")
+    name = output.get("table_name") or output.get("name")
+    if not database or not name:
+        raise ValueError("catalog target requires 'database' and 'table_name'")
+    fmt = str(output.get("format", "parquet")).lower()
+    if fmt == "glueparquet":
+        fmt = "parquet"
+    spark = df.sparkSession
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    table = f"{database}.{name}"
+    exists = spark.catalog.tableExists(table)
+    old_loc = _table_location(spark, table) if exists else None
+    base = _strip_scheme(
+        str(
+            output.get("location")
+            or old_loc
+            or os.path.join(
+                _strip_scheme(spark.conf.get("spark.sql.warehouse.dir")),
+                f"{database}.db",
+                str(name),
+            )
+        ).rstrip("/")
+    )
+    stage = f"{base}.__stage__{uuid.uuid4().hex[:8]}"
+    staged_cfg = dict(output)
+    staged_cfg["target"] = "file"
+    staged_cfg["location"] = stage
+    staged_cfg["refresh"] = "full"
+    try:
+        write_table(df, staged_cfg)
+        if exists:
+            spark.sql(f"ALTER TABLE {table} SET LOCATION '{stage}'")
+            spark.catalog.refreshTable(table)
+            if old_loc and os.path.exists(old_loc) and old_loc != stage:
+                shutil.rmtree(old_loc, ignore_errors=True)
+        else:
+            partition_keys = output.get("partition_keys") or []
+            if isinstance(partition_keys, str):
+                partition_keys = [k.strip() for k in partition_keys.split(",") if k.strip()]
+            ddl = f"CREATE TABLE {table} USING {fmt} "
+            if partition_keys:
+                ddl += f"PARTITIONED BY ({', '.join(partition_keys)}) "
+            ddl += f"LOCATION '{stage}'"
+            spark.sql(ddl)
+            if partition_keys:
+                spark.sql(f"MSCK REPAIR TABLE {table}")
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    return stage
+
+
 def upsert_by_key(
     spark: SparkSession,
     new_rows: DataFrame,
     location: str,
     keys: list[str],
     fmt: str = "parquet",
+    order_by: str | None = None,
 ) -> None:
     """Key-level MERGE (last-writer-wins) on a plain-file table: existing
     rows whose key appears in ``new_rows`` are replaced, others kept —
     ``old ANTI-JOIN new  UNION ALL  new`` rewritten via a staged commit.
     This is README.md:68's non-partitioned "UPSERT" claim done honestly
     without a table format. At scale prefer a partitioned table + dynamic
-    partition overwrite so only touched partitions rewrite."""
+    partition overwrite so only touched partitions rewrite.
+
+    Scale notes: the anti-join carries NO broadcast hint — a 100 TB
+    incremental batch is not broadcast-safe, so the join strategy is left
+    to AQE (it still broadcasts genuinely small batches). No checkpoint is
+    needed either: ``staged_write`` materializes the merged plan into the
+    stage directory while the old files are still in place, so the scan
+    never races the swap. ``order_by`` names a column that resolves
+    intra-batch duplicate keys deterministically (greatest wins, e.g. an
+    update timestamp); without it the winner among same-key batch rows is
+    arbitrary (Spark's dropDuplicates)."""
     location = _strip_scheme(location)
+    if order_by is not None:
+        agg = F.max_by(F.struct(*new_rows.columns), F.col(order_by)).alias("_row")
+        deduped_new = new_rows.groupBy(*keys).agg(agg).select("_row.*")
+    else:
+        deduped_new = new_rows.dropDuplicates(keys)
     if os.path.exists(location):
         old = spark.read.format(fmt).load(location)
-        deduped_new = new_rows.dropDuplicates(keys)
-        merged = old.join(F.broadcast(deduped_new.select(*keys).distinct()), keys, "left_anti") \
+        merged = old.join(deduped_new.select(*keys).distinct(), keys, "left_anti") \
                     .unionByName(deduped_new)
     else:
-        merged = new_rows.dropDuplicates(keys)
-    # The merged plan reads the old files; localCheckpoint materializes it
-    # before staged_write swaps the directory out from under the scan.
-    merged = merged.localCheckpoint(eager=True)
+        merged = deduped_new
     staged_write(merged, {"location": location, "format": fmt})

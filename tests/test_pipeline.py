@@ -347,3 +347,130 @@ def test_jdbc_source_reads_real_database(tmp_path, spark):
     )
     assert df.count() == 5
     assert set(df.columns) == {"r_regionkey", "r_name"}
+
+
+def test_catalog_incremental_appends_non_partitioned(tmp_path, spark):
+    """refresh=incremental on a NON-partitioned catalog table must append
+    (ADVICE r01: overwrite-insertInto silently truncated), and insertInto's
+    positional resolution must survive a reordered df."""
+    out = {
+        "target": "catalog",
+        "database": "incdb",
+        "table_name": "acc",
+        "location": f"{tmp_path}/acc",
+    }
+    write_table(spark.createDataFrame([(1, "a")], "k int, v string"), {**out, "refresh": "full"})
+    write_table(
+        spark.createDataFrame([(2, "b")], "k int, v string"), {**out, "refresh": "incremental"}
+    )
+    # reordered columns: alignment must route values to the right columns
+    write_table(
+        spark.createDataFrame([("c", 3)], "v string, k int"), {**out, "refresh": "incremental"}
+    )
+    assert sorted((r.k, r.v) for r in spark.table("incdb.acc").collect()) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    spark.sql("DROP TABLE incdb.acc")
+
+
+def test_catalog_incremental_partitioned_dynamic_despite_static_session(tmp_path, spark):
+    """Partitioned catalog incremental overwrites ONLY touched partitions,
+    forced per-write — even when the session conf is 'static'."""
+    out = {
+        "target": "catalog",
+        "database": "incdb",
+        "table_name": "pacc",
+        "location": f"{tmp_path}/pacc",
+        "partition_keys": "part",
+    }
+    write_table(
+        spark.createDataFrame([(1, "x", "p1"), (2, "y", "p2")], "k int, v string, part string"),
+        {**out, "refresh": "full"},
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        write_table(
+            spark.createDataFrame([(1, "X", "p1")], "k int, v string, part string"),
+            {**out, "refresh": "incremental"},
+        )
+    finally:
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    assert sorted((r.k, r.v, r.part) for r in spark.table("incdb.pacc").collect()) == [
+        (1, "X", "p1"), (2, "y", "p2"),
+    ]
+    spark.sql("DROP TABLE incdb.pacc")
+
+
+def test_file_incremental_partitioned_dynamic_despite_static_session(tmp_path, spark):
+    """File-target incremental on partitioned output sets dynamic overwrite
+    per-write; a 'static' session conf must not wipe untouched partitions."""
+    out = {"target": "file", "location": f"{tmp_path}/f", "partition_keys": "part"}
+    write_table(
+        spark.createDataFrame([(1, "p1"), (2, "p2")], "k int, part string"),
+        {**out, "refresh": "full"},
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        write_table(
+            spark.createDataFrame([(10, "p1")], "k int, part string"),
+            {**out, "refresh": "incremental"},
+        )
+    finally:
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    assert sorted((r.k, r.part) for r in spark.read.parquet(f"{tmp_path}/f").collect()) == [
+        (2, "p2"), (10, "p1"),
+    ]
+
+
+def test_staged_catalog_write_swap_and_failure_keeps_old(tmp_path, spark):
+    """Governed catalog write: location-swap commit; a failing plan leaves
+    the previous table fully readable and no stage dirs behind."""
+    out = {
+        "target": "catalog",
+        "database": "stgdb",
+        "table_name": "gov",
+        "location": f"{tmp_path}/gov",
+    }
+    staged_write(spark.createDataFrame([(1, "a")], "k int, v string"), out)
+    assert [(r.k, r.v) for r in spark.table("stgdb.gov").collect()] == [(1, "a")]
+    staged_write(spark.createDataFrame([(2, "b")], "k int, v string"), out)
+    assert [(r.k, r.v) for r in spark.table("stgdb.gov").collect()] == [(2, "b")]
+    bad = spark.createDataFrame([(1, "z")], "k int, v string").selectExpr(
+        "assert_true(k > 5) AS x", "k", "v"
+    )
+    with pytest.raises(Exception):
+        staged_write(bad, out)
+    assert [(r.k, r.v) for r in spark.table("stgdb.gov").collect()] == [(2, "b")]
+    stages = [d for d in os.listdir(tmp_path) if "__stage__" in d]
+    assert len(stages) == 1  # exactly the live swapped-in directory
+    spark.sql("DROP TABLE stgdb.gov")
+
+
+def test_upsert_by_key_no_broadcast_large_batch(tmp_path, spark):
+    """Upsert with broadcast disabled entirely (threshold -1): correctness
+    must not depend on a driver-side broadcast of the new-keys set."""
+    loc = f"{tmp_path}/up_big"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        upsert_by_key(spark, spark.range(0, 500).selectExpr("id AS k", "'old' AS v"), loc, ["k"])
+        upsert_by_key(
+            spark, spark.range(250, 750).selectExpr("id AS k", "'new' AS v"), loc, ["k"]
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    got = spark.read.parquet(loc)
+    assert got.count() == 750
+    assert got.filter("v = 'new'").count() == 500
+    assert got.filter("v = 'old'").count() == 250
+
+
+def test_upsert_by_key_order_by_resolves_batch_dups(tmp_path, spark):
+    """order_by makes the intra-batch winner deterministic (greatest wins)."""
+    loc = f"{tmp_path}/up_det"
+    df = spark.createDataFrame(
+        [(1, "stale", 10), (1, "fresh", 20), (2, "only", 5)], "k int, v string, ts int"
+    )
+    upsert_by_key(spark, df, loc, ["k"], order_by="ts")
+    assert sorted((r.k, r.v) for r in spark.read.parquet(loc).collect()) == [
+        (1, "fresh"), (2, "only"),
+    ]
