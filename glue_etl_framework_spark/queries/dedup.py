@@ -83,19 +83,22 @@ def _minhash_sig_cols():
     ]
 
 
-SHINGLE_REGEX = r"regexp_extract_all(text, '\\b(?=((\\S+ ){2}\\S+))', 1)"
+# Token-start anchor: a position at ^ or just after a space — EXACTLY the
+# token positions of the oracle's split-on-space formulation, for any token
+# content (an earlier \b-anchored variant silently diverged on
+# punctuation-leading tokens; parity on punctuation-heavy text is pinned by
+# tests/test_text_properties.py::test_shingle_regex_matches_split_semantics).
+SHINGLE_REGEX = r"regexp_extract_all(text, '(?<=^| )(?=((\\S+ ){2}\\S+))', 1)"
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-3-gram shingles per document. Overlapping 3-grams come
-    from ONE regex pass (word-boundary lookahead capture) — measured 3.6x
-    faster at sf0.1 than split + sequence + slice + array_join, which
-    allocates four intermediate arrays per row. Verified to produce the
-    IDENTICAL shingle set as the split-based formulation (which the DuckDB
-    oracle keeps, since RE2 lacks lookahead) on the fixture corpus; the
-    equivalence needs tokens to start with word characters — with
-    punctuation-leading tokens \\b would shift, and the split formulation
-    should be used instead."""
+    from ONE regex pass (token-start lookbehind + lookahead capture) —
+    measured 3.6x faster at sf0.1 than split + sequence + slice +
+    array_join, which allocates four intermediate arrays per row. Produces
+    the IDENTICAL shingle set as the split-based formulation (which the
+    DuckDB oracle keeps, since RE2 lacks lookaround) for any token content,
+    including punctuation-leading and pure-punctuation tokens."""
     d = t(spark, sf_dir, "documents")
     return (
         d.select("doc_id", F.explode(F.expr(SHINGLE_REGEX)).alias("shingle"))

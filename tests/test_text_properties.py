@@ -1,0 +1,100 @@
+"""Property tests for the one-pass shingle regex: its shingle set must equal
+the oracle's split-on-space formulation for ANY token content — including
+punctuation-leading and pure-punctuation tokens, where the earlier
+\\b-anchored variant silently diverged (ADVICE r01)."""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from glue_etl_framework_spark.ext.dedup import shingle_tokens
+from glue_etl_framework_spark.queries.dedup import SHINGLE_REGEX
+
+# Tokens drawn to stress the anchor: punctuation-leading, pure punctuation,
+# quotes/brackets, unicode, digits. Single-space separated (the split
+# semantics both engines implement).
+TOKEN = st.text(
+    alphabet="ab!?.,;:'\"()[]#-é9",
+    min_size=1,
+    max_size=6,
+)
+TEXT = st.lists(TOKEN, min_size=0, max_size=8).map(" ".join)
+
+
+def _split_shingles(text: str) -> set[str]:
+    w = text.split(" ")
+    return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(TEXT, min_size=1, max_size=6))
+def test_shingle_regex_matches_split_semantics(spark, texts):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        (r.doc_id, r.s)
+        for r in df.select(
+            "doc_id", F.explode(F.expr(SHINGLE_REGEX)).alias("s")
+        ).collect()
+    }
+    want = {(i, sh) for i, s in enumerate(texts) for sh in _split_shingles(s)}
+    # regexp_extract_all keeps duplicates; compare as sets like the DISTINCT
+    # the dedup pipeline applies
+    assert got == want
+
+
+def test_shingle_regex_matches_duckdb_split_on_punctuation_corpus(spark, tmp_path):
+    """Cross-engine pin on a deliberately nasty fixture corpus."""
+    texts = [
+        "(hello) world, !foo bar.",
+        "...leading punct tokens here",
+        "--- ### !!! ??? end",
+        "mix 'quoted' (paren) [brack] end",
+        "don't stop won't quit can't lose",
+        "a b c d e",
+        "x y",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id int, text string"
+    )
+    path = str(tmp_path / "docs.parquet")
+    df.write.parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    want = {
+        (r[0], r[1])
+        for r in con.execute(
+            """
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, length(w) - 1),
+                                         i -> array_to_string(w[i:i+2], ' '))) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+            WHERE length(w) >= 3
+            """
+        ).fetchall()
+    }
+    got = {
+        (r.doc_id, r.s)
+        for r in df.select("doc_id", F.explode(F.expr(SHINGLE_REGEX)).alias("s"))
+        .distinct()
+        .collect()
+    }
+    assert got == want
+
+
+def test_ext_shingle_tokens_punctuation(spark):
+    df = spark.createDataFrame(
+        [(0, "!a ?b #c $d"), (1, "one two")], "doc_id int, text string"
+    )
+    out = {r.doc_id: sorted(r.shingles) for r in shingle_tokens(df).collect()}
+    assert out == {0: ["!a ?b #c", "?b #c $d"]}  # doc 1 too short -> filtered
