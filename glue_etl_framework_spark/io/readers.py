@@ -76,10 +76,14 @@ def read_table(spark: SparkSession, table: dict[str, Any]) -> DataFrame:
             return reader.load(str(location))
         except Exception as exc:  # noqa: BLE001 - re-raise with actionable context
             if fmt == "avro" and "Failed to find data source" in str(exc):
+                from glue_etl_framework_spark.session import avro_package
+
                 raise RuntimeError(
                     "format 'avro' needs the external spark-avro package on the "
-                    "classpath (org.apache.spark:spark-avro); it is not bundled "
-                    "with this Spark build"
+                    f"classpath ({avro_package()}); it is not bundled with this "
+                    "Spark build — start the session with "
+                    "get_spark(with_avro=True) (requires Maven access or a "
+                    "populated ivy cache)"
                 ) from exc
             raise
     if source in {"catalog", "gdc"}:

@@ -41,29 +41,57 @@ def default_master() -> str:
     return f"local[{cpus}]" if cpus else "local[*]"
 
 
+def avro_package() -> str:
+    """Maven coordinate of the spark-avro datasource matching this pyspark
+    build (the reference reads/writes avro, README.md:44; Spark does not
+    bundle the datasource — only avro-core). Scala 2.13 is the only binary
+    Spark 4 ships."""
+    import pyspark
+
+    return f"org.apache.spark:spark-avro_2.13:{pyspark.__version__}"
+
+
+def assemble_conf(
+    shuffle_partitions: int | None = None,
+    extra_conf: Mapping[str, str] | None = None,
+    with_avro: bool = False,
+) -> dict[str, str]:
+    """Final session conf: defaults < avro wiring < extra_conf (user wins)."""
+    conf = dict(_DEFAULTS)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if with_avro:
+        pkgs = conf.get("spark.jars.packages", "")
+        conf["spark.jars.packages"] = f"{pkgs},{avro_package()}" if pkgs else avro_package()
+    if extra_conf:
+        conf.update({str(k): str(v) for k, v in extra_conf.items()})
+    return conf
+
+
 def get_spark(
     app_name: str = "glue-etl-framework-spark",
     master: str | None = None,
     extra_conf: Mapping[str, str] | None = None,
     shuffle_partitions: int | None = None,
+    with_avro: bool = False,
 ) -> SparkSession:
     """Build (or get) a SparkSession.
 
     ``extra_conf`` is the user-facing equivalent of the reference's
     ``job.spark_config`` passthrough — arbitrary Spark conf keys, applied
     last so they win over defaults.
-    """
+
+    ``with_avro=True`` adds the spark-avro datasource to
+    ``spark.jars.packages`` (resolved from Maven at session start — needs
+    network or a populated ivy cache). Must be set on the FIRST session of
+    the JVM: ``spark.jars.packages`` is a context-creation conf, so
+    getOrCreate on an already-running session cannot add it."""
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_CONNECT_MODE_ENABLED"):
         builder = builder.master(default_master())
-    conf = dict(_DEFAULTS)
-    if shuffle_partitions is not None:
-        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
-    if extra_conf:
-        conf.update({str(k): str(v) for k, v in extra_conf.items()})
-    for k, v in conf.items():
+    for k, v in assemble_conf(shuffle_partitions, extra_conf, with_avro).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
