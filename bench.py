@@ -49,6 +49,10 @@ HEADLINE = [
     "unpivot_melt",                 # wide-to-long Expand
     "text_tfidf_top_terms",         # tf/df shuffles + broadcast N + top-k
     "pipeline_training_data_curation",  # full curation composite
+    "dedup_minhash_verified",       # LSH candidates + exact-Jaccard verify
+    "dedup_connected_components",   # iterative min-label propagation
+    "similarity_lsh_hyperplane_pairs",  # banded hyperplane LSH (ANN scale path)
+    "events_transition_matrix",     # event-type Markov transition counts
 ]
 
 
