@@ -83,6 +83,7 @@ _MODULES = [
     "multimodal",
     "setops",
     "functions",
+    "llmops",
     "events",
     "windows",
     "relational",

@@ -342,14 +342,23 @@ def similarity_lsh_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFra
             )
             bits.append(F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0)))
         band_cols.append(sum(bits[1:], bits[0]).alias(f"band{b}"))
-    sig = v.select("vec_id", "q", "nq", *band_cols)
-    pairs = None
-    for b in range(N_HYPERPLANES // _BAND_BITS):
-        a_side = sig.select(F.col("vec_id").alias("vec_a"), F.col(f"band{b}").alias("bv"))
-        b_side = sig.select(F.col("vec_id").alias("vec_b"), F.col(f"band{b}").alias("bv"))
-        p = a_side.join(b_side, "bv").filter(F.col("vec_a") < F.col("vec_b")).select("vec_a", "vec_b")
-        pairs = p if pairs is None else pairs.union(p)
-    cand = pairs.distinct()
+    # One (band_idx, band_value) row per vector per band, then ONE self-join
+    # keyed on both — the same banded shape as MinHash LSH. The per-band
+    # union-of-self-joins formulation re-derives the signature lineage
+    # (quantize + 16 hyperplane projections) once per band per side; this
+    # computes it once and shuffles only (vec_id, bidx, bv) triples.
+    sig = v.select(
+        "vec_id",
+        F.posexplode(F.array(*band_cols)).alias("bidx", "bv"),
+    )
+    a_side = sig.select(F.col("vec_id").alias("vec_a"), "bidx", "bv")
+    b_side = sig.select(F.col("vec_id").alias("vec_b"), "bidx", "bv")
+    cand = (
+        a_side.join(b_side, ["bidx", "bv"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
     x = v.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("nq").alias("na"))
     y = v.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("nq").alias("nb"))
     cosine = _dot(F.col("qa"), F.col("qb")) / (
