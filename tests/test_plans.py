@@ -135,3 +135,21 @@ def test_binned_range_join_is_equi_join(spark):
     plan = plan_of(spark, "join_range_binned")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["curation_decontaminate", "text_repetition_ratio"])
+def test_llmops_candidate_joins_are_keyed(spark, name):
+    """Decontamination and repetition scoring must never degenerate into an
+    all-pairs comparison — the n-gram/bigram key drives every join."""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_length_outlier_bounds_are_broadcast(spark):
+    """The per-source percentile bounds are a tiny frame; joining them back
+    must broadcast — a shuffle here would reshuffle the full corpus."""
+    plan = plan_of(spark, "text_length_outlier_trim")
+    assert "BroadcastHashJoin" in plan
+    # the document side must not be exchanged for this join (scan-side filter)
+    assert count_shuffles(plan) <= 1, plan[:2000]
