@@ -96,6 +96,19 @@ def write_table(df: DataFrame, output: dict[str, Any]) -> None:
         if not location:
             raise ValueError("file target requires 'location'")
         writer.save(str(location))
+    elif target == "jdbc":
+        # Mirror of the JDBC source (readers.py): the reference stubs JDBC
+        # entirely (glue_etl_framework.py:119-120); here it is a real writer.
+        # refresh=full overwrites (truncate semantics left to the JDBC
+        # dialect), incremental appends.
+        options = {k: str(v) for k, v in (output.get("options") or {}).items()}
+        for key in ("url", "dbtable", "user", "password", "driver"):
+            if key in output:
+                options.setdefault(key, str(output[key]))
+        if "url" not in options or "dbtable" not in options:
+            raise ValueError("jdbc target requires 'url' and 'dbtable'")
+        mode = "overwrite" if refresh == "full" else "append"
+        df.write.format("jdbc").options(**options).mode(mode).save()
     elif target in {"catalog", "gdc"}:
         database = output.get("database")
         name = output.get("table_name") or output.get("name")

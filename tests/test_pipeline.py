@@ -514,3 +514,42 @@ def test_avro_roundtrip_if_datasource_available(tmp_path, spark):
     )
     assert df.count() == 5
     assert set(df.columns) == {"r_regionkey", "r_name"}
+
+
+def test_jdbc_sink_roundtrip(tmp_path, spark):
+    """write_table target=jdbc against embedded Derby: full refresh
+    overwrites, incremental appends — the sink mirror of the JDBC source
+    (the reference stubs both)."""
+    from glue_etl_framework_spark.io.readers import read_table
+
+    url = f"jdbc:derby:{tmp_path}/sinkdb;create=true"
+    out = {
+        "target": "jdbc",
+        "options": {
+            "url": url,
+            "dbtable": "acc",
+            "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+        },
+    }
+    write_table(
+        spark.createDataFrame([(1, "a")], "k int, v string"), {**out, "refresh": "full"}
+    )
+    write_table(
+        spark.createDataFrame([(2, "b")], "k int, v string"),
+        {**out, "refresh": "incremental"},
+    )
+    df = read_table(spark, {"name": "acc", "source": "jdbc", "options": out["options"]})
+    assert sorted((r.k, r.v) for r in df.collect()) == [(1, "a"), (2, "b")]
+    write_table(
+        spark.createDataFrame([(9, "z")], "k int, v string"), {**out, "refresh": "full"}
+    )
+    df2 = read_table(spark, {"name": "acc", "source": "jdbc", "options": out["options"]})
+    assert [(r.k, r.v) for r in df2.collect()] == [(9, "z")]
+
+
+def test_jdbc_sink_validates_config(spark):
+    with pytest.raises(ValueError, match="jdbc target requires"):
+        write_table(
+            spark.createDataFrame([(1,)], "k int"),
+            {"target": "jdbc", "options": {"url": "jdbc:x"}},
+        )
