@@ -1,0 +1,102 @@
+"""Small-file compaction: the table-maintenance pass every long-lived
+100 TB table needs.
+
+Incremental/streaming writes accumulate many small files (one per task per
+micro-batch); scans then pay per-file open/footer costs and the driver pays
+listing costs. Compaction rewrites a table's files into ~target-size
+outputs without changing its rows — the operational complement of the
+reference's one-shot ``repartition``/``coalesce`` output knobs
+(glue_etl_framework.py:196-207), which only shape a single write.
+
+Design: file count is computed from the table's actual on-disk bytes (no
+data pass), the rewrite is a single narrow-ish job (`repartition(n)` for
+even output sizes, or `coalesce(n)` to avoid a shuffle when slightly
+uneven outputs are fine), and the swap is transactional via
+:func:`glue_etl_framework_spark.io.writers.staged_write` — readers see the
+old files or the new files, never a mix. Partitioned layouts compact
+per-partition (partition columns are re-derived from the data, so the
+directory structure is preserved).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from glue_etl_framework_spark.io.writers import _strip_scheme, staged_write
+
+_DATA_SUFFIXES = (".parquet", ".orc", ".json", ".csv", ".avro", ".gz", ".snappy")
+
+
+def table_file_stats(location: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) under a table directory, recursively;
+    hidden/metadata files (_SUCCESS, .crc, ...) excluded. Driver-side
+    listing only — the same cost any scan's file index pays."""
+    location = _strip_scheme(location)
+    n, total = 0, 0
+    for root, _dirs, files in os.walk(location):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            if not f.endswith(_DATA_SUFFIXES):
+                continue
+            n += 1
+            total += os.path.getsize(os.path.join(root, f))
+    return n, total
+
+
+def plan_compaction(
+    location: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+) -> int | None:
+    """Number of output files a compaction should produce, or ``None`` when
+    compaction isn't worthwhile (already few files, or files already at or
+    above ~half the target on average)."""
+    n_files, total = table_file_stats(location)
+    if n_files < min_files_to_compact or total == 0:
+        return None
+    if total / n_files >= target_file_bytes / 2:
+        return None  # average file already reasonably sized
+    return max(1, -(-total // target_file_bytes))  # ceil division
+
+
+def compact_table(
+    spark: SparkSession,
+    location: str,
+    fmt: str = "parquet",
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_keys: list[str] | None = None,
+    shuffle: bool = True,
+    options: dict[str, Any] | None = None,
+) -> int | None:
+    """Rewrite the table at ``location`` into ~``target_file_bytes`` files.
+
+    Returns the output file count, or ``None`` if no compaction was needed
+    (the table is untouched). ``shuffle=True`` uses ``repartition`` (even
+    file sizes, one shuffle); ``shuffle=False`` uses ``coalesce`` (no
+    shuffle, sizes follow input locality). The rewrite commits through
+    ``staged_write``, so a crash mid-compaction leaves the original table
+    intact and a reader never sees a partial mix."""
+    location = _strip_scheme(location).rstrip("/")
+    n_out = plan_compaction(location, target_file_bytes)
+    if n_out is None:
+        return None
+    df = spark.read.format(fmt).options(**{k: str(v) for k, v in (options or {}).items()}).load(location)
+    if partition_keys:
+        # Cluster rows of one directory partition into one task, or the
+        # writer would emit up to n_out files under EVERY partition dir.
+        df = df.repartition(n_out, *partition_keys)
+    elif shuffle:
+        df = df.repartition(n_out)
+    else:
+        df = df.coalesce(n_out)
+    out: dict[str, Any] = {"location": location, "format": fmt}
+    if partition_keys:
+        out["partition_keys"] = list(partition_keys)
+    if options:
+        out["options"] = dict(options)
+    staged_write(df, out)
+    return n_out

@@ -1,0 +1,69 @@
+"""Small-file compaction: row-preserving rewrite into ~target-size files,
+transactional swap, partition-layout preservation, and a planner that
+declines when compaction isn't worthwhile."""
+
+from __future__ import annotations
+
+import os
+
+from glue_etl_framework_spark.io.compaction import (
+    compact_table,
+    plan_compaction,
+    table_file_stats,
+)
+
+
+def _data_files(path):
+    out = []
+    for root, _d, files in os.walk(path):
+        out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    return out
+
+
+def test_compact_shrinks_file_count_preserves_rows(tmp_path, spark):
+    loc = str(tmp_path / "frag")
+    spark.range(0, 10_000).selectExpr("id AS k", "id % 7 AS v").repartition(40).write.parquet(loc)
+    n_before, total = table_file_stats(loc)
+    assert n_before == 40
+    # target sized so the whole table fits in one file
+    n_out = compact_table(spark, loc, target_file_bytes=64 * 1024 * 1024)
+    assert n_out == 1
+    assert len(_data_files(loc)) == 1
+    got = spark.read.parquet(loc)
+    assert got.count() == 10_000
+    assert got.selectExpr("sum(k) AS s").first().s == sum(range(10_000))
+    # no stage/backup residue
+    assert not [d for d in os.listdir(tmp_path) if "__stage__" in d or "__old__" in d]
+
+
+def test_compact_partitioned_preserves_layout(tmp_path, spark):
+    loc = str(tmp_path / "part")
+    df = spark.range(0, 2_000).selectExpr("id AS k", "CAST(id % 3 AS STRING) AS p")
+    df.repartition(10).write.partitionBy("p").parquet(loc)
+    assert len(_data_files(loc)) > 3
+    n_out = compact_table(
+        spark, loc, target_file_bytes=64 * 1024 * 1024, partition_keys=["p"]
+    )
+    assert n_out is not None
+    parts = sorted(d for d in os.listdir(loc) if d.startswith("p="))
+    assert parts == ["p=0", "p=1", "p=2"]
+    # one file per partition dir (rows of a partition clustered to one task)
+    for d in parts:
+        assert len(_data_files(os.path.join(loc, d))) == 1
+    got = spark.read.parquet(loc)
+    assert got.count() == 2_000
+    assert got.groupBy("p").count().count() == 3
+
+
+def test_plan_compaction_declines_when_not_worthwhile(tmp_path, spark):
+    loc = str(tmp_path / "ok")
+    spark.range(0, 100).coalesce(1).write.parquet(loc)
+    # single file: nothing to compact
+    assert plan_compaction(loc) is None
+    # well-sized files: average >= target/2 -> decline
+    n, total = table_file_stats(loc)
+    assert plan_compaction(loc, target_file_bytes=total) is None
+    # noop on decline: compact_table leaves the table untouched
+    before = _data_files(loc)
+    assert compact_table(spark, loc) is None
+    assert _data_files(loc) == before
