@@ -245,18 +245,30 @@ def _staged_write_catalog(df: DataFrame, output: dict[str, Any]) -> str:
     staged_cfg["target"] = "file"
     staged_cfg["location"] = stage
     staged_cfg["refresh"] = "full"
+    partition_keys = output.get("partition_keys") or []
+    if isinstance(partition_keys, str):
+        partition_keys = [k.strip() for k in partition_keys.split(",") if k.strip()]
     try:
         write_table(df, staged_cfg)
         if exists:
             spark.sql(f"ALTER TABLE {table} SET LOCATION '{stage}'")
-            spark.catalog.refreshTable(table)
+            # The ALTER is the commit point; the old directory is dead data
+            # from here on. Delete it BEFORE the partition sync: SYNC drops
+            # only partitions whose directory is gone, so stale entries
+            # (which still point into the old root) must lose their files
+            # first.
             if old_loc and os.path.exists(old_loc) and old_loc != stage:
                 shutil.rmtree(old_loc, ignore_errors=True)
+            part_cols = [c.name for c in spark.catalog.listColumns(table) if c.isPartition]
+            if part_cols:
+                spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
+            spark.catalog.refreshTable(table)
         else:
-            partition_keys = output.get("partition_keys") or []
-            if isinstance(partition_keys, str):
-                partition_keys = [k.strip() for k in partition_keys.split(",") if k.strip()]
-            ddl = f"CREATE TABLE {table} USING {fmt} "
+            # CREATE TABLE ... PARTITIONED BY requires an explicit column
+            # list; render it from the written DataFrame's schema (partition
+            # columns keep their position — PARTITIONED BY names them).
+            cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+            ddl = f"CREATE TABLE {table} ({cols}) USING {fmt} "
             if partition_keys:
                 ddl += f"PARTITIONED BY ({', '.join(partition_keys)}) "
             ddl += f"LOCATION '{stage}'"

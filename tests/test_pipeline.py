@@ -553,3 +553,33 @@ def test_jdbc_sink_validates_config(spark):
             spark.createDataFrame([(1,)], "k int"),
             {"target": "jdbc", "options": {"url": "jdbc:x"}},
         )
+
+
+def test_staged_catalog_write_partitioned_sync(tmp_path, spark):
+    """Governed swap on a PARTITIONED catalog table: the CREATE path renders
+    an explicit column list, and the swap re-syncs partition metadata so no
+    stale partition points into the deleted old directory."""
+    out = {
+        "target": "catalog",
+        "database": "pgovdb",
+        "table_name": "ptab",
+        "location": f"{tmp_path}/ptab",
+        "partition_keys": "p",
+    }
+    staged_write(
+        spark.createDataFrame([(1, "a", "p1"), (2, "b", "p2")], "k int, v string, p string"),
+        out,
+    )
+    assert sorted((r.k, r.p) for r in spark.table("pgovdb.ptab").collect()) == [
+        (1, "p1"), (2, "p2"),
+    ]
+    staged_write(
+        spark.createDataFrame([(3, "c", "p1"), (4, "d", "p3")], "k int, v string, p string"),
+        out,
+    )
+    assert sorted((r.k, r.p) for r in spark.table("pgovdb.ptab").collect()) == [
+        (3, "p1"), (4, "p3"),
+    ]
+    parts = [r[0] for r in spark.sql("SHOW PARTITIONS pgovdb.ptab").collect()]
+    assert sorted(parts) == ["p=p1", "p=p3"]  # p2 dropped by SYNC
+    spark.sql("DROP TABLE pgovdb.ptab")
