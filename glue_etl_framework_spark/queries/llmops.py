@@ -214,3 +214,97 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lp").alias("logprob_fp"),
         (F.sum("lp") / F.count("*")).cast("long").alias("per_bigram_fp"),
     )
+
+
+# Multi-language stopword lexicons (mirrors queries.text.STOPWORDS; repeated
+# here as the single source for the confusion-matrix CASE chains so both
+# engines render the identical decision order).
+_LANGS = {
+    "de": ["der", "die", "das", "und", "zu"],
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "fr": ["le", "la", "de", "et", "que"],
+}
+
+
+def _hits_sql(lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in _LANGS[lang])
+    return f"length(list_filter(string_split(text, ' '), x -> list_contains([{arr}], x)))"
+
+
+def _predict_case_sql() -> str:
+    # explicit CASE chain in alphabetical order; >= keeps score ties on the
+    # earlier language, and zero total hits short-circuits to 'unknown'
+    langs = sorted(_LANGS)
+    hits = {lg: _hits_sql(lg) for lg in langs}
+    any_hit = " + ".join(hits.values())
+    parts = []
+    for lg in langs:
+        conds = [f"{hits[lg]} >= {hits[o]}" for o in langs if o != lg]
+        parts.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
+    return f"CASE WHEN ({any_hit}) = 0 THEN 'unknown' {' '.join(parts)} ELSE 'unknown' END"
+
+
+@register(
+    "quality_langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT doc_id, lang AS lang_recorded, {_predict_case_sql()} AS lang_predicted
+      FROM documents
+    ),
+    cm AS (
+      SELECT lang_recorded, lang_predicted, COUNT(*) AS n_docs
+      FROM pred GROUP BY lang_recorded, lang_predicted
+    ),
+    tot AS (SELECT lang_recorded, SUM(n_docs) AS n FROM cm GROUP BY lang_recorded)
+    SELECT c.lang_recorded, c.lang_predicted,
+           CAST(c.n_docs AS BIGINT) AS n_docs,
+           round(CAST(c.n_docs AS DOUBLE) / t.n, 6) AS share_of_recorded
+    FROM cm c JOIN tot t ON c.lang_recorded = t.lang_recorded
+    """,
+    category="quality",
+)
+def quality_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-metadata audit: confusion matrix of the recorded ``lang``
+    column against the stopword-argmax language prediction (alphabetical
+    tie-break, 'unknown' when no lexicon hits) — the standard check before
+    trusting upstream language labels for stratified sampling. Scoring is
+    a pure scan-side expression; the matrix is a tiny two-level aggregate
+    (languages x languages rows), so the only shuffled data is the
+    per-(recorded, predicted) partial counts."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+
+    def hits_col(lex_words):
+        # closure factory: a default-arg lambda would read as a binary
+        # (element, index) higher-order-function lambda to PySpark
+        lex = F.array(*[F.lit(w) for w in lex_words])
+        return F.size(F.filter(words, lambda x: F.array_contains(lex, x)))
+
+    hits = {lg: hits_col(_LANGS[lg]) for lg in sorted(_LANGS)}
+    langs = sorted(_LANGS)
+    any_hit = hits[langs[0]]
+    for lg in langs[1:]:
+        any_hit = any_hit + hits[lg]
+    pred = F.when(any_hit == 0, F.lit("unknown"))
+    for lg in langs:
+        cond = None
+        for other in langs:
+            if other == lg:
+                continue
+            c = hits[lg] >= hits[other]
+            cond = c if cond is None else (cond & c)
+        pred = pred.when(cond, F.lit(lg))
+    pred = pred.otherwise(F.lit("unknown"))
+    cm = (
+        d.select(F.col("lang").alias("lang_recorded"), pred.alias("lang_predicted"))
+        .groupBy("lang_recorded", "lang_predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    tot = cm.groupBy("lang_recorded").agg(F.sum("n_docs").alias("n"))
+    return cm.join(tot, "lang_recorded").select(
+        "lang_recorded",
+        "lang_predicted",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(F.col("n_docs").cast("double") / F.col("n"), 6).alias("share_of_recorded"),
+    )
