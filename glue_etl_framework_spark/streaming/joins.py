@@ -46,17 +46,23 @@ def upsert_sink(
     keys: list[str],
     checkpoint: str,
     fmt: str = "parquet",
+    order_by: str | None = None,
 ):
     """Start a foreachBatch query that upserts every micro-batch into the
     target by key (last-writer-wins, staged atomic rewrite). Exactly-once
     per key per batch: re-run batches re-apply the same upsert
-    idempotently. Returns the StreamingQuery (caller awaits/stops)."""
+    idempotently. ``order_by`` (e.g. the event timestamp) makes the winner
+    among same-key rows WITHIN one micro-batch deterministic — without it
+    the intra-batch winner is arbitrary. Returns the StreamingQuery
+    (caller awaits/stops)."""
     from glue_etl_framework_spark.io.writers import upsert_by_key
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        upsert_by_key(batch_df.sparkSession, batch_df, location, keys, fmt=fmt)
+        upsert_by_key(
+            batch_df.sparkSession, batch_df, location, keys, fmt=fmt, order_by=order_by
+        )
 
     return (
         stream.writeStream.foreachBatch(_apply)

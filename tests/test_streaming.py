@@ -225,6 +225,29 @@ def test_streaming_upsert_sink(tmp_path, spark, events):
     assert got.count() == events.limit(200).select("user_id").distinct().count()
 
 
+def test_streaming_upsert_sink_order_by_deterministic(tmp_path, spark, events):
+    """order_by=event_id pins the intra-batch winner per user to the row
+    with the greatest event_id (the whole source arrives as one availableNow
+    micro-batch, so every duplicate key is intra-batch here)."""
+    src = str(tmp_path / "det_src")
+    out = str(tmp_path / "det_out")
+    sample = events.limit(200).select("user_id", "event_id", "value")
+    sample.write.parquet(src)
+    stream = ST.read_file_stream(
+        spark, src, "user_id long, event_id long, value double"
+    )
+    q = ST.upsert_sink(
+        stream, out, ["user_id"], str(tmp_path / "det_ckpt"), order_by="event_id"
+    )
+    q.awaitTermination()
+    got = {r.user_id: r.event_id for r in spark.read.parquet(out).collect()}
+    want = {
+        r.user_id: r.mx
+        for r in sample.groupBy("user_id").agg(F.max("event_id").alias("mx")).collect()
+    }
+    assert got == want
+
+
 def test_stream_static_enrich_matches_batch(tmp_path, spark, events):
     from glue_etl_framework_spark.streaming.ingest import read_file_stream
     from glue_etl_framework_spark.streaming.joins import stream_static_enrich
