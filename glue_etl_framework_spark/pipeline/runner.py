@@ -46,6 +46,7 @@ def run_sql_job(
     tables = interpolate(config.get("input_tables") or [], variables)
     register_views(spark, tables)
     sql = resolve_sql_text(config, variables, base_dir)
+    _logger(config, variables).info("SQL Statement : %s", sql)
     result = spark.sql(sql)
     output = interpolate(config.get("output_table") or {}, variables)
     if write and output:
@@ -77,6 +78,43 @@ def run_python_job(
     return runpy.run_path(str(path), init_globals=init_globals)
 
 
+def _logger(config: dict[str, Any], variables: dict[str, str]):
+    """Job-bound structured logger (reference log.configure(extra=...),
+    :369-370/:420-425: pipeline, job type, output table)."""
+    from glue_etl_framework_spark.joblog import get_job_logger
+
+    job = config.get("job") or {}
+    output = (config.get("output_table") or {}).get("name") or (
+        config.get("output_table") or {}
+    ).get("table_name")
+    return get_job_logger(
+        pipeline=variables.get("pipeline", ""),
+        type=str(job.get("type", "spark-sql")),
+        output=str(output or ""),
+    )
+
+
+def apply_spark_config(spark: SparkSession, config: dict[str, Any]) -> None:
+    """Apply ``job.spark_config`` (reference :392-401: a list of one-entry
+    dicts set on SparkConf; a plain mapping is also accepted here) to the
+    RUNNING session. Runtime-settable confs (spark.sql.*) take effect
+    immediately; context-creation confs (executor sizing, jars) cannot be
+    changed on a live JVM — pass those to ``get_spark(extra_conf=...)``
+    instead, which is this engine's context-creation path."""
+    entries = (config.get("job") or {}).get("spark_config")
+    if not entries:
+        return
+    pairs: list[tuple[str, str]] = []
+    if isinstance(entries, dict):
+        pairs = [(str(k), str(v)) for k, v in entries.items()]
+    else:
+        for entry in entries:
+            for k, v in dict(entry).items():
+                pairs.append((str(k), str(v)))
+    for k, v in pairs:
+        spark.conf.set(k, v)
+
+
 def run_pipeline(
     spark: SparkSession,
     config_path: str | Path,
@@ -85,8 +123,10 @@ def run_pipeline(
     write: bool = True,
 ) -> DataFrame | dict[str, Any]:
     """Top-level entry (reference "JOB STARTS HERE", :361-438): load config,
-    bind pipeline variables, dispatch on ``job.type`` (:427-431)."""
+    apply ``job.spark_config`` (:392-401), bind pipeline variables, dispatch
+    on ``job.type`` (:427-431)."""
     config = load_config(config_path)
+    apply_spark_config(spark, config)
     variables = pipeline_variables(config, pipeline, variable_overrides)
     variables.setdefault("pipeline", pipeline)
     job_type = str((config.get("job") or {}).get("type", "spark-sql")).lower()

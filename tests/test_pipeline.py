@@ -583,3 +583,29 @@ def test_staged_catalog_write_partitioned_sync(tmp_path, spark):
     parts = [r[0] for r in spark.sql("SHOW PARTITIONS pgovdb.ptab").collect()]
     assert sorted(parts) == ["p=p1", "p=p3"]  # p2 dropped by SYNC
     spark.sql("DROP TABLE pgovdb.ptab")
+
+
+def test_spark_config_applied_from_yaml(tmp_path, spark):
+    """job.spark_config (reference :392-401, list-of-one-entry-dicts) is
+    applied to the running session by run_pipeline."""
+    (tmp_path / "sc.yaml").write_text(
+        """
+job:
+  type: spark-sql
+  spark_config:
+    - spark.sql.autoBroadcastJoinThreshold: 12345678
+    - spark.sql.cbo.enabled: "true"
+variables:
+  demo: {}
+sql: SELECT 1 AS one
+"""
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        out = run_pipeline(spark, tmp_path / "sc.yaml", "demo", write=False)
+        assert out.first().one == 1
+        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "12345678"
+        assert spark.conf.get("spark.sql.cbo.enabled") == "true"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.cbo.enabled")
