@@ -77,7 +77,13 @@ def write_table(df: DataFrame, output: dict[str, Any]) -> None:
         raise ValueError(f"refresh must be 'full' or 'incremental', got {refresh!r}")
     df, partition_keys = _layout(df, output)
 
-    writer = df.write.format(fmt).options(**{k: str(v) for k, v in (output.get("options") or {}).items()})
+    # Glue-style format_options on the SINK (README.md output_table row)
+    # translate exactly like the source side; plain 'options' pass through.
+    from glue_etl_framework_spark.io.readers import _translate_options
+
+    opts = _translate_options(output.get("format_options"))
+    opts.update({k: str(v) for k, v in (output.get("options") or {}).items()})
+    writer = df.write.format(fmt).options(**opts)
     if partition_keys:
         writer = writer.partitionBy(*partition_keys)
     if refresh == "full":
@@ -105,6 +111,12 @@ def write_table(df: DataFrame, output: dict[str, Any]) -> None:
         for key in ("url", "dbtable", "user", "password", "driver"):
             if key in output:
                 options.setdefault(key, str(output[key]))
+        if "dbtable" not in options and (output.get("table_name") or output.get("name")):
+            options["dbtable"] = str(output.get("table_name") or output.get("name"))
+        # README: 'schema' qualifies the destination table for JDBC targets
+        schema = output.get("schema")
+        if schema and "dbtable" in options and "." not in options["dbtable"]:
+            options["dbtable"] = f"{schema}.{options['dbtable']}"
         if "url" not in options or "dbtable" not in options:
             raise ValueError("jdbc target requires 'url' and 'dbtable'")
         mode = "overwrite" if refresh == "full" else "append"

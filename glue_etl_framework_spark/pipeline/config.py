@@ -35,8 +35,15 @@ def load_config(path: str | Path) -> dict[str, Any]:
 
 def pipeline_variables(config: dict[str, Any], pipeline: str, overrides: dict[str, str] | None = None) -> dict[str, str]:
     """Variables for one pipeline (reference :20-34), plus CLI-style
-    overrides (reference ``--variables`` arg, :363-366)."""
+    overrides (reference ``--variables`` arg, :363-366). A string value in
+    Python-dict format is accepted like the reference's
+    ``ast.literal_eval`` branch (:24-25, README.md: 'Config value should be
+    in Python Dictionary format')."""
     raw = (config.get("variables") or {}).get(pipeline) or {}
+    if isinstance(raw, str):
+        import ast
+
+        raw = ast.literal_eval(raw)
     if not isinstance(raw, dict):
         raise ValueError(f"variables for pipeline {pipeline!r} must be a mapping")
     variables = {str(k): str(v) for k, v in raw.items()}

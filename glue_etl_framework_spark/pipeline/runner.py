@@ -101,7 +101,10 @@ def apply_spark_config(spark: SparkSession, config: dict[str, Any]) -> None:
     immediately; context-creation confs (executor sizing, jars) cannot be
     changed on a live JVM — pass those to ``get_spark(extra_conf=...)``
     instead, which is this engine's context-creation path."""
-    entries = (config.get("job") or {}).get("spark_config")
+    job = config.get("job") or {}
+    # README spells the key "spark-config"; the reference code reads
+    # "spark_config" (:393) — accept both.
+    entries = job.get("spark_config") or job.get("spark-config")
     if not entries:
         return
     pairs: list[tuple[str, str]] = []

@@ -609,3 +609,60 @@ sql: SELECT 1 AS one
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.unset("spark.sql.cbo.enabled")
+
+
+def test_variables_as_python_dict_string(tmp_path, spark):
+    """README: a pipeline's variables value may be a Python-dict STRING
+    (the reference ast.literal_eval branch)."""
+    (tmp_path / "v.yaml").write_text(
+        """
+job:
+  type: spark-sql
+variables:
+  demo: '{"n": "7"}'
+sql: SELECT {n} AS v
+"""
+    )
+    assert run_pipeline(spark, tmp_path / "v.yaml", "demo", write=False).first().v == 7
+
+
+def test_sink_format_options_glue_names(tmp_path, spark):
+    """Glue-style format_options on the OUTPUT table translate to Spark
+    writer options (withHeader -> header, separator -> sep)."""
+    out = f"{tmp_path}/csv_out"
+    write_table(
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+        {
+            "target": "file",
+            "location": out,
+            "format": "csv",
+            "format_options": {"withHeader": True, "separator": "|"},
+        },
+    )
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    text = "".join(open(os.path.join(out, f)).read() for f in files)
+    assert "k|v" in text.splitlines()
+    assert "1|a" in text
+
+
+def test_jdbc_sink_schema_qualification(tmp_path, spark):
+    """README: 'schema' qualifies the JDBC destination table."""
+    url = f"jdbc:derby:{tmp_path}/schemadb;create=true"
+    opts = {"url": url, "driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    write_table(
+        spark.createDataFrame([(1,)], "k int"),
+        {
+            "target": "jdbc",
+            "table_name": "qt",
+            "schema": "APP",
+            "options": opts,
+            "refresh": "full",
+        },
+    )
+    from glue_etl_framework_spark.io.readers import read_table
+
+    df = read_table(
+        spark,
+        {"name": "qt", "source": "jdbc", "options": {**opts, "dbtable": "APP.qt"}},
+    )
+    assert df.count() == 1
