@@ -61,7 +61,13 @@ def materialize(df) -> None:
 
 
 def main() -> None:
-    spark = get_spark(app_name="bench")
+    # Size shuffle partitions to the actual parallelism: at sf0.1 on a
+    # 32-core local box, 200 (Spark's default) means tiny tasks and 6x the
+    # scheduling/checkpoint overhead on the iterative ops (A/B: CC 4.0s ->
+    # 3.0s, minhash_verified 2.8s -> 2.0s). At cluster scale the same knob
+    # is sized to data volume instead — see session.py docstring.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
+    spark = get_spark(app_name="bench", shuffle_partitions=cpus)
     registry = load_registry()
     names = [n for n in HEADLINE if n in registry]
     timings: dict[str, float] = {}
