@@ -98,3 +98,34 @@ def test_ext_shingle_tokens_punctuation(spark):
     )
     out = {r.doc_id: sorted(r.shingles) for r in shingle_tokens(df).collect()}
     assert out == {0: ["!a ?b #c", "?b #c $d"]}  # doc 1 too short -> filtered
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(TEXT, min_size=1, max_size=6))
+def test_bigram_regex_matches_split_semantics(spark, texts):
+    """queries.llmops.BIGRAM_REGEX must produce exactly the split-on-space
+    consecutive pairs for ANY token content (multiset equality — repetition
+    counting depends on duplicates, unlike the DISTINCT shingle path)."""
+    from collections import Counter
+
+    from glue_etl_framework_spark.queries.llmops import BIGRAM_REGEX
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id int, text string"
+    )
+    got = Counter(
+        (r.doc_id, r.s)
+        for r in df.select(
+            "doc_id", F.explode(F.expr(BIGRAM_REGEX)).alias("s")
+        ).collect()
+    )
+    want = Counter()
+    for i, s in enumerate(texts):
+        w = s.split(" ")
+        for j in range(len(w) - 1):
+            want[(i, f"{w[j]} {w[j+1]}")] += 1
+    assert got == want
