@@ -63,6 +63,32 @@ def plan_compaction(
     return max(1, -(-total // target_file_bytes))  # ceil division
 
 
+def partition_dir_stats(
+    location: str, partition_keys: list[str]
+) -> dict[tuple[str, ...], tuple[int, int]]:
+    """Per-hive-partition (n_data_files, bytes) for single- or multi-level
+    ``k=v`` layouts: {(v1, v2, ...) -> (n, bytes)}. Values are the raw dir
+    strings (no URL decoding — matched by string-cast join in
+    compact_table)."""
+    location = _strip_scheme(location).rstrip("/")
+    out: dict[tuple[str, ...], tuple[int, int]] = {}
+
+    def walk(path: str, vals: tuple[str, ...], depth: int) -> None:
+        if depth == len(partition_keys):
+            n, b = table_file_stats(path)
+            if n:
+                out[vals] = (n, b)
+            return
+        key = partition_keys[depth]
+        for d in os.listdir(path):
+            full = os.path.join(path, d)
+            if os.path.isdir(full) and d.startswith(f"{key}="):
+                walk(full, vals + (d[len(key) + 1 :],), depth + 1)
+
+    walk(location, (), 0)
+    return out
+
+
 def compact_table(
     spark: SparkSession,
     location: str,
@@ -77,18 +103,51 @@ def compact_table(
     Returns the output file count, or ``None`` if no compaction was needed
     (the table is untouched). ``shuffle=True`` uses ``repartition`` (even
     file sizes, one shuffle); ``shuffle=False`` uses ``coalesce`` (no
-    shuffle, sizes follow input locality). The rewrite commits through
-    ``staged_write``, so a crash mid-compaction leaves the original table
-    intact and a reader never sees a partial mix."""
+    shuffle, sizes follow input locality).
+
+    Partitioned layouts are sized PER PARTITION: each hive partition gets
+    ceil(partition_bytes / target) output files, with rows salted across
+    them by a deterministic row hash — a 1 TB partition compacts to ~8x128MB
+    files, not one 1 TB file, while small partitions still collapse to one.
+    The per-partition plan is a driver-side directory listing (the same cost
+    any scan's file index pays), broadcast back as a tiny (partition ->
+    n_out) map. The rewrite commits through ``staged_write``, so a crash
+    mid-compaction leaves the original table intact and a reader never sees
+    a partial mix."""
     location = _strip_scheme(location).rstrip("/")
     n_out = plan_compaction(location, target_file_bytes)
     if n_out is None:
         return None
     df = spark.read.format(fmt).options(**{k: str(v) for k, v in (options or {}).items()}).load(location)
     if partition_keys:
-        # Cluster rows of one directory partition into one task, or the
-        # writer would emit up to n_out files under EVERY partition dir.
-        df = df.repartition(n_out, *partition_keys)
+        from pyspark.sql import functions as F
+
+        stats = partition_dir_stats(location, list(partition_keys))
+        rows = [
+            (*vals, max(1, -(-b // target_file_bytes)))
+            for vals, (_n, b) in sorted(stats.items())
+        ]
+        schema = ", ".join(f"_p_{i} string" for i in range(len(partition_keys)))
+        nmap = spark.createDataFrame(rows, f"{schema}, _n_out int")
+        cond = None
+        for i, k in enumerate(partition_keys):
+            c = df[k].cast("string") == nmap[f"_p_{i}"]
+            cond = c if cond is None else (cond & c)
+        data_cols = [c for c in df.columns if c not in set(partition_keys)]
+        salt = F.pmod(F.xxhash64(*[df[c] for c in data_cols]), F.col("_n_out"))
+        total = sum(r[-1] for r in rows) or 1
+        # 8x over-provisioned shuffle partitions: hash placement of the
+        # (partition, salt) groups rarely collides, so files land near the
+        # target size (a rare collision merges two salt groups of the same
+        # partition into one ~2x-target file — maintenance-grade, not
+        # bin-packing-exact).
+        df = (
+            df.join(F.broadcast(nmap), cond)
+            .withColumn("_salt", salt)
+            .repartition(total * 8, *partition_keys, "_salt")
+            .drop("_salt", "_n_out", *[f"_p_{i}" for i in range(len(partition_keys))])
+        )
+        n_out = total
     elif shuffle:
         df = df.repartition(n_out)
     else:

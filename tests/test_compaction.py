@@ -44,15 +44,42 @@ def test_compact_partitioned_preserves_layout(tmp_path, spark):
     n_out = compact_table(
         spark, loc, target_file_bytes=64 * 1024 * 1024, partition_keys=["p"]
     )
-    assert n_out is not None
+    assert n_out == 3  # one planned file per partition (all well under target)
     parts = sorted(d for d in os.listdir(loc) if d.startswith("p="))
     assert parts == ["p=0", "p=1", "p=2"]
-    # one file per partition dir (rows of a partition clustered to one task)
+    # small partitions collapse to one file each
     for d in parts:
         assert len(_data_files(os.path.join(loc, d))) == 1
     got = spark.read.parquet(loc)
     assert got.count() == 2_000
     assert got.groupBy("p").count().count() == 3
+
+
+def test_compact_partitioned_splits_oversized_partition(tmp_path, spark):
+    """A partition holding many times the target bytes is salted across
+    multiple output files instead of collapsing to one giant file."""
+    from glue_etl_framework_spark.io.compaction import partition_dir_stats
+
+    loc = str(tmp_path / "skewed")
+    big = spark.range(0, 40_000).selectExpr(
+        "id AS k", "repeat(uuid(), 4) AS payload", "'big' AS p"
+    )
+    small = spark.range(0, 50).selectExpr(
+        "id AS k", "repeat(uuid(), 4) AS payload", "'small' AS p"
+    )
+    big.union(small).repartition(16).write.partitionBy("p").parquet(loc)
+    stats = partition_dir_stats(loc, ["p"])
+    big_bytes = stats[("big",)][1]
+    target = max(1, big_bytes // 4)  # plan ~4-5 files for the big partition
+    n_out = compact_table(spark, loc, target_file_bytes=target, partition_keys=["p"])
+    assert n_out is not None and n_out >= 5
+    big_files = _data_files(os.path.join(loc, "p=big"))
+    small_files = _data_files(os.path.join(loc, "p=small"))
+    assert len(big_files) >= 3  # salted split (hash collisions may merge some)
+    assert len(small_files) == 1
+    got = spark.read.parquet(loc)
+    assert got.count() == 40_050
+    assert got.filter("p = 'big'").count() == 40_000
 
 
 def test_plan_compaction_declines_when_not_worthwhile(tmp_path, spark):
