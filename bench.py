@@ -53,6 +53,9 @@ HEADLINE = [
     "dedup_connected_components",   # iterative min-label propagation
     "similarity_lsh_hyperplane_pairs",  # banded hyperplane LSH (ANN scale path)
     "events_transition_matrix",     # event-type Markov transition counts
+    "curation_decontaminate",       # benchmark n-gram anti-overlap
+    "text_bigram_logprob",          # bigram LM scoring (keyed freq joins)
+    "text_repetition_ratio",        # Gopher-style repetition filter
 ]
 
 
