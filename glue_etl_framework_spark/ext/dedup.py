@@ -89,8 +89,12 @@ def connected_component_labels(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Iterate ONLY over nodes that appear in the dup graph: isolated nodes
+    # never change label, so they join back once at the end. At corpus
+    # scale the per-round state is O(|dup graph|), not O(|corpus|) — with
+    # 1% near-dups that's 100x less shuffled per round.
     labels = (
-        nodes.select(F.col(id_col).alias("node"))
+        edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
@@ -122,7 +126,10 @@ def connected_component_labels(
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    all_nodes = nodes.select(F.col(id_col).alias("node")).distinct()
+    return all_nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("label", F.col("node")).alias("label")
+    )
 
 
 def dedup_keep_representative(
