@@ -96,6 +96,40 @@ def split_rows(df: DataFrame, predicate: Column | str) -> tuple[DataFrame, DataF
     return df.filter(pred), df.filter(~pred)
 
 
+def select_from_collection(frames: Iterable[DataFrame], index: int) -> DataFrame:
+    """SelectFromCollection: pick one frame from a split result (the Glue
+    DynamicFrameCollection is just a tuple of DataFrames here)."""
+    return list(frames)[index]
+
+
+def unbox(
+    df: DataFrame,
+    column: str,
+    fmt: str = "json",
+    schema: T.StructType | str | None = None,
+    options: Mapping[str, str] | None = None,
+) -> DataFrame:
+    """Unbox: parse a string column into a typed struct (json or csv).
+    Without an explicit schema the json variant infers it from ONE sampled
+    non-null value (a single-row driver lookup, like Glue's inference pass
+    — pass ``schema`` on wide tables to skip it); csv requires a schema."""
+    opts = dict(options or {})
+    if fmt == "json":
+        if schema is None:
+            sample = df.select(column).dropna().first()
+            if sample is None:
+                raise ValueError(f"cannot infer schema: column {column!r} is all null")
+            schema = F.schema_of_json(F.lit(sample[0]))
+        parsed = F.from_json(F.col(column), schema, opts)
+    elif fmt == "csv":
+        if schema is None:
+            raise ValueError("unbox(fmt='csv') requires a schema")
+        parsed = F.from_csv(F.col(column), F.lit(schema) if isinstance(schema, str) else F.lit(schema.simpleString()), opts)
+    else:
+        raise ValueError(f"unsupported unbox format {fmt!r}")
+    return df.withColumn(column, parsed)
+
+
 def unnest(df: DataFrame, separator: str = ".") -> DataFrame:
     """UnnestFrame: recursively flatten struct columns into top-level
     columns named parent<sep>child. Arrays are left intact (see

@@ -116,3 +116,35 @@ def test_errors_as_frame(tmp_path, spark):
     good, bad = X.errors_as_frame(spark, str(p), schema="a bigint, _corrupt_record string")
     assert sorted(r.a for r in good.collect()) == [1, 3]
     assert bad.count() == 1 and "broken" in bad.first()._corrupt_record
+
+
+def test_unbox_json_infers_and_parses(spark):
+    from glue_etl_framework_spark.transforms.verbs import unbox
+
+    df = spark.createDataFrame(
+        [(1, '{"a": 5, "b": "x"}'), (2, '{"a": 7, "b": "y"}')], "id int, payload string"
+    )
+    out = unbox(df, "payload")
+    assert out.select("payload.a").rdd.map(lambda r: r[0]).collect() == [5, 7]
+    assert out.filter("payload.b = 'y'").count() == 1
+
+
+def test_unbox_csv_with_schema(spark):
+    from glue_etl_framework_spark.transforms.verbs import unbox
+
+    df = spark.createDataFrame([(1, "5|x")], "id int, payload string")
+    out = unbox(df, "payload", fmt="csv", schema="a int, b string", options={"sep": "|"})
+    row = out.first().payload
+    assert (row.a, row.b) == (5, "x")
+
+
+def test_select_from_collection(spark):
+    from glue_etl_framework_spark.transforms.verbs import (
+        select_from_collection,
+        split_rows,
+    )
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    frames = split_rows(df, "k > 1")
+    assert select_from_collection(frames, 0).count() == 2
+    assert select_from_collection(frames, 1).count() == 1
