@@ -159,3 +159,17 @@ def compact_table(
         out["options"] = dict(options)
     staged_write(df, out)
     return n_out
+
+
+def analyze_table(
+    spark: SparkSession, table: str, columns: list[str] | None = None
+) -> None:
+    """Refresh table (and optionally column) statistics in the catalog —
+    the other half of table maintenance alongside compaction. Size/row
+    stats feed join-strategy selection (auto-broadcast); column histograms
+    feed CBO (spark.sql.cbo.enabled) join reordering. Run after large
+    writes or compactions so the optimizer sees current sizes."""
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")

@@ -94,3 +94,31 @@ def test_plan_compaction_declines_when_not_worthwhile(tmp_path, spark):
     before = _data_files(loc)
     assert compact_table(spark, loc) is None
     assert _data_files(loc) == before
+
+
+def test_partition_dir_stats_multilevel(tmp_path, spark):
+    loc = str(tmp_path / "ml")
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y"), (3, "b", "x")], "k int, p1 string, p2 string"
+    )
+    df.write.partitionBy("p1", "p2").parquet(loc)
+    from glue_etl_framework_spark.io.compaction import partition_dir_stats
+
+    stats = partition_dir_stats(loc, ["p1", "p2"])
+    assert set(stats) == {("a", "x"), ("a", "y"), ("b", "x")}
+    assert all(n >= 1 and b > 0 for n, b in stats.values())
+
+
+def test_analyze_table_records_stats(tmp_path, spark):
+    from glue_etl_framework_spark.io.compaction import analyze_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS statdb")
+    spark.createDataFrame([(i, str(i)) for i in range(100)], "k int, v string") \
+        .write.mode("overwrite").option("path", f"{tmp_path}/st").saveAsTable("statdb.st")
+    analyze_table(spark, "statdb.st", columns=["k"])
+    detail = {r.col_name: r.data_type for r in spark.sql("DESCRIBE EXTENDED statdb.st").collect()}
+    assert "Statistics" in detail and "100 rows" in detail["Statistics"]
+    colstats = {r.info_name: r.info_value for r in spark.sql(
+        "DESCRIBE EXTENDED statdb.st k").collect()}
+    assert colstats.get("distinct_count") not in (None, "NULL")
+    spark.sql("DROP TABLE statdb.st")
