@@ -516,3 +516,101 @@ def similarity_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.element_at("q", 1)).alias("sum_dim1_q"),
         )
     )
+
+
+REF_CORPUS_MOD = 10  # vec_id % 10 == 0 -> the held-out reference corpus
+
+
+@register(
+    "similarity_semantic_decontaminate",
+    oracle=f"""
+    WITH quant AS ({_QUANT_SQL}),
+    normed AS ({_NORM_SQL}),
+    sig AS (
+      SELECT vec_id, q, nq,
+             {_band_exprs_sql()[0]} AS band0,
+             {_band_exprs_sql()[1]} AS band1
+      FROM normed
+    ),
+    bench AS (SELECT * FROM sig WHERE vec_id % {REF_CORPUS_MOD} = 0),
+    cand AS (SELECT * FROM sig WHERE vec_id % {REF_CORPUS_MOD} <> 0),
+    hits0 AS (
+      SELECT c.vec_id, b.vec_id AS ref_id
+      FROM cand c JOIN bench b ON c.band0 = b.band0
+      UNION
+      SELECT c.vec_id, b.vec_id
+      FROM cand c JOIN bench b ON c.band1 = b.band1
+    ),
+    verified AS (
+      SELECT h.vec_id, {_COSINE_SQL.format(a='x', b='y')} AS cosine
+      FROM hits0 h
+      JOIN normed x ON x.vec_id = h.vec_id
+      JOIN normed y ON y.vec_id = h.ref_id
+    ),
+    agg AS (
+      SELECT vec_id,
+             CAST(COUNT(*) FILTER (WHERE cosine >= 0.35) AS BIGINT) AS n_matches,
+             MAX(CASE WHEN cosine >= 0.35 THEN cosine END) AS best
+      FROM verified GROUP BY vec_id
+    )
+    SELECT c.vec_id,
+           CAST(COALESCE(a.n_matches, 0) AS BIGINT) AS n_matches,
+           round(a.best, 9) AS best_cosine,
+           CASE WHEN COALESCE(a.n_matches, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+    FROM (SELECT vec_id FROM normed WHERE vec_id % {REF_CORPUS_MOD} <> 0) c
+    LEFT JOIN agg a ON a.vec_id = c.vec_id
+    """,
+    category="similarity",
+)
+def similarity_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) decontamination: flag every training
+    candidate whose embedding lies within cosine >= 0.35 of ANY vector in a
+    held-out reference corpus — the DataComp-style semantic filter that
+    catches paraphrased benchmark leakage n-gram overlap misses. Candidate
+    and reference sets meet ONLY through hyperplane-LSH band collisions (a
+    cross-corpus equi-join keyed on the band value — |cand| x |bench| is
+    never materialized), then exact quantized cosine verifies candidates;
+    clean docs come back via a left join with n_matches = 0. Same banded
+    scale shape as similarity_lsh_hyperplane_pairs, but set-vs-set instead
+    of self-join."""
+    v = _quantized(spark, sf_dir)
+    band_cols = []
+    for b in range(N_HYPERPLANES // _BAND_BITS):
+        bits = []
+        for k in range(_BAND_BITS):
+            j = b * _BAND_BITS + k
+            signs = F.array(*[F.lit(s) for s in _hyperplane_signs(j)])
+            proj = F.aggregate(
+                F.zip_with(F.col("q"), signs, lambda x, s: x * s.cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0)))
+        band_cols.append(sum(bits[1:], bits[0]).alias(f"band{b}"))
+    sig = v.select("vec_id", F.posexplode(F.array(*band_cols)).alias("bidx", "bv"))
+    is_ref = F.col("vec_id") % REF_CORPUS_MOD == 0
+    bench = sig.filter(is_ref).select(F.col("vec_id").alias("ref_id"), "bidx", "bv")
+    cand = sig.filter(~is_ref)
+    hits = cand.join(bench, ["bidx", "bv"]).select("vec_id", "ref_id").distinct()
+    x = v.select("vec_id", F.col("q").alias("qa"), F.col("nq").alias("na"))
+    y = v.select(F.col("vec_id").alias("ref_id"), F.col("q").alias("qb"), F.col("nq").alias("nb"))
+    cosine = _dot(F.col("qa"), F.col("qb")) / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    agg = (
+        hits.join(x, "vec_id")
+        .join(y, "ref_id")
+        .select("vec_id", cosine.alias("cosine"))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.when(F.col("cosine") >= 0.35, 1)).alias("n_matches"),
+            F.max(F.when(F.col("cosine") >= 0.35, F.col("cosine"))).alias("best"),
+        )
+    )
+    base = v.filter(~is_ref).select("vec_id")
+    return base.join(agg, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        F.round("best", 9).alias("best_cosine"),
+        F.when(F.coalesce("n_matches", F.lit(0)) > 0, 1).otherwise(0).alias("contaminated"),
+    )
