@@ -308,3 +308,345 @@ def quality_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("long").alias("n_docs"),
         F.round(F.col("n_docs").cast("double") / F.col("n"), 6).alias("share_of_recorded"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 second batch: quality gates, corpus-internal n-gram contamination,
+# blocklist filtering, domain-mixture sampling, int8 embedding quantization.
+# ---------------------------------------------------------------------------
+
+_EN_STOPWORDS = _LANGS["en"]
+
+# Gopher/MassiveText-style gate thresholds, tuned so the synthetic corpus
+# exercises both branches of every gate (docs are 10-110 tokens long).
+GOPHER_TOKENS_MIN, GOPHER_TOKENS_MAX = 20, 90
+GOPHER_MEAN_LEN_MIN, GOPHER_MEAN_LEN_MAX = 3.0, 7.0
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MAX_SHORT_RATIO = 0.2  # tokens of <= 2 chars
+
+
+@register(
+    "quality_gopher_filters",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           CAST(length(w) AS BIGINT) AS n_tokens,
+           round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                 / length(w), 6) AS mean_token_len,
+           CAST(length(list_filter(w,
+                x -> list_contains([{", ".join(repr(s) for s in _EN_STOPWORDS)}], x)))
+                AS BIGINT) AS stopword_hits,
+           round(CAST(length(list_filter(w, x -> length(x) <= 2)) AS DOUBLE)
+                 / length(w), 6) AS short_token_ratio,
+           CASE WHEN length(w) BETWEEN {GOPHER_TOKENS_MIN} AND {GOPHER_TOKENS_MAX}
+                 AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                     / length(w) BETWEEN {GOPHER_MEAN_LEN_MIN} AND {GOPHER_MEAN_LEN_MAX}
+                 AND length(list_filter(w,
+                     x -> list_contains([{", ".join(repr(s) for s in _EN_STOPWORDS)}], x)))
+                     >= {GOPHER_MIN_STOPWORDS}
+                 AND CAST(length(list_filter(w, x -> length(x) <= 2)) AS DOUBLE)
+                     / length(w) <= {GOPHER_MAX_SHORT_RATIO}
+                THEN 1 ELSE 0 END AS passes_gopher
+    FROM w
+    """,
+    category="quality",
+)
+def quality_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (MassiveText, arXiv 2112.11446 §A1) per-document quality
+    gates: token-count bounds, mean token length, minimum stopword evidence,
+    and short-token share. Every gate is a pure scan-side array expression —
+    no shuffle at all, so the operator is embarrassingly parallel and
+    scale-free; at 100 TB it runs at scan throughput with the filter fused
+    into the parquet read."""
+    d = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.size(w).cast("long")
+    sum_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_len = sum_len.cast("double") / n
+    stop_arr = F.array(*[F.lit(s) for s in _EN_STOPWORDS])
+    stop_hits = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("long")
+    short_ratio = F.size(F.filter(w, lambda x: F.length(x) <= 2)).cast("double") / n
+    passes = (
+        n.between(GOPHER_TOKENS_MIN, GOPHER_TOKENS_MAX)
+        & mean_len.between(GOPHER_MEAN_LEN_MIN, GOPHER_MEAN_LEN_MAX)
+        & (stop_hits >= GOPHER_MIN_STOPWORDS)
+        & (short_ratio <= GOPHER_MAX_SHORT_RATIO)
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        stop_hits.alias("stopword_hits"),
+        F.round(short_ratio, 6).alias("short_token_ratio"),
+        F.when(passes, 1).otherwise(0).alias("passes_gopher"),
+    )
+
+
+# 3-token sliding window, same token-start anchor discipline as BIGRAM_REGEX
+# (property-pinned to the split formulation in tests/test_text_properties.py).
+TRIGRAM_REGEX = r"regexp_extract_all(text, '(?<=^| )(?=(\\S+ \\S+ \\S+))', 1)"
+
+_TRIGRAM_SQL = """
+      SELECT doc_id, unnest(list_transform(range(1, length(w) - 1),
+                                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      WHERE length(w) >= 3
+"""
+
+
+@register(
+    "dedup_ngram_contamination",
+    oracle=f"""
+    WITH grams AS ({_TRIGRAM_SQL}),
+    pairs AS (SELECT DISTINCT doc_id, gram FROM grams),
+    df AS (SELECT gram, COUNT(*) AS n_docs FROM pairs GROUP BY gram)
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_grams,
+           round(CAST(SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS contamination_ratio
+    FROM pairs p JOIN df ON p.gram = df.gram
+    GROUP BY p.doc_id
+    """,
+    category="dedup",
+)
+def dedup_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal duplicate-n-gram fraction (the Gopher dup_ngram_frac
+    family): for each document, the share of its distinct sliding trigrams
+    that also appear in at least one OTHER document. Three keyed shuffles —
+    distinct (doc, gram) pairs, gram document-frequency (partial+final hash
+    agg), and the per-doc rollup after an equi-join of pairs to gram DF.
+    All linear in total gram count; the join key is the gram itself, so at
+    100 TB the gram DF side can be md5-compacted to a 16-byte key without
+    changing semantics. Docs with < 3 tokens have no trigrams and are
+    (consistently) absent from the output."""
+    d = t(spark, sf_dir, "documents")
+    grams = d.select("doc_id", F.explode(F.expr(TRIGRAM_REGEX)).alias("gram"))
+    pairs = grams.distinct()
+    df_counts = pairs.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    return (
+        pairs.join(df_counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            shared.alias("n_shared_grams"),
+            F.round(shared.cast("double") / F.count("*"), 6).alias("contamination_ratio"),
+        )
+    )
+
+
+BADWORDS = ["slow", "merge", "batch"]  # configured blocklist (C4-style)
+BADWORD_FLAG_RATIO = 0.05
+
+
+@register(
+    "quality_badwords_filter",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           CAST(length(w) AS BIGINT) AS n_tokens,
+           CAST(length(list_filter(w,
+                x -> list_contains([{", ".join(repr(b) for b in BADWORDS)}], x)))
+                AS BIGINT) AS n_badwords,
+           round(CAST(length(list_filter(w,
+                x -> list_contains([{", ".join(repr(b) for b in BADWORDS)}], x)))
+                AS DOUBLE) / length(w), 6) AS badword_ratio,
+           CASE WHEN CAST(length(list_filter(w,
+                x -> list_contains([{", ".join(repr(b) for b in BADWORDS)}], x)))
+                AS DOUBLE) / length(w) > {BADWORD_FLAG_RATIO}
+                THEN 1 ELSE 0 END AS flagged,
+           md5(array_to_string(list_transform(w,
+                x -> CASE WHEN list_contains([{", ".join(repr(b) for b in BADWORDS)}], x)
+                     THEN '*' ELSE x END), ' ')) AS redacted_fingerprint
+    FROM w
+    """,
+    category="quality",
+)
+def quality_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist (C4-style badwords) filter: per-doc blocklist hit count and
+    ratio, a drop flag at the configured threshold, and an md5 fingerprint
+    of the redacted text (blocklisted tokens masked) for downstream exact
+    dedup of the scrubbed corpus. Pure scan-side array expressions — zero
+    shuffles; the blocklist is a literal array (at production size it would
+    be a broadcast), so this runs at scan throughput at any corpus size."""
+    d = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    bad = F.array(*[F.lit(b) for b in BADWORDS])
+    n = F.size(w).cast("long")
+    n_bad = F.size(F.filter(w, lambda x: F.array_contains(bad, x))).cast("long")
+    ratio = n_bad.cast("double") / n
+    redacted = F.array_join(
+        F.transform(w, lambda x: F.when(F.array_contains(bad, x), F.lit("*")).otherwise(x)),
+        " ",
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        n_bad.alias("n_badwords"),
+        F.round(ratio, 6).alias("badword_ratio"),
+        F.when(ratio > BADWORD_FLAG_RATIO, 1).otherwise(0).alias("flagged"),
+        F.md5(redacted).alias("redacted_fingerprint"),
+    )
+
+
+# Target corpus shares for the domain-mixture sampler (fractions of the TOTAL
+# corpus). Sources not listed keep all their rows. src0's target exceeds its
+# natural share, exercising the keep-everything branch; src1/src2 downsample.
+MIXTURE_TARGETS = {"src0": 0.08, "src1": 0.04, "src2": 0.02}
+
+
+def _mixture_share_case() -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN CAST({w} AS DOUBLE)" for s, w in MIXTURE_TARGETS.items()
+    )
+    return f"CASE source {arms} ELSE NULL END"
+
+
+@register(
+    "sample_domain_mixture",
+    oracle=f"""
+    WITH counts AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+    rates AS (
+      SELECT source, n_src,
+             {_mixture_share_case()} AS share,
+             CAST(SUM(n_src) OVER () AS DOUBLE) AS total
+      FROM counts
+    ),
+    r2 AS (
+      SELECT source,
+             CASE WHEN share IS NULL THEN CAST(1.0 AS DOUBLE)
+                  ELSE least(CAST(1.0 AS DOUBLE), share * total / n_src) END AS rate
+      FROM rates
+    )
+    SELECT d.doc_id, d.source, round(r.rate, 6) AS keep_rate
+    FROM documents d JOIN r2 r ON d.source = r.source
+    WHERE CAST(floor(r.rate * 65536) AS BIGINT) >= 65536
+       OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+          < lpad(lower(to_hex(CAST(floor(r.rate * 65536) AS BIGINT))), 4, '0')
+    """,
+    category="curation",
+)
+def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing (DoReMi/Pile-style source weighting):
+    compute each source's keep-rate from a target share of the total corpus
+    (capped at 1 — this sampler never upsamples), then keep rows by a
+    deterministic md5-bucket draw so the sample is reproducible across
+    engines and runs. The rate table is one tiny aggregate (|sources| rows;
+    the window total shuffles only that aggregate, documented single
+    partition) broadcast back onto the fact scan — one shuffle of counts,
+    zero shuffles of data rows, so at 100 TB this is scan throughput plus
+    a 20-row broadcast. Rate comparison stays in the lowercase-hex string
+    domain (md5 prefix vs lpad'ed to_hex threshold) — the same portable
+    discipline as queries.dedup's string-min minhash."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_src"))
+    share = F.lit(None).cast("double")
+    for s, wgt in reversed(MIXTURE_TARGETS.items()):
+        share = F.when(F.col("source") == s, F.lit(float(wgt))).otherwise(share)
+    total = F.sum("n_src").over(W.partitionBy()).cast("double")
+    rate = F.when(
+        share.isNull(), F.lit(1.0)
+    ).otherwise(F.least(F.lit(1.0), share * total / F.col("n_src")))
+    rates = counts.select("source", rate.alias("rate"))
+    thr = F.floor(F.col("rate") * 65536).cast("long")
+    keep = (thr >= 65536) | (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+        < F.lpad(F.lower(F.hex(thr)), 4, "0")
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .where(keep)
+        .select("doc_id", "source", F.round("rate", 6).alias("keep_rate"))
+    )
+
+
+Q_SCALE = 1 << 20  # float -> fixed-point scale, same as queries.similarity
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH quant AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * {Q_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, q,
+             greatest(CAST(1 AS BIGINT),
+                      list_max(list_transform(q, x -> abs(x)))) AS maxabs_q
+      FROM quant
+    ),
+    err AS (
+      SELECT vec_id, maxabs_q,
+             CAST(length(q) AS BIGINT) AS n_dims,
+             CAST(length(list_filter(q,
+                  x -> abs(round(x * 127.0 / maxabs_q)) >= 127.0)) AS BIGINT) AS n_saturated,
+             CAST(list_sum(list_transform(q,
+                  x -> (x - CAST(round(round(x * 127.0 / maxabs_q) * maxabs_q / 127.0) AS BIGINT))
+                     * (x - CAST(round(round(x * 127.0 / maxabs_q) * maxabs_q / 127.0) AS BIGINT))))
+                  AS BIGINT) AS sse_q
+      FROM m
+    )
+    SELECT vec_id, maxabs_q, n_dims, n_saturated, sse_q,
+           round(sqrt(CAST(sse_q AS DOUBLE) / n_dims) / {Q_SCALE}, 6) AS rmse
+    FROM err
+    """,
+    category="similarity",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization audit — the standard
+    compression step before shipping embeddings to an ANN index: scale each
+    vector by 127/max|x|, round to int8, and report saturation count and
+    exact reconstruction error. All arithmetic happens in the fixed-point
+    integer domain of queries.similarity (floats scaled by 2^20 and rounded
+    to BIGINT) so the SSE is an exact integer sum — order-independent,
+    bit-identical across engines. Pure per-row array expressions: zero
+    shuffles, scan throughput at any corpus size, and the int8 codes (not
+    materialized here) shrink ANN index shuffle volume 4x vs float32."""
+    e = t(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * Q_SCALE).cast("long")
+    )
+    m_df = e.select(
+        "vec_id",
+        q.alias("q"),
+    ).select(
+        "vec_id",
+        "q",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.array_max(F.transform(F.col("q"), lambda x: F.abs(x))),
+        ).alias("maxabs_q"),
+    )
+    m = F.col("maxabs_q")
+
+    def dequant_err(x):
+        code = F.round(x * 127.0 / m)
+        return x - F.round(code * m / 127.0).cast("long")
+
+    sse = F.aggregate(
+        F.transform(F.col("q"), lambda x: dequant_err(x) * dequant_err(x)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_sat = F.size(
+        F.filter(F.col("q"), lambda x: F.abs(F.round(x * 127.0 / m)) >= 127.0)
+    ).cast("long")
+    n_dims = F.size(F.col("q")).cast("long")
+    return m_df.select(
+        "vec_id",
+        "maxabs_q",
+        n_dims.alias("n_dims"),
+        n_sat.alias("n_saturated"),
+        sse.alias("sse_q"),
+        F.round(F.sqrt(sse.cast("double") / n_dims) / Q_SCALE, 6).alias("rmse"),
+    )

@@ -129,3 +129,35 @@ def test_bigram_regex_matches_split_semantics(spark, texts):
         for j in range(len(w) - 1):
             want[(i, f"{w[j]} {w[j+1]}")] += 1
     assert got == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(TEXT, min_size=1, max_size=6))
+def test_trigram_regex_matches_split_semantics(spark, texts):
+    """queries.llmops.TRIGRAM_REGEX must produce exactly the split-on-space
+    consecutive triples for ANY token content (multiset equality), pinning
+    the Spark regex side of dedup_ngram_contamination to the oracle's
+    list-slice formulation."""
+    from collections import Counter
+
+    from glue_etl_framework_spark.queries.llmops import TRIGRAM_REGEX
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id int, text string"
+    )
+    got = Counter(
+        (r.doc_id, r.s)
+        for r in df.select(
+            "doc_id", F.explode(F.expr(TRIGRAM_REGEX)).alias("s")
+        ).collect()
+    )
+    want = Counter()
+    for i, s in enumerate(texts):
+        w = s.split(" ")
+        for j in range(len(w) - 2):
+            want[(i, f"{w[j]} {w[j+1]} {w[j+2]}")] += 1
+    assert got == want
