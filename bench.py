@@ -56,6 +56,7 @@ HEADLINE = [
     "curation_decontaminate",       # benchmark n-gram anti-overlap
     "text_bigram_logprob",          # bigram LM scoring (keyed freq joins)
     "text_repetition_ratio",        # Gopher-style repetition filter
+    "dedup_ngram_contamination",    # duplicate-trigram fraction (3 keyed shuffles)
 ]
 
 
