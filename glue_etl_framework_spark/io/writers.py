@@ -330,3 +330,79 @@ def upsert_by_key(
     else:
         merged = deduped_new
     staged_write(merged, {"location": location, "format": fmt})
+
+
+def scd2_merge(
+    current: DataFrame | None,
+    updates: DataFrame,
+    keys: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 MERGE: maintain full attribute
+    history with ``valid_from`` / ``valid_to`` / ``is_current`` columns —
+    the dimension-table pattern the reference's upsert config cannot
+    express (glue/glue_etl_framework.py:128 keeps only latest rows).
+
+    ``updates`` carries ``keys + attributes + ts_col``; ``current`` is a
+    prior output of this function (or None to initialize). Per batch:
+    the latest update per key wins (deterministic lexicographic max on
+    ``(ts, attributes)``); a changed attribute set closes the open row at
+    the update timestamp and opens a new one; unchanged and update-less
+    keys pass through untouched; history rows are never rewritten.
+
+    Scale design: one keyed shuffle for the per-key latest-update
+    aggregate and one for the full-outer join of OPEN rows with updates —
+    the (much larger, append-only) closed-history side is unioned back
+    without a shuffle. Branching happens in a single pass by building an
+    array of 1-2 row structs per joined key and exploding it, so the join
+    is computed once, not once per branch. No broadcast hint (AQE
+    broadcasts genuinely small batches), nothing collected to the driver.
+    """
+    attrs = [c for c in updates.columns if c not in keys and c != ts_col]
+    latest = (
+        updates.groupBy(*keys)
+        .agg(F.max(F.struct(F.col(ts_col).alias("_ts"), *attrs)).alias("_r"))
+        .select(*keys, "_r._ts", *[F.col(f"_r.{a}").alias(f"_u_{a}") for a in attrs])
+    )
+    if current is None:
+        return latest.select(
+            *keys,
+            *[F.col(f"_u_{a}").alias(a) for a in attrs],
+            F.col("_ts").alias("valid_from"),
+            F.lit(None).cast(latest.schema["_ts"].dataType).alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    open_rows = current.filter(F.col("is_current"))
+    history = current.filter(~F.col("is_current"))
+    j = open_rows.join(latest, keys, "full_outer")
+
+    def row(attr_src: str, valid_from, valid_to, is_current):
+        cols = [F.col(k).alias(k) for k in keys]
+        cols += [
+            (F.col(f"_u_{a}") if attr_src == "update" else F.col(a)).alias(a)
+            for a in attrs
+        ]
+        cols += [
+            valid_from.alias("valid_from"),
+            valid_to.alias("valid_to"),
+            F.lit(is_current).alias("is_current"),
+        ]
+        return F.struct(*cols)
+
+    null_ts = F.lit(None).cast(latest.schema["_ts"].dataType)
+    keep = row("current", F.col("valid_from"), F.col("valid_to"), True)
+    new_open = row("update", F.col("_ts"), null_ts, True)
+    closed = row("current", F.col("valid_from"), F.col("_ts"), False)
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~F.col(a).eqNullSafe(F.col(f"_u_{a}"))
+    no_update = F.col("_ts").isNull()
+    new_key = ~no_update & F.col("is_current").isNull()
+    rows = (
+        F.when(no_update, F.array(keep))
+        .when(new_key, F.array(new_open))
+        .when(changed, F.array(closed, new_open))
+        .otherwise(F.array(keep))
+    )
+    merged = j.select(F.explode(rows).alias("_row")).select("_row.*")
+    return history.select(merged.columns).unionByName(merged)
