@@ -650,3 +650,104 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         sse.alias("sse_q"),
         F.round(F.sqrt(sse.cast("double") / n_dims) / Q_SCALE, 6).alias("rmse"),
     )
+
+
+PQ_M = 4        # subspaces (64-dim embeddings -> 4 x 16 dims)
+PQ_SUBDIM = 16
+PQ_K = 16       # codewords per subspace (fixed K: never grows with n)
+
+
+@register(
+    "similarity_pq_encode",
+    oracle=f"""
+    WITH quant AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * {Q_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cid, q AS cq FROM quant
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}
+    ),
+    ms AS (SELECT unnest(range({PQ_M})) AS m),
+    sub AS (
+      SELECT vec_id, m, q[m*{PQ_SUBDIM}+1 : m*{PQ_SUBDIM}+{PQ_SUBDIM}] AS sq
+      FROM quant CROSS JOIN ms
+    ),
+    csub AS (
+      SELECT cid, m, cq[m*{PQ_SUBDIM}+1 : m*{PQ_SUBDIM}+{PQ_SUBDIM}] AS cs
+      FROM cent CROSS JOIN ms
+    ),
+    scored AS (
+      SELECT vec_id, s.m,
+             CAST(list_sum(list_transform(range(1, {PQ_SUBDIM}+1),
+                  i -> (sq[i]-cs[i]) * (sq[i]-cs[i]))) AS BIGINT) * {PQ_K} + cid AS packed
+      FROM sub s JOIN csub c ON s.m = c.m
+    ),
+    assign AS (SELECT vec_id, m, MIN(packed) AS win FROM scored GROUP BY vec_id, m),
+    code AS (
+      SELECT vec_id,
+             CAST(SUM((win % {PQ_K}) * (1 << (4*m))) AS BIGINT) AS pq_code,
+             CAST(SUM(win // {PQ_K}) AS BIGINT) AS sse_q
+      FROM assign GROUP BY vec_id
+    )
+    SELECT vec_id, pq_code, sse_q,
+           round(sqrt(CAST(sse_q AS DOUBLE) / {PQ_M * PQ_SUBDIM}) / {Q_SCALE}, 6) AS rmse
+    FROM code
+    """,
+    category="similarity",
+)
+def similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoder (Jegou et al., TPAMI 2011) — the
+    standard 100 TB ANN compression: split each vector into {PQ_M} subspaces
+    and snap each sub-vector to the nearest of {PQ_K} codewords, emitting a
+    16-bit code + exact reconstruction SSE. Codebook selection reuses the
+    fixed-K discipline of similarity_ann_ivf (bottom-K vec_ids by md5 — a
+    TakeOrdered, constant-size at any corpus scale); assignment is an
+    n x K x M broadcast join (codebook broadcast is {PQ_K} rows), and the
+    winner per (vector, subspace) is an integer-packed argmin
+    (dist*K + cid, MIN-aggregated — one row per group reaches the shuffle,
+    ties break to the lowest codeword id identically in both engines).
+    All distances live in the fixed-point integer domain of
+    queries.similarity, so SSE is exact and order-independent."""
+    e = t(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * Q_SCALE).cast("long")
+    )
+    quant = e.select("vec_id", q.alias("q"))
+    cent = (
+        quant.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(PQ_K)
+        .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"))
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    sub = quant.select("vec_id", "q", ms).select(
+        "vec_id", "m", F.expr(f"slice(q, m*{PQ_SUBDIM}+1, {PQ_SUBDIM})").alias("sq")
+    )
+    csub = cent.select("cid", "cq", ms).select(
+        "cid", "m", F.expr(f"slice(cq, m*{PQ_SUBDIM}+1, {PQ_SUBDIM})").alias("cs")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("sq"), F.col("cs"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = sub.join(F.broadcast(csub), "m").select(
+        "vec_id", "m", (dist * PQ_K + F.col("cid")).alias("packed")
+    )
+    assign = scored.groupBy("vec_id", "m").agg(F.min("packed").alias("win"))
+    code = assign.groupBy("vec_id").agg(
+        F.sum(
+            (F.col("win") % PQ_K) * F.expr("shiftleft(1, 4*m)")
+        ).alias("pq_code"),
+        F.sum(F.expr(f"win div {PQ_K}")).alias("sse_q"),
+    )
+    return code.select(
+        "vec_id",
+        "pq_code",
+        "sse_q",
+        F.round(
+            F.sqrt(F.col("sse_q").cast("double") / (PQ_M * PQ_SUBDIM)) / Q_SCALE, 6
+        ).alias("rmse"),
+    )
