@@ -652,23 +652,28 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 PQ_M = 4        # subspaces (64-dim embeddings -> 4 x 16 dims)
 PQ_SUBDIM = 16
 PQ_K = 16       # codewords per subspace (fixed K: never grows with n)
+PQ_TOP_K = 5
+PQ_N_QUERIES = 10  # vec_id < 10 are the query vectors, as in queries.similarity
 
-
-@register(
-    "similarity_pq_encode",
-    oracle=f"""
-    WITH quant AS (
+# Shared PQ CTEs: quantize -> fixed-K codebook with DENSE 0..K-1 codeword
+# index (cidx; the raw centroid vec_id must never enter the packed argmin —
+# it would bleed into the distance bits) -> per-subspace sub-vectors ->
+# integer-packed nearest-codeword assignment.
+_PQ_ASSIGN_SQL = f"""
+    quant AS (
       SELECT vec_id,
              list_transform(embedding,
                             x -> CAST(round(CAST(x AS DOUBLE) * {Q_SCALE}) AS BIGINT)) AS q
       FROM embeddings
     ),
     cent AS (
-      SELECT vec_id AS cid, q AS cq FROM quant
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}
+      SELECT cid, cq, row_number() OVER (ORDER BY mk, cid) - 1 AS cidx
+      FROM (SELECT vec_id AS cid, q AS cq, md5(CAST(vec_id AS VARCHAR)) AS mk
+            FROM quant ORDER BY mk, cid LIMIT {PQ_K})
     ),
     ms AS (SELECT unnest(range({PQ_M})) AS m),
     sub AS (
@@ -676,16 +681,71 @@ PQ_K = 16       # codewords per subspace (fixed K: never grows with n)
       FROM quant CROSS JOIN ms
     ),
     csub AS (
-      SELECT cid, m, cq[m*{PQ_SUBDIM}+1 : m*{PQ_SUBDIM}+{PQ_SUBDIM}] AS cs
+      SELECT cidx, m, cq[m*{PQ_SUBDIM}+1 : m*{PQ_SUBDIM}+{PQ_SUBDIM}] AS cs
       FROM cent CROSS JOIN ms
     ),
     scored AS (
       SELECT vec_id, s.m,
              CAST(list_sum(list_transform(range(1, {PQ_SUBDIM}+1),
-                  i -> (sq[i]-cs[i]) * (sq[i]-cs[i]))) AS BIGINT) * {PQ_K} + cid AS packed
+                  i -> (sq[i]-cs[i]) * (sq[i]-cs[i]))) AS BIGINT) * {PQ_K} + cidx AS packed
       FROM sub s JOIN csub c ON s.m = c.m
     ),
-    assign AS (SELECT vec_id, m, MIN(packed) AS win FROM scored GROUP BY vec_id, m),
+    assign AS (SELECT vec_id, m, MIN(packed) AS win FROM scored GROUP BY vec_id, m)
+"""
+
+
+def _pq_frames(spark: SparkSession, sf_dir: str):
+    """Spark twin of _PQ_ASSIGN_SQL: (sub, csub, assign) frames.
+
+    assign carries (vec_id, m, cidx, sdist): nearest dense codeword index
+    and its exact integer sub-distance, from the packed single-BIGINT
+    argmin (dist*K + cidx, MIN-aggregated — one row per group reaches the
+    shuffle; ties break to the lowest codeword identically in DuckDB)."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * Q_SCALE).cast("long")
+    )
+    quant = e.select("vec_id", q.alias("q"))
+    cent = (
+        quant.select(
+            F.col("vec_id").alias("cid"),
+            F.col("q").alias("cq"),
+            F.md5(F.col("vec_id").cast("string")).alias("mk"),
+        )
+        .orderBy("mk", "cid")
+        .limit(PQ_K)
+        .withColumn("cidx", F.row_number().over(W.partitionBy().orderBy("mk", "cid")) - 1)
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    sub = quant.select("vec_id", "q", ms).select(
+        "vec_id", "m", F.expr(f"slice(q, m*{PQ_SUBDIM}+1, {PQ_SUBDIM})").alias("sq")
+    )
+    csub = cent.select("cidx", "cq", ms).select(
+        "cidx", "m", F.expr(f"slice(cq, m*{PQ_SUBDIM}+1, {PQ_SUBDIM})").alias("cs")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("sq"), F.col("cs"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = sub.join(F.broadcast(csub), "m").select(
+        "vec_id", "m", (dist * PQ_K + F.col("cidx")).alias("packed")
+    )
+    assign = scored.groupBy("vec_id", "m").agg(F.min("packed").alias("win")).select(
+        "vec_id",
+        "m",
+        (F.col("win") % PQ_K).alias("cidx"),
+        F.expr(f"win div {PQ_K}").alias("sdist"),
+    )
+    return sub, csub, assign
+
+
+@register(
+    "similarity_pq_encode",
+    oracle=f"""
+    WITH {_PQ_ASSIGN_SQL},
     code AS (
       SELECT vec_id,
              CAST(SUM((win % {PQ_K}) * (1 << (4*m))) AS BIGINT) AS pq_code,
@@ -704,44 +764,18 @@ def similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     and snap each sub-vector to the nearest of {PQ_K} codewords, emitting a
     16-bit code + exact reconstruction SSE. Codebook selection reuses the
     fixed-K discipline of similarity_ann_ivf (bottom-K vec_ids by md5 — a
-    TakeOrdered, constant-size at any corpus scale); assignment is an
-    n x K x M broadcast join (codebook broadcast is {PQ_K} rows), and the
-    winner per (vector, subspace) is an integer-packed argmin
-    (dist*K + cid, MIN-aggregated — one row per group reaches the shuffle,
-    ties break to the lowest codeword id identically in both engines).
-    All distances live in the fixed-point integer domain of
-    queries.similarity, so SSE is exact and order-independent."""
-    e = t(spark, sf_dir, "embeddings")
-    q = F.transform(
-        F.col("embedding"), lambda x: F.round(x.cast("double") * Q_SCALE).cast("long")
-    )
-    quant = e.select("vec_id", q.alias("q"))
-    cent = (
-        quant.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(PQ_K)
-        .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"))
-    )
-    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
-    sub = quant.select("vec_id", "q", ms).select(
-        "vec_id", "m", F.expr(f"slice(q, m*{PQ_SUBDIM}+1, {PQ_SUBDIM})").alias("sq")
-    )
-    csub = cent.select("cid", "cq", ms).select(
-        "cid", "m", F.expr(f"slice(cq, m*{PQ_SUBDIM}+1, {PQ_SUBDIM})").alias("cs")
-    )
-    dist = F.aggregate(
-        F.zip_with(F.col("sq"), F.col("cs"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored = sub.join(F.broadcast(csub), "m").select(
-        "vec_id", "m", (dist * PQ_K + F.col("cid")).alias("packed")
-    )
-    assign = scored.groupBy("vec_id", "m").agg(F.min("packed").alias("win"))
+    TakeOrdered, constant-size at any corpus scale) with a DENSE 0..K-1
+    codeword index; assignment is an n x K x M broadcast join (codebook
+    broadcast is {PQ_K} rows), and the winner per (vector, subspace) is an
+    integer-packed argmin (dist*K + cidx, MIN-aggregated — one row per
+    group reaches the shuffle, ties break to the lowest codeword index
+    identically in both engines). All distances live in the fixed-point
+    integer domain of queries.similarity, so SSE is exact and
+    order-independent."""
+    _, _, assign = _pq_frames(spark, sf_dir)
     code = assign.groupBy("vec_id").agg(
-        F.sum(
-            (F.col("win") % PQ_K) * F.expr("shiftleft(1, 4*m)")
-        ).alias("pq_code"),
-        F.sum(F.expr(f"win div {PQ_K}")).alias("sse_q"),
+        F.sum(F.col("cidx") * F.expr("shiftleft(1, 4*m)")).alias("pq_code"),
+        F.sum("sdist").alias("sse_q"),
     )
     return code.select(
         "vec_id",
@@ -750,4 +784,76 @@ def similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sqrt(F.col("sse_q").cast("double") / (PQ_M * PQ_SUBDIM)) / Q_SCALE, 6
         ).alias("rmse"),
+    )
+
+
+@register(
+    "similarity_pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_ASSIGN_SQL},
+    lut AS (
+      SELECT s.vec_id AS query_id, s.m, c.cidx,
+             CAST(list_sum(list_transform(range(1, {PQ_SUBDIM}+1),
+                  i -> (sq[i]-cs[i]) * (sq[i]-cs[i]))) AS BIGINT) AS d
+      FROM sub s JOIN csub c ON s.m = c.m
+      WHERE s.vec_id < {PQ_N_QUERIES}
+    ),
+    acode AS (SELECT vec_id, m, MIN(packed) % {PQ_K} AS cidx FROM scored GROUP BY vec_id, m),
+    adc AS (
+      SELECT l.query_id, a.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
+      FROM acode a JOIN lut l ON a.m = l.m AND a.cidx = l.cidx
+      WHERE a.vec_id <> l.query_id
+      GROUP BY l.query_id, a.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rn
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, adc_dist FROM ranked WHERE rn <= {PQ_TOP_K}
+    """,
+    category="similarity",
+)
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search — the query path that
+    makes product quantization pay at 100 TB: each query precomputes a
+    distance LookUp Table to every codeword ({PQ_N_QUERIES} x {PQ_M} x
+    {PQ_K} rows, broadcast), and every corpus vector is scored by summing
+    {PQ_M} table lookups on its dense codeword indices — the corpus side
+    never touches raw floats at query time. Plan: the code-assignment
+    shuffle (shared with the encoder), one broadcast equi-join on
+    (subspace, codeword index), one (query, vector) hash aggregate, and a
+    per-query top-k window over k-bounded groups. All distances are exact
+    fixed-point integers; ties break on neighbor id identically in both
+    engines. Every corpus vector lands in some codeword cell, so (unlike
+    IVF probing) recall loss comes only from code granularity —
+    planted-duplicate recovery is property-tested in tests/test_ext.py
+    (on cluster-free random vectors, rank recall vs exact L2 is
+    chance-level by construction; codes preserve identity, not noise)."""
+    from pyspark.sql import Window as W
+
+    sub, csub, assign = _pq_frames(spark, sf_dir)
+    dist = F.aggregate(
+        F.zip_with(F.col("sq"), F.col("cs"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        sub.filter(F.col("vec_id") < PQ_N_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(csub), "m")
+        .select("query_id", "m", "cidx", dist.alias("d"))
+    )
+    adc = (
+        assign.join(F.broadcast(lut), ["m", "cidx"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    topk_w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(topk_w))
+        .filter(F.col("rn") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist")
     )

@@ -251,3 +251,37 @@ def test_sessionize_gap_invariants(spark):
     # durations must never exceed what the event span allows
     bad = sessions.filter(F.col("duration_s") < 0).count()
     assert bad == 0
+
+
+def test_pq_adc_planted_duplicate_recovery(spark, embeddings, tmp_path):
+    """similarity_pq_adc_topk must surface an exact copy of each query
+    vector in its ADC top-k: a copy shares all PQ codewords with its
+    query, so its ADC distance equals the query's own quantization SSE —
+    the floor for that code cell. (Rank recall vs exact L2 on cluster-free
+    random vectors is chance-level by construction, so identity recovery
+    is the meaningful PQ invariant.)"""
+    from glue_etl_framework_spark.queries import load_registry
+
+    reg = load_registry()
+    n_q = 10
+    planted = (
+        embeddings.filter(F.col("vec_id") < n_q)
+        .select((F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label")
+    )
+    d = tmp_path / "sf_planted"
+    embeddings.unionByName(planted).coalesce(1).write.parquet(
+        str(d / "embeddings.parquet")
+    )
+    got = reg["similarity_pq_adc_topk"].fn(spark, str(d)).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r.query_id, set()).add(r.neighbor_id)
+    found = sum(1 for i in range(n_q) if 1000 + i in by_query.get(i, set()))
+    assert found >= 9, f"planted PQ duplicates recovered: {found}/10"
+    # per-query ADC floor: the planted copy's distance is the cell minimum
+    dist = {(r.query_id, r.neighbor_id): r.adc_dist for r in got}
+    for i in range(n_q):
+        if (i, 1000 + i) in dist:
+            assert dist[(i, 1000 + i)] == min(
+                v for (qid, _), v in dist.items() if qid == i
+            )
