@@ -857,3 +857,128 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PQ_TOP_K)
         .select("query_id", "neighbor_id", "adc_dist")
     )
+
+
+MINHASH_REF_JACCARD = 0.5
+
+
+def _against_corpus_sql() -> str:
+    from glue_etl_framework_spark.queries.dedup import (
+        BAND_SIZE,
+        N_MINHASH,
+        _minhash_sig_sql,
+    )
+
+    sigs = ", ".join(_minhash_sig_sql())
+    bands = {
+        side: " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, md5(s{2*b} || s{2*b+1}) AS bh FROM sig_{side}"
+            for b in range(N_MINHASH // BAND_SIZE)
+        )
+        for side in ("new", "ref")
+    }
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(list_transform(range(1, length(w) - 1),
+                                   i -> array_to_string(w[i:i+2], ' '))) AS shingle
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+      WHERE length(w) >= 3
+    ),
+    sig_new AS (SELECT doc_id, {sigs} FROM sh WHERE source <> '{BENCH_SOURCE}' GROUP BY doc_id),
+    sig_ref AS (SELECT doc_id, {sigs} FROM sh WHERE source = '{BENCH_SOURCE}' GROUP BY doc_id),
+    bands_new AS ({bands["new"]}),
+    bands_ref AS ({bands["ref"]}),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS doc_id, r.doc_id AS corpus_doc_id
+      FROM bands_new n JOIN bands_ref r ON n.band = r.band AND n.bh = r.bh
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_id, c.corpus_doc_id, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_id
+      JOIN sh b ON b.doc_id = c.corpus_doc_id AND b.shingle = a.shingle
+      GROUP BY c.doc_id, c.corpus_doc_id
+    )
+    SELECT i.doc_id, i.corpus_doc_id,
+           round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_id
+    JOIN sizes sb ON sb.doc_id = i.corpus_doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= {MINHASH_REF_JACCARD}
+    """
+
+
+@register("dedup_minhash_against_corpus", oracle=_against_corpus_sql(), category="dedup")
+def dedup_minhash_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-duplicate dedup of a new batch against an existing
+    reference corpus — the daily-ingest production shape (exact-hash twin:
+    dedup_against_corpus). Both sides get banded MinHash signatures; the
+    candidate join is bands_new x bands_ref keyed on (band, band-hash) —
+    cross-side only, never new x new or an all-pairs product — then exact
+    shingle Jaccard verifies candidates (no false positives in the output).
+    At 100 TB the reference side's band table is precomputed once and
+    reused per batch (append-only index), so per-batch cost is
+    O(batch shingles + candidate pairs), independent of corpus size. The
+    shared shingle frame is checkpointed once for its four consumers (the
+    dedup_minhash_verified lesson)."""
+    from glue_etl_framework_spark.queries.dedup import (
+        BAND_SIZE,
+        N_MINHASH,
+        SHINGLE_REGEX,
+        _minhash_sig_cols,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", "source", F.explode(F.expr(SHINGLE_REGEX)).alias("shingle"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def bands_of(side_filter):
+        sig = sh.filter(side_filter).groupBy("doc_id").agg(*_minhash_sig_cols())
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat(F.col(f"s{2*b}"), F.col(f"s{2*b+1}"))).alias("bh"),
+                )
+                for b in range(N_MINHASH // BAND_SIZE)
+            ]
+        )
+        return sig.select("doc_id", F.explode(band_structs).alias("x")).select(
+            "doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
+        )
+
+    bands_new = bands_of(F.col("source") != BENCH_SOURCE).alias("n")
+    bands_ref = bands_of(F.col("source") == BENCH_SOURCE).alias("r")
+    cand = (
+        bands_new.join(
+            bands_ref,
+            (F.col("n.band") == F.col("r.band")) & (F.col("n.bh") == F.col("r.bh")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_id"), F.col("r.doc_id").alias("corpus_doc_id")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("shingle").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cand.join(a, F.col("doc_id") == F.col("a_id"))
+        .join(b, (F.col("corpus_doc_id") == F.col("b_id")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_id", "corpus_doc_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("corpus_doc_id"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_id")
+        .join(sb, "corpus_doc_id")
+        .filter(jac >= MINHASH_REF_JACCARD)
+        .select("doc_id", "corpus_doc_id", F.round(jac, 6).alias("jaccard"))
+    )
