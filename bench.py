@@ -57,6 +57,8 @@ HEADLINE = [
     "text_bigram_logprob",          # bigram LM scoring (keyed freq joins)
     "text_repetition_ratio",        # Gopher-style repetition filter
     "dedup_ngram_contamination",    # duplicate-trigram fraction (3 keyed shuffles)
+    "dedup_minhash_against_corpus", # incremental banded near-dup vs reference corpus
+    "similarity_pq_adc_topk",       # PQ code assignment + broadcast-LUT ADC search
 ]
 
 
