@@ -325,6 +325,39 @@ GOPHER_MIN_STOPWORDS = 2
 GOPHER_MAX_SHORT_RATIO = 0.2  # tokens of <= 2 chars
 
 
+def gopher_audit_cols(text_col: str = "text") -> list:
+    """The Gopher gate battery as named Column expressions (n_tokens,
+    mean_token_len, stopword_hits, short_token_ratio, passes_gopher) —
+    shared by the batch operator below and the streaming ingest gate
+    (streaming/quality.py). Pure scan-side array expressions: usable
+    unchanged on a streaming DataFrame (no shuffle, no state)."""
+    w = F.split(text_col, " ")
+    n = F.size(w).cast("long")
+    sum_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_len = sum_len.cast("double") / n
+    stop_arr = F.array(*[F.lit(s) for s in _EN_STOPWORDS])
+    stop_hits = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("long")
+    short_ratio = F.size(F.filter(w, lambda x: F.length(x) <= 2)).cast("double") / n
+    passes = (
+        n.between(GOPHER_TOKENS_MIN, GOPHER_TOKENS_MAX)
+        & mean_len.between(GOPHER_MEAN_LEN_MIN, GOPHER_MEAN_LEN_MAX)
+        & (stop_hits >= GOPHER_MIN_STOPWORDS)
+        & (short_ratio <= GOPHER_MAX_SHORT_RATIO)
+    )
+    return [
+        n.alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        stop_hits.alias("stopword_hits"),
+        F.round(short_ratio, 6).alias("short_token_ratio"),
+        F.when(passes, 1).otherwise(0).alias("passes_gopher"),
+    ]
+
+
+
 @register(
     "quality_gopher_filters",
     oracle=f"""
@@ -357,33 +390,10 @@ def quality_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     and short-token share. Every gate is a pure scan-side array expression —
     no shuffle at all, so the operator is embarrassingly parallel and
     scale-free; at 100 TB it runs at scan throughput with the filter fused
-    into the parquet read."""
+    into the parquet read. The same expressions gate streaming ingest in
+    streaming/quality.py."""
     d = t(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    n = F.size(w).cast("long")
-    sum_len = F.aggregate(
-        F.transform(w, lambda x: F.length(x).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    mean_len = sum_len.cast("double") / n
-    stop_arr = F.array(*[F.lit(s) for s in _EN_STOPWORDS])
-    stop_hits = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("long")
-    short_ratio = F.size(F.filter(w, lambda x: F.length(x) <= 2)).cast("double") / n
-    passes = (
-        n.between(GOPHER_TOKENS_MIN, GOPHER_TOKENS_MAX)
-        & mean_len.between(GOPHER_MEAN_LEN_MIN, GOPHER_MEAN_LEN_MAX)
-        & (stop_hits >= GOPHER_MIN_STOPWORDS)
-        & (short_ratio <= GOPHER_MAX_SHORT_RATIO)
-    )
-    return d.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        F.round(mean_len, 6).alias("mean_token_len"),
-        stop_hits.alias("stopword_hits"),
-        F.round(short_ratio, 6).alias("short_token_ratio"),
-        F.when(passes, 1).otherwise(0).alias("passes_gopher"),
-    )
+    return d.select("doc_id", *gopher_audit_cols("text"))
 
 
 # 3-token sliding window, same token-start anchor discipline as BIGRAM_REGEX

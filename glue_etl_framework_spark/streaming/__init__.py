@@ -12,3 +12,6 @@ from glue_etl_framework_spark.streaming.joins import (  # noqa: F401
     stream_stream_join,
     upsert_sink,
 )
+from glue_etl_framework_spark.streaming.quality import (  # noqa: F401
+    quality_gate_stream,
+)

@@ -311,3 +311,36 @@ def test_stream_sliding_window_matches_batch(tmp_path, spark, events):
         | (got["total_value"] != expect["total_value"])
     ).count()
     assert mismatches == 0
+
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def test_stream_quality_gate_matches_batch(tmp_path, spark):
+    """quality_gate_stream on a file stream must pass exactly the doc_ids
+    the batch quality_gopher_filters operator passes (same Column
+    expressions, stateless, so stream == batch row-for-row)."""
+    from glue_etl_framework_spark.queries import load_registry
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(src)
+    gated = ST.quality_gate_stream(stream, keep_audit=True)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("gated_docs")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT doc_id, n_tokens FROM gated_docs").collect()
+
+    batch = load_registry()["quality_gopher_filters"].fn(spark, SF_SMOKE)
+    want = {r.doc_id: r.n_tokens for r in batch.filter(F.col("passes_gopher") == 1).collect()}
+    assert 0 < len(want) < docs.count()  # the gate actually discriminates
+    assert {r.doc_id: r.n_tokens for r in got} == want
+    # schema-preserving mode drops the audit columns
+    plain = ST.quality_gate_stream(spark.read.parquet(src))
+    assert plain.columns == docs.columns
