@@ -992,3 +992,72 @@ def dedup_minhash_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= MINHASH_REF_JACCARD)
         .select("doc_id", "corpus_doc_id", F.round(jac, 6).alias("jaccard"))
     )
+
+
+TEMP_WEIGHT_SCALE = 1_000_000  # fixed-point sqrt(n) weights: exact integer sum
+
+
+@register(
+    "sample_temperature_rebalance",
+    oracle=f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+    wts AS (
+      SELECT lang, n_lang,
+             CAST(round(sqrt(CAST(n_lang AS DOUBLE)) * {TEMP_WEIGHT_SCALE}) AS BIGINT) AS w,
+             CAST(SUM(n_lang) OVER () AS BIGINT) AS total
+      FROM counts
+    ),
+    rates AS (
+      SELECT lang,
+             least(CAST(1.0 AS DOUBLE),
+                   (CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE))
+                   * total / n_lang) AS rate
+      FROM wts
+    )
+    SELECT d.doc_id, d.lang, round(r.rate, 6) AS keep_rate
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE CAST(floor(r.rate * 65536) AS BIGINT) >= 65536
+       OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+          < lpad(lower(to_hex(CAST(floor(r.rate * 65536) AS BIGINT))), 4, '0')
+    """,
+    category="curation",
+)
+def sample_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (the mT5/multilingual-mixing
+    standard, alpha = 0.5): target shares proportional to n^alpha flatten
+    the language distribution, down-sampling dominant languages (never
+    upsampling — keep-rates cap at 1). The sqrt weights are fixed-point
+    BIGINTs so the cross-language weight sum is exact and
+    order-independent (a raw double sum would be last-ULP
+    shuffle-order-dependent); the per-row draw is the same deterministic
+    lowercase-hex md5-bucket comparison as sample_domain_mixture. One tiny
+    counts aggregate (|languages| rows, documented single-partition
+    window) broadcast back onto the scan — data rows never shuffle."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    w = F.round(F.sqrt(F.col("n_lang").cast("double")) * TEMP_WEIGHT_SCALE).cast("long")
+    wts = counts.select(
+        "lang",
+        "n_lang",
+        w.alias("w"),
+        F.sum("n_lang").over(W.partitionBy()).cast("long").alias("total"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (F.col("w").cast("double") / F.sum("w").over(W.partitionBy()).cast("double"))
+        * F.col("total")
+        / F.col("n_lang"),
+    )
+    rates = wts.select("lang", rate.alias("rate"))
+    thr = F.floor(F.col("rate") * 65536).cast("long")
+    keep = (thr >= 65536) | (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+        < F.lpad(F.lower(F.hex(thr)), 4, "0")
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .where(keep)
+        .select("doc_id", "lang", F.round("rate", 6).alias("keep_rate"))
+    )
