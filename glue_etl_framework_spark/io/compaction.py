@@ -173,3 +173,34 @@ def analyze_table(
     if columns:
         cols = ", ".join(columns)
         spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+
+
+STALE_MARKERS = (".__stage__", ".__old__")
+
+
+def vacuum_stale_stages(root: str, dry_run: bool = False) -> list[str]:
+    """Remove orphaned staged-write artifacts under ``root``.
+
+    A crash between :func:`~glue_etl_framework_spark.io.writers.staged_write`'s
+    stage-out and swap can strand ``<table>.__stage__<id>`` (never-committed
+    new data) or ``<table>.__old__<id>`` (superseded backup) directories.
+    Neither is ever referenced by readers — the live table is always at the
+    unsuffixed path — so both are safe to delete at any time; this is the
+    plain-file analogue of a table format's VACUUM of uncommitted files.
+
+    Scans ``root`` recursively (driver-side directory walk — metadata only,
+    no data read; on object stores this is a prefix listing) and removes
+    any directory whose name contains a stale marker. With ``dry_run``
+    the candidates are returned but kept. Returns the affected paths."""
+    import shutil
+
+    victims: list[str] = []
+    for dirpath, dirnames, _ in os.walk(root, topdown=True):
+        stale = [d for d in dirnames if any(m in d for m in STALE_MARKERS)]
+        for d in stale:
+            victims.append(os.path.join(dirpath, d))
+            dirnames.remove(d)  # do not descend into a dir being removed
+    if not dry_run:
+        for v in victims:
+            shutil.rmtree(v, ignore_errors=True)
+    return sorted(victims)

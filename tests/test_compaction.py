@@ -122,3 +122,28 @@ def test_analyze_table_records_stats(tmp_path, spark):
         "DESCRIBE EXTENDED statdb.st k").collect()}
     assert colstats.get("distinct_count") not in (None, "NULL")
     spark.sql("DROP TABLE statdb.st")
+
+
+def test_vacuum_stale_stages(tmp_path, spark):
+    """Crashed staged writes leave .__stage__/.__old__ dirs; vacuum removes
+    exactly those and never the live table."""
+    from glue_etl_framework_spark.io.compaction import vacuum_stale_stages
+
+    tbl = tmp_path / "warehouse" / "t1"
+    df = spark.range(10)
+    df.write.parquet(str(tbl))
+    stale1 = tmp_path / "warehouse" / "t1.__stage__deadbeef"
+    stale2 = tmp_path / "warehouse" / "t1.__old__cafebabe"
+    nested = tmp_path / "warehouse" / "sub" / "t2.__stage__12345678"
+    for d in (stale1, stale2, nested):
+        d.mkdir(parents=True)
+        (d / "part-0.parquet").write_bytes(b"junk")
+
+    preview = vacuum_stale_stages(str(tmp_path), dry_run=True)
+    assert preview == sorted(str(p) for p in (stale1, stale2, nested))
+    assert stale1.exists()  # dry run keeps everything
+
+    removed = vacuum_stale_stages(str(tmp_path))
+    assert removed == preview
+    assert not stale1.exists() and not stale2.exists() and not nested.exists()
+    assert spark.read.parquet(str(tbl)).count() == 10  # live table intact
