@@ -1061,3 +1061,73 @@ def sample_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(keep)
         .select("doc_id", "lang", F.round("rate", 6).alias("keep_rate"))
     )
+
+
+KEEP_BEST_PACK = 1 << 33  # packed argmax: score * PACK + (PACK - 1 - doc_id)
+
+
+def _keep_best_sql() -> str:
+    from glue_etl_framework_spark.queries.dedup import _components_sql
+
+    return f"""
+    WITH comp AS (
+      SELECT * FROM ({_components_sql()})
+    ),
+    score AS (
+      SELECT doc_id,
+             CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      FROM documents
+    )
+    SELECT c.component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST({KEEP_BEST_PACK} - 1 - (MAX(s.n_distinct * {KEEP_BEST_PACK}
+                 + ({KEEP_BEST_PACK} - 1 - c.doc_id)) % {KEEP_BEST_PACK}) AS BIGINT)
+             AS kept_doc_id,
+           CAST(MAX(s.n_distinct * {KEEP_BEST_PACK}
+                 + ({KEEP_BEST_PACK} - 1 - c.doc_id)) // {KEEP_BEST_PACK} AS BIGINT)
+             AS kept_distinct_tokens
+    FROM comp c JOIN score s ON c.doc_id = s.doc_id
+    GROUP BY c.component
+    """
+
+
+@register("curation_dedup_keep_best", oracle=_keep_best_sql(), category="curation")
+def curation_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection for near-dup clusters: within each
+    connected component of the MinHash duplicate graph, KEEP the member
+    with the most distinct tokens (production dedup keeps the best
+    representative, not the lowest id; ties break to the lower doc_id).
+    The argmax is a single packed-BIGINT MAX (score * 2^33 + (2^33 - 1 -
+    doc_id); the -1 keeps doc_id 0 inside the modulus slot) — a partial+final hash aggregate, one surviving row per
+    component at the shuffle, portable tie semantics across engines.
+    Components come from the oracle-checked label-propagation operator
+    (O(diameter) rounds); everything after is one scan-side distinct-token
+    expression, one broadcast-scale join of labels to scores, and one
+    keyed aggregate — linear at any corpus size."""
+    from glue_etl_framework_spark.queries.dedup import dedup_minhash_lsh
+    from glue_etl_framework_spark.ext.dedup import connected_component_labels
+
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    labels = connected_component_labels(d.select("doc_id"), pairs, id_col="doc_id")
+    score = d.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("n_distinct"),
+    )
+    packed = F.col("n_distinct") * KEEP_BEST_PACK + (KEEP_BEST_PACK - 1 - F.col("doc_id"))
+    return (
+        labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+        .join(score, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            (KEEP_BEST_PACK - 1 - F.max(packed) % KEEP_BEST_PACK)
+            .cast("long")
+            .alias("kept_doc_id"),
+            F.expr(f"max(n_distinct * {KEEP_BEST_PACK} + ({KEEP_BEST_PACK} - 1 - doc_id)) div {KEEP_BEST_PACK}")
+            .cast("long")
+            .alias("kept_distinct_tokens"),
+        )
+    )
