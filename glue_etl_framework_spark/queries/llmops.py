@@ -1131,3 +1131,122 @@ def curation_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_distinct_tokens"),
         )
     )
+
+
+PPL_DECILES = [round(0.1 * i, 1) for i in range(1, 10)]  # 0.1 .. 0.9
+
+
+def _ppl_bucket_sql() -> str:
+    import glue_etl_framework_spark.queries.text  # noqa: F401  (registers)
+    from glue_etl_framework_spark.queries import REGISTRY
+
+    inner = REGISTRY["text_unigram_logprob"].oracle
+    cuts = ", ".join(str(p) for p in PPL_DECILES)
+    return f"""
+    WITH base AS ({inner}),
+    cuts AS (SELECT quantile_cont(per_token_fp, [{cuts}]) AS cs FROM base)
+    SELECT b.doc_id, b.per_token_fp,
+           1 + length(list_filter(cuts.cs,
+                 c -> CAST(b.per_token_fp AS DOUBLE) > c)) AS ppl_bucket
+    FROM base b CROSS JOIN cuts
+    """
+
+
+@register("quality_perplexity_bucket", oracle=_ppl_bucket_sql(), category="quality")
+def quality_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile stratification of documents by statistical quality (per-token
+    unigram log-prob, the perplexity proxy) — the binning step behind
+    curriculum ordering and quality-threshold ablations. Deliberately NOT
+    a global ntile: a windowed ntile needs a single-partition global sort,
+    which dies at 100 TB. Instead the nine decile cutoffs come from one
+    tiny interpolated-percentile aggregate (Spark `percentile` == DuckDB
+    `quantile_cont`, the text_length_outlier_trim parity) broadcast back
+    onto the scan, and each row counts the cutoffs strictly below it —
+    scan throughput, no data shuffle beyond the logprob operator's own.
+    Bucket boundaries use exact fixed-point integer scores, so bucketing
+    is deterministic across engines."""
+    from glue_etl_framework_spark.queries.text import text_unigram_logprob
+
+    base = text_unigram_logprob(spark, sf_dir)
+    cuts = base.agg(
+        F.percentile("per_token_fp", F.array(*[F.lit(p) for p in PPL_DECILES])).alias("cs")
+    )
+    bucket = 1 + F.size(
+        F.filter(F.col("cs"), lambda c: F.col("per_token_fp").cast("double") > c)
+    )
+    return base.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", "per_token_fp", bucket.alias("ppl_bucket")
+    )
+
+
+# train/val/test thresholds in the md5-prefix string domain:
+# floor(0.8 * 65536) = 52428 = 0xcccc, floor(0.9 * 65536) = 58982 = 0xe666
+SPLIT_TRAIN_MAX = "cccc"
+SPLIT_VAL_MAX = "e666"
+
+
+@register(
+    "curation_train_eval_split",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{SPLIT_TRAIN_MAX}'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{SPLIT_VAL_MAX}'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    category="curation",
+)
+def curation_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test assignment by md5 bucket of
+    the document id — reproducible across runs, engines, and corpus
+    growth (a doc's split never changes when new docs arrive, unlike
+    randomSplit). Pure scan-side expression, zero shuffles; the hex
+    thresholds are precomputed constants in the same lowercase-string
+    domain as the md5 prefix. Stratification audit joins (per-lang split
+    shares) stay one tiny aggregate away."""
+    d = t(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(h < SPLIT_TRAIN_MAX, "train")
+        .when(h < SPLIT_VAL_MAX, "val")
+        .otherwise("test")
+    )
+    return d.select("doc_id", "lang", split.alias("split"))
+
+
+RESERVOIR_K = 10  # fixed sample size per stratum
+
+
+@register(
+    "sample_reservoir_per_group",
+    oracle=f"""
+    SELECT doc_id, lang, rn
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= {RESERVOIR_K}
+    """,
+    category="curation",
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-stratum sample ({RESERVOIR_K} docs per language) —
+    the deterministic replacement for reservoir sampling when carving
+    eval slices: rank within each stratum by md5(doc_id) (a uniform,
+    engine-portable pseudo-random order; ties impossible past the doc_id
+    tiebreak) and keep the first K. One shuffle keyed on the stratum;
+    Spark plans the rank-filter as WindowGroupLimit, so only ~K rows per
+    group survive the partial stage — the shuffle carries K x |strata|
+    rows, not the corpus."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= RESERVOIR_K)
+    )
