@@ -153,3 +153,61 @@ def test_length_outlier_bounds_are_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     # the document side must not be exchanged for this join (scan-side filter)
     assert count_shuffles(plan) <= 1, plan[:2000]
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_ngram_contamination", "dedup_minhash_against_corpus"]
+)
+def test_new_dedup_candidates_never_cross_product(spark, name):
+    """Round-2 dedup additions: gram DF and cross-side band joins must stay
+    keyed equi-joins — an all-pairs product here is the 100 TB killer."""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_samplers_broadcast_rates_and_keep_scan_narrow(spark):
+    """Both rebalancing samplers: the per-stratum rate table joins back via
+    broadcast (data rows never shuffle), and the only Exchange feeds the
+    tiny counts aggregate — not the corpus scan."""
+    for name in ("sample_domain_mixture", "sample_temperature_rebalance"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        # counts agg exchange + single-partition window over counts only
+        assert count_shuffles(plan) <= 2, f"{name} shuffles data rows:\n{plan}"
+
+
+def test_reservoir_sample_uses_window_group_limit(spark):
+    """Per-stratum fixed-k sampling must short-circuit via WindowGroupLimit
+    so the shuffle carries ~K rows per stratum, not the corpus."""
+    plan = plan_of(spark, "sample_reservoir_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_scan_side_quality_gates_have_no_shuffle(spark):
+    """Gopher gates, badwords filter, int8 audit, and the split assigner
+    are pure per-row expressions — any Exchange is a regression."""
+    for name in (
+        "quality_gopher_filters",
+        "quality_badwords_filter",
+        "embedding_quantize_int8",
+        "curation_train_eval_split",
+    ):
+        plan = plan_of(spark, name)
+        assert count_shuffles(plan) == 0, f"{name} gained a shuffle:\n{plan}"
+
+
+def test_pq_assignment_broadcasts_codebook(spark):
+    """PQ encode/search: the codebook (and the query LUT) are constant-size
+    broadcasts; corpus-side scoring must never shuffle raw vectors into a
+    join — only the grouped assignment aggregate may exchange."""
+    for name in ("similarity_pq_encode", "similarity_pq_adc_topk"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_perplexity_bucket_has_no_global_sort(spark):
+    """Decile bucketing must use broadcast quantile cutoffs, not a global
+    ntile: no range-partitioned Exchange (global sort) anywhere."""
+    plan = plan_of(spark, "quality_perplexity_bucket")
+    assert "Exchange rangepartitioning" not in plan
