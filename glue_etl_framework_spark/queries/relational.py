@@ -744,3 +744,91 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tag") == 0)
         .drop("tag")
     )
+
+
+ASOF_TOLERANCE = "INTERVAL 2 HOURS"  # pandas merge_asof(tolerance=...) twin
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH pur AS (
+      SELECT user_id, ts, MAX(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    a AS (
+      SELECT e.event_id, e.user_id, e.ts, p.purchase_id, p.ts AS pts
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      ASOF LEFT JOIN pur p ON e.user_id = p.user_id AND e.ts >= p.ts
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN pts >= ts - INTERVAL 2 HOUR THEN purchase_id END
+             AS last_purchase_id,
+           CASE WHEN pts >= ts - INTERVAL 2 HOUR THEN pts END
+             AS last_purchase_ts
+    FROM a
+    """,
+    category="join",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (pandas ``merge_asof(tolerance=)``,
+    absent from both the reference and Spark SQL): each error event picks
+    the same user's most recent purchase, but only if it happened within
+    the last 2 hours — staler matches become NULL instead of silently
+    enriching with irrelevant history. Same single-shuffle union-merge
+    formulation as join_asof (intermediate is |errors| + |purchases|,
+    never a product); the tolerance is a pure post-window mask, so it adds
+    zero plan cost. Purchases are pre-deduped per (user, ts) with a MAX
+    aggregate so the as-of winner on timestamp ties is deterministic in
+    both engines."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    combined = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_left"),
+        "event_id",
+        F.col("ts").alias("ts"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("timestamp").alias("pts"),
+    ).unionByName(
+        p.select(
+            "user_id",
+            F.col("ts").alias("t"),
+            F.lit(0).alias("is_left"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            "purchase_id",
+            F.col("ts").alias("pts"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "is_left")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = (
+        combined.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "is_left",
+            F.last("purchase_id", ignorenulls=True).over(w).alias("purchase_id"),
+            F.last("pts", ignorenulls=True).over(w).alias("pts"),
+        )
+        .filter(F.col("is_left") == 1)
+        .drop("is_left")
+    )
+    within = F.col("pts") >= F.col("ts") - F.expr(ASOF_TOLERANCE)
+    return carried.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(within, F.col("purchase_id")).alias("last_purchase_id"),
+        F.when(within, F.col("pts")).alias("last_purchase_ts"),
+    )
