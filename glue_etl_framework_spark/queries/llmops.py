@@ -1250,3 +1250,271 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= RESERVOIR_K)
     )
+
+
+# 8-token sliding window (stride 1) at split-token positions — the window
+# length used by suffix-array substring dedup scaled down to the fixture
+# corpus (production uses 50-token windows; the plan shape is identical).
+WIN_K = 8
+WIN_REGEX = r"regexp_extract_all(text, '(?<=^| )(?=((\\S+ ){7}\\S+))', 1)"
+DUP_WIN_FLAG = 0.5  # flag docs with >= 50% of their windows shared
+
+
+@register(
+    "dedup_substring_windows",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, md5(array_to_string(tkn[i:i+{WIN_K - 1}], ' ')) AS h
+      FROM (SELECT doc_id, string_split(text, ' ') AS tkn FROM documents),
+           UNNEST(range(1, length(tkn) - {WIN_K - 2})) AS u(i)
+      WHERE length(tkn) >= {WIN_K}
+    ),
+    dup AS (
+      SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY h)
+      WHERE nd >= 2
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN d.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dup_windows,
+           round(SUM(CASE WHEN d.h IS NULL THEN 0 ELSE 1 END)::DOUBLE
+                 / COUNT(*), 6) AS dup_fraction,
+           CASE WHEN SUM(CASE WHEN d.h IS NULL THEN 0 ELSE 1 END)::DOUBLE
+                     / COUNT(*) >= {DUP_WIN_FLAG} THEN 1 ELSE 0 END AS flagged
+    FROM w LEFT JOIN dup d ON w.h = d.h
+    GROUP BY w.doc_id
+    """,
+    category="dedup",
+)
+def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup via sliding token-window hashes (the
+    equi-join reformulation of the suffix-array method in "Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022): hash
+    every overlapping {WIN_K}-token window, find windows occurring in >= 2
+    distinct docs, and report each doc's duplicated-window fraction. At
+    scale this is O(total tokens) window rows hashed to 16-byte keys — one
+    (window-hash) count-distinct aggregate plus one hash equi-join, never
+    all-pairs and never a monolithic suffix array; both shuffles key on
+    md5 output, which is uniform by construction (no skew). Reference:
+    aws-samples/glue-etl-framework has no dedup surface (EXT, north star
+    BASELINE.json:6)."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(F.expr(WIN_REGEX)).alias("win")
+    ).select("doc_id", F.md5("win").alias("h"))
+    dup = (
+        w.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hit = F.sum(F.when(F.col("nd_flag").isNull(), 0).otherwise(1))
+    frac = hit.cast("double") / F.count("*")
+    return (
+        w.join(dup.withColumn("nd_flag", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            hit.cast("long").alias("n_dup_windows"),
+            F.round(frac, 6).alias("dup_fraction"),
+            F.when(frac >= DUP_WIN_FLAG, 1).otherwise(0).alias("flagged"),
+        )
+    )
+
+
+CHUNK_TOKENS = 32  # context-window chunk size (tokens)
+CHUNK_STRIDE = 24  # stride => 8-token overlap between consecutive chunks
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((i - 1) // {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+           array_to_string(tkn[i:i+{CHUNK_TOKENS - 1}], ' ') AS chunk_text,
+           CAST(least({CHUNK_TOKENS}, length(tkn) - i + 1) AS INTEGER)
+             AS n_chunk_tokens
+    FROM (SELECT doc_id, string_split(text, ' ') AS tkn FROM documents),
+         UNNEST(range(1, greatest(length(tkn), 1) + 1, {CHUNK_STRIDE})) AS u(i)
+    """,
+    category="text",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into {CHUNK_TOKENS}-token
+    chunks with {CHUNK_TOKENS - CHUNK_STRIDE}-token overlap (the standard
+    pre-tokenization step that turns variable-length docs into model-ready
+    windows; overlap preserves cross-boundary context). Pure narrow ops —
+    split + sequence + posexplode + slice inside one projection, no shuffle
+    at all: each input partition emits its own chunk rows, so the operator
+    scales with scan bandwidth. Chunk rows carry (doc_id, chunk_idx) so
+    downstream packing/dedup can reconstruct provenance."""
+    d = t(spark, sf_dir, "documents")
+    tkn = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(tkn), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    return (
+        d.select("doc_id", tkn.alias("tkn"), F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            ((F.col("i") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.array_join(
+                F.slice(F.col("tkn"), F.col("i"), F.lit(CHUNK_TOKENS)), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.size(F.col("tkn")) - F.col("i") + 1
+            ).cast("int").alias("n_chunk_tokens"),
+        )
+    )
+
+
+@register(
+    "text_vocab_growth",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
+           round(COUNT(DISTINCT tok)::DOUBLE / COUNT(*), 6) AS type_token_ratio
+    FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+    GROUP BY source
+    """,
+    category="text",
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary statistics (Heaps-law corpus profiling):
+    token count, distinct-token count, and type-token ratio per source —
+    the diversity signal used to spot template-generated or looping
+    sources before training. One explode + one grouped aggregate keyed on
+    source; the two COUNT(DISTINCT) expand internally to a single
+    two-phase distinct-aggregate shuffle (Spark plans `expand` +
+    partial/final), linear in total tokens."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("tok"))
+    ttr = F.count_distinct("tok").cast("double") / F.count("*")
+    return tok.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("tok").alias("n_distinct_tokens"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+    )
+
+
+TOKEN_BUDGET = 1_000_000  # total training-token budget to allocate
+
+
+@register(
+    "curation_token_budget_mix",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, tokens,
+             CAST(ROUND(sqrt(CAST(tokens AS DOUBLE)) * 1e6) AS BIGINT) AS wq
+      FROM per
+    ),
+    tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS total_wq FROM w)
+    SELECT source, tokens,
+           round(CAST(wq AS DOUBLE) / total_wq, 6) AS mix_weight,
+           CAST(FLOOR(CAST(wq AS DOUBLE) / total_wq * {TOKEN_BUDGET}) AS BIGINT)
+             AS alloc_tokens
+    FROM w, tot
+    """,
+    category="curation",
+)
+def curation_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture allocation: distribute a {TOKEN_BUDGET:,}-token
+    budget across sources proportional to sqrt(source tokens) — the
+    sub-linear upweighting of small high-quality sources used when
+    composing pretraining mixtures (alpha=0.5; sqrt is IEEE
+    correctly-rounded, so both engines compute bit-identical weights,
+    unlike pow()). The sqrt weights are fixed-point-quantized to integer
+    micro-units BEFORE the cross-source sum so the total is
+    order-independent (same discipline as money sums). One grouped
+    aggregate to per-source token counts (a few hundred rows), then a
+    broadcast of the single-row total — the corpus itself is scanned
+    once and never reshuffled."""
+    d = t(spark, sf_dir, "documents")
+    per = (
+        d.select("source", F.size(F.split("text", " ")).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("tokens"))
+        .withColumn(
+            "wq",
+            F.round(F.sqrt(F.col("tokens").cast("double")) * 1e6).cast("long"),
+        )
+    )
+    tot = per.agg(F.sum("wq").alias("total_wq"))
+    weight = F.col("wq").cast("double") / F.col("total_wq")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        F.round(weight, 6).alias("mix_weight"),
+        F.floor(weight * TOKEN_BUDGET).cast("long").alias("alloc_tokens"),
+    )
+
+
+ZBITS = 16  # bits per dimension interleaved into the z-value
+ZBUCKET = 65536  # rows cluster into buckets of 2^16 consecutive z-values
+
+
+def _zvalue_expr(divop: str) -> str:
+    """Bit-interleave l_partkey (even bits) and l_suppkey (odd bits) into a
+    Morton z-value using only portable integer arithmetic: bit b of x is
+    (x div 2^b) % 2, placed at position 2b (worth 4^b) resp. 2b+1 (worth
+    2*4^b). `divop` is the engine's integer-division token (Spark `div`,
+    DuckDB `//`) — the formula text is otherwise identical on both sides."""
+    terms = []
+    for b in range(ZBITS):
+        p = 2**b
+        terms.append(f"(((l_partkey {divop} {p}) % 2) * {4 ** b})")
+        terms.append(f"(((l_suppkey {divop} {p}) % 2) * {2 * 4 ** b})")
+    return " + ".join(terms)
+
+
+@register(
+    "layout_zorder_bucket",
+    oracle=f"""
+    SELECT zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_partkey) AS BIGINT) AS min_partkey,
+           CAST(MAX(l_partkey) AS BIGINT) AS max_partkey,
+           CAST(MIN(l_suppkey) AS BIGINT) AS min_suppkey,
+           CAST(MAX(l_suppkey) AS BIGINT) AS max_suppkey
+    FROM (SELECT l_partkey, l_suppkey,
+                 CAST(({_zvalue_expr('//')}) // {ZBUCKET} AS BIGINT) AS zbucket
+          FROM lineitem)
+    GROUP BY zbucket
+    """,
+    category="layout",
+)
+def layout_zorder_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout clustering over (l_partkey, l_suppkey):
+    interleave {ZBITS} bits of each key into a z-value and group rows into
+    buckets of {ZBUCKET} consecutive z-values — the multi-dimensional
+    clustering used by lakehouse OPTIMIZE ZORDER BY so that range
+    predicates on EITHER column prune most files. The output per bucket
+    (row count + min/max of both keys) is exactly the file-skipping index
+    such a layout would publish: tight per-bucket ranges on both
+    dimensions at once, which a single-column sort cannot achieve. The
+    z-value is a pure per-row projection (32 integer terms, whole-stage
+    codegen'd); the only shuffle is the final bucket aggregate. To
+    materialize the layout at scale: repartitionByRange(zvalue) +
+    sortWithinPartitions(zvalue) — same expression, no extra pass."""
+    li = t(spark, sf_dir, "lineitem")
+    z = F.expr(f"({_zvalue_expr('div')}) div {ZBUCKET}")
+    return (
+        li.select("l_partkey", "l_suppkey", z.cast("long").alias("zbucket"))
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").cast("long").alias("min_partkey"),
+            F.max("l_partkey").cast("long").alias("max_partkey"),
+            F.min("l_suppkey").cast("long").alias("min_suppkey"),
+            F.max("l_suppkey").cast("long").alias("max_suppkey"),
+        )
+    )
