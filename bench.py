@@ -59,6 +59,7 @@ HEADLINE = [
     "dedup_ngram_contamination",    # duplicate-trigram fraction (3 keyed shuffles)
     "dedup_minhash_against_corpus", # incremental banded near-dup vs reference corpus
     "similarity_pq_adc_topk",       # PQ code assignment + broadcast-LUT ADC search
+    "dedup_substring_windows",      # exact-substring windows (hash equi-join)
 ]
 
 

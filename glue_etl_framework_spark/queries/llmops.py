@@ -1435,9 +1435,13 @@ def curation_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike pow()). The sqrt weights are fixed-point-quantized to integer
     micro-units BEFORE the cross-source sum so the total is
     order-independent (same discipline as money sums). One grouped
-    aggregate to per-source token counts (a few hundred rows), then a
-    broadcast of the single-row total — the corpus itself is scanned
-    once and never reshuffled."""
+    aggregate to per-source token counts, then the grand total as an
+    unpartitioned window over that FEW-HUNDRED-ROW frame — the corpus is
+    scanned exactly once; only aggregated rows ever move again (a
+    crossJoin against a separate total aggregate would re-scan and
+    re-aggregate the whole corpus for the second branch)."""
+    from pyspark.sql import Window as W
+
     d = t(spark, sf_dir, "documents")
     per = (
         d.select("source", F.size(F.split("text", " ")).alias("nt"))
@@ -1448,9 +1452,8 @@ def curation_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(F.col("tokens").cast("double")) * 1e6).cast("long"),
         )
     )
-    tot = per.agg(F.sum("wq").alias("total_wq"))
-    weight = F.col("wq").cast("double") / F.col("total_wq")
-    return per.crossJoin(F.broadcast(tot)).select(
+    weight = F.col("wq").cast("double") / F.sum("wq").over(W.partitionBy())
+    return per.select(
         "source",
         "tokens",
         F.round(weight, 6).alias("mix_weight"),
@@ -1517,4 +1520,164 @@ def layout_zorder_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("l_suppkey").cast("long").alias("min_suppkey"),
             F.max("l_suppkey").cast("long").alias("max_suppkey"),
         )
+    )
+
+
+RADIUS = 0.25       # cosine threshold for range search
+RADIUS_QMOD = 50    # queries = vec_id % 50 == 0 (a fixed, sparse query set)
+KNN_K = 5
+
+_EMB_QUANT_SQL = """
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+      FROM embeddings
+"""
+
+_EMB_NORM_SQL = """
+      SELECT vec_id, label, q,
+             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq
+      FROM quant
+"""
+
+_PAIR_COS_SQL = """
+             CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i]))
+                  AS BIGINT)
+               / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE)))
+"""
+
+
+@register(
+    "similarity_radius_search",
+    oracle=f"""
+    WITH quant AS ({_EMB_QUANT_SQL}),
+    normed AS ({_EMB_NORM_SQL})
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round({_PAIR_COS_SQL}, 9) AS cosine
+    FROM normed a JOIN normed b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id % {RADIUS_QMOD} = 0
+      AND {_PAIR_COS_SQL} >= {RADIUS}
+    """,
+    category="similarity",
+)
+def similarity_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search: every corpus vector within cosine >= {RADIUS}
+    of each query — the retrieval primitive behind duplicate-radius audits
+    and threshold-based RAG recall. Broadcast the sparse query set against
+    one corpus scan and filter on the quantized-integer cosine (exact,
+    engine-portable): per-partition work is |queries| x rows with no
+    shuffle at all for the search itself. At 100 TB the same shape holds —
+    the query side is the small one by construction; for query sets beyond
+    broadcast size, band both sides with hyperplane LSH first
+    (similarity_lsh_hyperplane_pairs is that scale path)."""
+    from glue_etl_framework_spark.queries.similarity import _dot, _quantized
+
+    v = _quantized(spark, sf_dir)
+    queries = v.filter(F.col("vec_id") % RADIUS_QMOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa"),
+        F.col("nq").alias("na"),
+    )
+    corpus = v.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"),
+        F.col("nq").alias("nb"),
+    )
+    cosine = _dot(F.col("qa"), F.col("qb")) / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        F.broadcast(queries)
+        .join(corpus, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= RADIUS)
+        .select("query_id", "neighbor_id", F.round("cosine", 9).alias("cosine"))
+    )
+
+
+@register(
+    "similarity_knn_classify",
+    oracle=f"""
+    WITH quant AS ({_EMB_QUANT_SQL}),
+    normed AS ({_EMB_NORM_SQL}),
+    pairs AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid, b.label AS nlabel,
+             {_PAIR_COS_SQL} AS cosine
+      FROM normed a JOIN normed b
+        ON b.vec_id <> a.vec_id AND b.vec_id % {RADIUS_QMOD} <> 0
+      WHERE a.vec_id % {RADIUS_QMOD} = 0
+    ),
+    knn AS (
+      SELECT qid, nlabel FROM (
+        SELECT qid, nlabel,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, nid) AS rn
+        FROM pairs) r
+      WHERE rn <= {KNN_K}
+    ),
+    votes AS (SELECT qid, nlabel, COUNT(*) AS c FROM knn GROUP BY qid, nlabel),
+    pick AS (
+      SELECT qid, nlabel, c FROM (
+        SELECT qid, nlabel, c,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nlabel) AS rn2
+        FROM votes) v
+      WHERE rn2 = 1
+    )
+    SELECT p.qid AS query_id, p.nlabel AS predicted_label,
+           CAST(p.c AS BIGINT) AS votes, e.label AS true_label,
+           CASE WHEN p.nlabel = e.label THEN 1 ELSE 0 END AS correct
+    FROM pick p JOIN embeddings e ON p.qid = e.vec_id
+    """,
+    category="similarity",
+)
+def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label prediction: classify each held-out query vector by the
+    majority label of its {KNN_K} nearest corpus neighbors (exact
+    quantized cosine), reporting the vote count and a correctness flag
+    against the recorded label — the standard embedding-quality probe run
+    before trusting vectors for curation decisions. Plan shape: broadcast
+    query set x one corpus scan, per-query top-k via WindowGroupLimit (the
+    shuffle carries ~K rows per query, not the corpus), then two tiny
+    aggregates over |queries| x labels rows. Ties break deterministically
+    (cosine desc, neighbor_id; then votes desc, label)."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "embeddings")
+    qcol = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1048576).cast("long")
+    )
+    nq = F.aggregate(
+        F.transform(F.col("q"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    v = e.select("vec_id", "label", qcol.alias("q")).withColumn("nq", nq)
+    is_query = F.col("vec_id") % RADIUS_QMOD == 0
+    queries = v.filter(is_query).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qa"), F.col("nq").alias("na")
+    )
+    corpus = v.filter(~is_query).select(
+        F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"),
+        F.col("q").alias("qb"), F.col("nq").alias("nb"),
+    )
+    from glue_etl_framework_spark.queries.similarity import _dot
+
+    cosine = _dot(F.col("qa"), F.col("qb")) / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    pairs = (
+        F.broadcast(queries)
+        .join(corpus, F.col("nid") != F.col("qid"))
+        .select("qid", "nid", "nlabel", cosine.alias("cosine"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
+    knn = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= KNN_K)
+    votes = knn.groupBy("qid", "nlabel").agg(F.count("*").alias("c"))
+    w2 = W.partitionBy("qid").orderBy(F.col("c").desc(), "nlabel")
+    pick = votes.withColumn("rn2", F.row_number().over(w2)).filter(F.col("rn2") == 1)
+    truth = e.select(F.col("vec_id").alias("qid"), F.col("label").alias("true_label"))
+    return pick.join(truth, "qid").select(
+        F.col("qid").alias("query_id"),
+        F.col("nlabel").alias("predicted_label"),
+        F.col("c").cast("long").alias("votes"),
+        "true_label",
+        F.when(F.col("nlabel") == F.col("true_label"), 1).otherwise(0).alias("correct"),
     )

@@ -211,3 +211,50 @@ def test_perplexity_bucket_has_no_global_sort(spark):
     ntile: no range-partitioned Exchange (global sort) anywhere."""
     plan = plan_of(spark, "quality_perplexity_bucket")
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_chunk_windows_is_narrow(spark):
+    """Context-window chunking is explode + slice projections only — any
+    Exchange means the chunker stopped scaling with scan bandwidth."""
+    plan = plan_of(spark, "text_chunk_windows")
+    assert count_shuffles(plan) == 0, plan[:2000]
+
+
+def test_substring_windows_never_cross_product(spark):
+    """Exact-substring dedup: the dup-window membership join must stay an
+    equi-join on the window hash — never all-pairs."""
+    plan = plan_of(spark, "dedup_substring_windows")
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_bucket_single_shuffle_narrow_scan(spark):
+    """The z-value is a pure projection: one Exchange (bucket aggregate)
+    and a two-column parquet scan."""
+    plan = plan_of(spark, "layout_zorder_bucket")
+    assert count_shuffles(plan) == 1, plan[:2000]
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert read_schema.count(":") <= 2, f"scan reads too many columns: {read_schema}"
+
+
+def test_token_budget_mix_scans_corpus_once(spark):
+    """The grand total is a window over the per-source aggregate — the
+    corpus parquet must appear in exactly one FileScan, with exactly two
+    exchanges (source aggregate + single-partition total window)."""
+    plan = plan_of(spark, "curation_token_budget_mix")
+    assert plan.count("FileScan parquet") == 1, plan[:2000]
+    assert count_shuffles(plan) <= 2, plan[:2000]
+
+
+def test_radius_search_has_no_shuffle(spark):
+    """Range search is broadcast-queries x corpus scan + filter — zero
+    Exchanges; a shuffle here means the corpus moved for a per-row op."""
+    plan = plan_of(spark, "similarity_radius_search")
+    assert count_shuffles(plan) == 0, plan[:2000]
+
+
+def test_knn_classify_topk_short_circuits(spark):
+    """The per-query k-nearest step must plan as WindowGroupLimit so the
+    shuffle carries ~K rows per query, never the scored corpus."""
+    plan = plan_of(spark, "similarity_knn_classify")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
