@@ -1681,3 +1681,56 @@ def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_label",
         F.when(F.col("nlabel") == F.col("true_label"), 1).otherwise(0).alias("correct"),
     )
+
+
+# PII patterns — RE2 (DuckDB) and Java (Spark) compatible: no lookaround,
+# word boundaries and bounded repetition only.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(length(regexp_extract_all(text, '{PII_IP}')) AS BIGINT) AS n_ips,
+           CAST(length(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '{PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{PII_IP}', '<IP>', 'g'),
+                 '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_fp
+    FROM documents
+    """,
+    category="quality",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction audit: count email / IPv4 / US-phone
+    matches per document and fingerprint the redacted text (md5 of the
+    text with all three classes replaced by typed placeholders, applied
+    in a fixed order so engines agree byte-for-byte). Patterns are
+    restricted to the RE2 ∩ Java-regex subset — no lookaround — so the
+    same pattern text runs on both engines. Pure scan-side expressions:
+    zero shuffles, scales with scan bandwidth; the real scrub at 100 TB
+    is this exact plan writing `redacted` instead of its hash."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_IP, "<IP>",
+        ),
+        PII_PHONE, "<PHONE>",
+    )
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0)))
+            .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_IP), F.lit(0)))
+            .cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), F.lit(0)))
+            .cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+    )

@@ -161,3 +161,50 @@ def test_trigram_regex_matches_split_semantics(spark, texts):
         for j in range(len(w) - 2):
             want[(i, f"{w[j]} {w[j+1]} {w[j+2]}")] += 1
     assert got == want
+
+
+# ------------------------------------------------------------- PII scrub --
+
+PII_DOCS = [
+    "contact a.b@x.co or admin@sub.domain.org today",
+    "server 10.0.0.1 and 192.168.255.12 but not 1.2.3.4567",
+    "call 555-123-4567 or 555-000-1111 x99",
+    "mixed a@b.io at 8.8.8.8 dial 123-456-7890",
+    "no pii here at all",
+    "edge-case trailing email x@y.zz",
+    "punct (j.doe@corp.net), [127.0.0.1]; <555-999-8888>",
+]
+
+
+def test_pii_scrub_matches_duckdb_on_planted_pii(spark, tmp_path):
+    """The sf0.01 corpus contains no PII, so the oracle gate exercises only
+    the zero-hit path; this plants emails/IPs/phones (boundary cases
+    included) and re-checks exact parity through the registered op."""
+    import duckdb
+
+    from glue_etl_framework_spark.queries import load_registry
+
+    reg = load_registry()
+    rows = [(i, s, "en", "src0", len(s)) for i, s in enumerate(PII_DOCS)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path / "sf_pii"
+    df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_emails, r.n_ips, r.n_phones, r.redacted_fp)
+        for r in reg["text_pii_scrub"].fn(spark, str(d)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(reg["text_pii_scrub"].oracle).fetchall()
+    }
+    assert got == want
+    # sanity on the planted values themselves, not just cross-engine accord
+    assert got[0][0] == 2 and got[1][1] == 2 and got[2][2] == 2
+    assert got[3][:3] == (1, 1, 1) and got[4][:3] == (0, 0, 0)
