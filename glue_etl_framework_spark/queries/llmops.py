@@ -1734,3 +1734,159 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("n_phones"),
         F.md5(redacted).alias("redacted_fp"),
     )
+
+
+@register(
+    "text_novelty_ratio",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, length(w) - 1),
+                                   i -> array_to_string(w[i:i+2], ' '))) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      WHERE length(w) >= 3
+    ),
+    first_seen AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS novelty_ratio
+    FROM sh JOIN first_seen f ON sh.shingle = f.shingle
+    GROUP BY sh.doc_id
+    """,
+    category="text",
+)
+def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-order novelty scoring (the marginal-contribution signal
+    used to prioritize crawl batches): a document's distinct word-3-grams
+    that no LOWER-doc_id document contains, as a fraction of its shingles.
+    doc_id is the arrival order, so MIN(doc_id) per shingle marks its
+    first appearance; a doc full of already-seen shingles (novelty -> 0)
+    adds nothing to the corpus. Two keyed shuffles — per-shingle min
+    aggregate (map-side combine) and the shingle equi-join back — both on
+    the shingle key, linear at any corpus size."""
+    from glue_etl_framework_spark.queries.dedup import SHINGLE_REGEX
+
+    d = t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.expr(SHINGLE_REGEX)).alias("shingle")
+    ).distinct()
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            novel.cast("long").alias("n_novel"),
+            F.round(novel.cast("double") / F.count("*"), 6).alias("novelty_ratio"),
+        )
+    )
+
+
+SEQ_MAX_EVENTS = 20  # cap: first N events per user form the training sequence
+
+
+@register(
+    "events_user_sequences",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY rn) AS seq,
+           CAST(COUNT(*) AS BIGINT) AS seq_len
+    FROM ranked
+    WHERE rn <= {SEQ_MAX_EVENTS}
+    GROUP BY user_id
+    """,
+    category="events",
+)
+def events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-sequence extraction: each user's first {SEQ_MAX_EVENTS}
+    events (by time, event_id tiebreak) joined into one '>'-delimited
+    string — the events-to-training-examples step for sequence models.
+    WindowGroupLimit short-circuits the rank so the shuffle carries at
+    most {SEQ_MAX_EVENTS} rows per user, then array_sort on (rn-tagged)
+    structs + array_join assembles the ordered sequence inside the same
+    aggregate — deterministic regardless of shuffle arrival order."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SEQ_MAX_EVENTS)
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("rn", "event_type"))
+    )
+    return ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s["event_type"]), ">"
+        ).alias("seq"),
+        F.count("*").alias("seq_len"),
+    )
+
+
+XMODAL_AGREE = 0.25  # cosine above which embeddings corroborate a text dup
+
+# The audit composes the verified near-dup pairs with embedding cosine;
+# importing the dedup module here guarantees its registry entry (and thus
+# its oracle SQL, reused verbatim as a subquery) exists at build time.
+from glue_etl_framework_spark.queries import REGISTRY as _REGISTRY  # noqa: E402
+from glue_etl_framework_spark.queries import dedup as _dedup  # noqa: E402, F401
+
+_XMODAL_ORACLE = f"""
+    WITH pairs AS (SELECT * FROM ({_REGISTRY["dedup_minhash_verified"].oracle})),
+    quant AS ({_EMB_QUANT_SQL}),
+    normed AS ({_EMB_NORM_SQL})
+    SELECT p.doc_a, p.doc_b, round(p.jaccard, 6) AS jaccard,
+           round({_PAIR_COS_SQL}, 9) AS cosine,
+           CASE WHEN {_PAIR_COS_SQL} >= {XMODAL_AGREE} THEN 1 ELSE 0 END
+             AS embeddings_agree
+    FROM pairs p
+    JOIN normed a ON p.doc_a = a.vec_id
+    JOIN normed b ON p.doc_b = b.vec_id
+"""
+
+
+@register("curation_crossmodal_audit", oracle=_XMODAL_ORACLE, category="curation")
+def curation_crossmodal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal agreement audit: every exact-Jaccard-verified text
+    near-dup pair scored by the cosine of the two documents' embeddings
+    (doc_id = vec_id), flagging pairs the embedding space corroborates
+    (cosine >= {XMODAL_AGREE}). Healthy pipelines show high agreement;
+    a low agree-rate means the embedding model drifted from the text it
+    indexes — caught here BEFORE embedding-based dedup silently under-
+    deletes. Plan: the banded MinHash+verify subplan emits a tiny pair
+    set; two hash equi-joins attach quantized vectors; cosine is an exact
+    integer dot product. Nothing here is all-pairs — cost is the verified
+    dedup plus two lookups."""
+    from glue_etl_framework_spark.queries.dedup import dedup_minhash_verified
+    from glue_etl_framework_spark.queries.similarity import _dot, _quantized
+
+    pairs = dedup_minhash_verified(spark, sf_dir)
+    v = _quantized(spark, sf_dir)
+    a = v.select(F.col("vec_id").alias("doc_a"), F.col("q").alias("qa"),
+                 F.col("nq").alias("na"))
+    b = v.select(F.col("vec_id").alias("doc_b"), F.col("q").alias("qb"),
+                 F.col("nq").alias("nb"))
+    cosine = _dot(F.col("qa"), F.col("qb")) / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.round(cosine, 9).alias("cosine"),
+            F.when(cosine >= XMODAL_AGREE, 1).otherwise(0).alias("embeddings_agree"),
+        )
+    )

@@ -258,3 +258,25 @@ def test_knn_classify_topk_short_circuits(spark):
     plan = plan_of(spark, "similarity_knn_classify")
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_novelty_ratio_joins_on_shingle_key(spark):
+    """First-seen novelty must stay shingle-keyed — no all-pairs doc
+    comparison anywhere in the plan."""
+    plan = plan_of(spark, "text_novelty_ratio")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_user_sequences_group_limit_bounds_shuffle(spark):
+    """The per-user first-N cap must short-circuit via WindowGroupLimit so
+    long-history users can't blow up the sequence aggregate."""
+    plan = plan_of(spark, "events_user_sequences")
+    assert "WindowGroupLimit" in plan
+
+
+def test_crossmodal_audit_never_cross_product(spark):
+    """The audit composes banded dedup + two vector lookups — every join
+    keyed, nothing all-pairs."""
+    plan = plan_of(spark, "curation_crossmodal_audit")
+    assert "CartesianProduct" not in plan
