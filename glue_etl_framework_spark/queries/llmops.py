@@ -1890,3 +1890,102 @@ def curation_crossmodal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(cosine >= XMODAL_AGREE, 1).otherwise(0).alias("embeddings_agree"),
         )
     )
+
+
+@register(
+    "events_cumulative_uniques",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+    ),
+    daily AS (SELECT day, COUNT(*) AS n_new_users FROM first_day GROUP BY day)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(n_new_users AS BIGINT) AS n_new_users,
+           CAST(SUM(n_new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM daily
+    """,
+    category="events",
+)
+def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth-curve metric that a
+    naive COUNT(DISTINCT) OVER (ORDER BY day) cannot compute scalably
+    (running distinct state grows unboundedly). The scalable reformulation:
+    each user collapses to their FIRST event day (one keyed aggregate over
+    user_id), daily new-user counts follow (second tiny aggregate), and
+    the running sum over the ~days-sized frame is the only unpartitioned
+    window — it touches hundreds of rows, not the event log."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    daily = first_day.groupBy("day").agg(F.count("*").alias("n_new_users"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_new_users").cast("long").alias("n_new_users"),
+        F.sum("n_new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+@register(
+    "events_cooccurrence_pmi",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+    tc AS (SELECT event_type, COUNT(*) AS c FROM u GROUP BY event_type),
+    n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+    ab AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS c_ab
+      FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT ab.type_a, ab.type_b, CAST(ab.c_ab AS BIGINT) AS n_users_both,
+           CAST(round(ln(CAST(ab.c_ab AS DOUBLE) * n.n_users
+                         / (ca.c * cb.c)) * 1000000) AS BIGINT)
+             AS pmi_fp
+    FROM ab, n
+    JOIN tc ca ON ab.type_a = ca.event_type
+    JOIN tc cb ON ab.type_b = cb.event_type
+    """,
+    category="events",
+)
+def events_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence PMI (association mining over user
+    baskets): for each unordered type pair, pointwise mutual information
+    of the two types appearing in the same user's history, as fixed-point
+    round(ln(c_ab x N / (c_a x c_b)) x 1e6) — exact integer counts feed
+    one IEEE ln per OUTPUT row (pairs of a small type vocabulary), so
+    engines agree bit-for-bit. The self-join is keyed on user_id over the
+    DISTINCT (user, type) projection: per-user blowup is bounded by the
+    type-vocabulary size, never by event volume."""
+    e = t(spark, sf_dir, "events")
+    u = e.select("user_id", "event_type").distinct()
+    tc = u.groupBy("event_type").agg(F.count("*").alias("c"))
+    n = e.agg(F.count_distinct("user_id").alias("n_users"))
+    a = u.select("user_id", F.col("event_type").alias("type_a"))
+    b = u.select("user_id", F.col("event_type").alias("type_b"))
+    ab = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    pmi = F.round(
+        F.log(
+            F.col("c_ab").cast("double") * F.col("n_users")
+            / (F.col("ca") * F.col("cb"))
+        ) * 1_000_000
+    ).cast("long")
+    return (
+        ab.crossJoin(F.broadcast(n))
+        .join(F.broadcast(tc.select(F.col("event_type").alias("type_a"),
+                                    F.col("c").alias("ca"))), "type_a")
+        .join(F.broadcast(tc.select(F.col("event_type").alias("type_b"),
+                                    F.col("c").alias("cb"))), "type_b")
+        .select(
+            "type_a", "type_b",
+            F.col("c_ab").cast("long").alias("n_users_both"),
+            pmi.alias("pmi_fp"),
+        )
+    )

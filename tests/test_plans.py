@@ -280,3 +280,18 @@ def test_crossmodal_audit_never_cross_product(spark):
     keyed, nothing all-pairs."""
     plan = plan_of(spark, "curation_crossmodal_audit")
     assert "CartesianProduct" not in plan
+
+
+def test_cumulative_uniques_windows_only_daily_rows(spark):
+    """The running sum must operate on the ~days-sized daily frame: two
+    keyed aggregates first, and no Window before the final aggregate."""
+    plan = plan_of(spark, "events_cumulative_uniques")
+    assert count_shuffles(plan) <= 3, plan[:2000]
+
+
+def test_cooccurrence_pmi_broadcasts_count_tables(spark):
+    """Type-count and N lookups are broadcast; the only data-sized shuffles
+    are the distinct projection and the user-keyed pair join."""
+    plan = plan_of(spark, "events_cooccurrence_pmi")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
