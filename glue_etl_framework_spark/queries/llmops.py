@@ -1690,6 +1690,29 @@ PII_IP = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
 
 
+def pii_audit_cols(text_col: str = "text") -> list:
+    """PII audit Column set shared by the batch operator below and the
+    stream-native scrubber (streaming.quality.pii_scrub_stream): per-class
+    match counts plus the fully redacted text. Pure per-row expressions —
+    no state, no shuffle — so the identical plan runs batch or streaming."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>"),
+            PII_IP, "<IP>",
+        ),
+        PII_PHONE, "<PHONE>",
+    )
+    return [
+        F.size(F.regexp_extract_all(text_col, F.lit(PII_EMAIL), F.lit(0)))
+            .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(text_col, F.lit(PII_IP), F.lit(0)))
+            .cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all(text_col, F.lit(PII_PHONE), F.lit(0)))
+            .cast("long").alias("n_phones"),
+        redacted.alias("redacted"),
+    ]
+
+
 @register(
     "text_pii_scrub",
     oracle=f"""
@@ -1715,24 +1738,13 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricted to the RE2 ∩ Java-regex subset — no lookaround — so the
     same pattern text runs on both engines. Pure scan-side expressions:
     zero shuffles, scales with scan bandwidth; the real scrub at 100 TB
-    is this exact plan writing `redacted` instead of its hash."""
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
-            PII_IP, "<IP>",
-        ),
-        PII_PHONE, "<PHONE>",
-    )
+    is this exact plan writing `redacted` instead of its hash
+    (streaming.quality.pii_scrub_stream does exactly that at ingest)."""
     d = t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0)))
-            .cast("long").alias("n_emails"),
-        F.size(F.regexp_extract_all("text", F.lit(PII_IP), F.lit(0)))
-            .cast("long").alias("n_ips"),
-        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), F.lit(0)))
-            .cast("long").alias("n_phones"),
-        F.md5(redacted).alias("redacted_fp"),
+    audited = d.select("doc_id", *pii_audit_cols("text"))
+    return audited.select(
+        "doc_id", "n_emails", "n_ips", "n_phones",
+        F.md5("redacted").alias("redacted_fp"),
     )
 
 

@@ -13,5 +13,6 @@ from glue_etl_framework_spark.streaming.joins import (  # noqa: F401
     upsert_sink,
 )
 from glue_etl_framework_spark.streaming.quality import (  # noqa: F401
+    pii_scrub_stream,
     quality_gate_stream,
 )

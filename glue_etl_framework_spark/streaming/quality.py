@@ -33,3 +33,26 @@ def quality_gate_stream(docs: DataFrame, keep_audit: bool = False) -> DataFrame:
     return passed.drop(
         "n_tokens", "mean_token_len", "stopword_hits", "short_token_ratio"
     )
+
+
+def pii_scrub_stream(docs: DataFrame, keep_counts: bool = False) -> DataFrame:
+    """Scrub PII from a (possibly streaming) documents frame at ingest:
+    ``text`` is replaced by its redacted form (emails/IPv4s/phones ->
+    typed placeholders), so raw PII never reaches storage — the
+    production posture for pretraining corpora (redaction downstream of
+    landing still leaves PII in the landed files).
+
+    Same Column expressions as the batch audit operator
+    queries/llmops.py:text_pii_scrub (shared via ``pii_audit_cols``):
+    stateless per-row regexes, no watermark, no shuffle — runs at
+    scan/ingest throughput on batch or streaming frames alike. With
+    ``keep_counts=True`` the per-class match counts stay attached for
+    per-micro-batch observability."""
+    from glue_etl_framework_spark.queries.llmops import pii_audit_cols
+
+    cols = [c for c in docs.columns if c != "text"]
+    audited = docs.select(*cols, *pii_audit_cols("text"))
+    scrubbed = audited.withColumnRenamed("redacted", "text")
+    if keep_counts:
+        return scrubbed
+    return scrubbed.drop("n_emails", "n_ips", "n_phones")

@@ -344,3 +344,52 @@ def test_stream_quality_gate_matches_batch(tmp_path, spark):
     # schema-preserving mode drops the audit columns
     plain = ST.quality_gate_stream(spark.read.parquet(src))
     assert plain.columns == docs.columns
+
+
+def test_stream_pii_scrub_matches_batch(tmp_path, spark):
+    """pii_scrub_stream on a file stream must produce byte-identical
+    redacted text to the batch text_pii_scrub fingerprint (shared Column
+    expressions), and must preserve the input schema."""
+    from glue_etl_framework_spark.queries import load_registry
+
+    rows = [
+        (1, "mail a.b@x.co and 10.0.0.1", "en", "src0", 26),
+        (2, "call 555-123-4567 twice 555-123-4567", "en", "src1", 36),
+        (3, "clean text only", "en", "src2", 15),
+    ]
+    src = str(tmp_path / "pii_src")
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    docs.write.parquet(src)
+
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(src)
+    scrubbed = ST.pii_scrub_stream(stream, keep_counts=True)
+    q = (
+        scrubbed.writeStream.format("memory")
+        .queryName("scrubbed_docs")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_emails, r.n_ips, r.n_phones, r.text)
+        for r in spark.sql(
+            "SELECT doc_id, n_emails, n_ips, n_phones, text FROM scrubbed_docs"
+        ).collect()
+    }
+    assert got[1] == (1, 1, 0, "mail <EMAIL> and <IP>")
+    assert got[2] == (0, 0, 2, "call <PHONE> twice <PHONE>")
+    assert got[3] == (0, 0, 0, "clean text only")
+    # batch fingerprint agrees with md5 of the streamed redaction
+    d = tmp_path / "sf_pii_stream"
+    docs.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    fp = {
+        r.doc_id: r.redacted_fp
+        for r in load_registry()["text_pii_scrub"].fn(spark, str(d)).collect()
+    }
+    md5 = {r.doc_id: r.fp for r in spark.createDataFrame(
+        [(k, v[3]) for k, v in got.items()], "doc_id long, text string"
+    ).select("doc_id", F.md5("text").alias("fp")).collect()}
+    assert fp == md5
+    # schema-preserving mode: same columns as the input
+    plain = ST.pii_scrub_stream(spark.read.parquet(src))
+    assert sorted(plain.columns) == sorted(docs.columns)
