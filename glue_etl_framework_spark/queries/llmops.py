@@ -1293,19 +1293,23 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     every overlapping {WIN_K}-token window, find windows occurring in >= 2
     distinct docs, and report each doc's duplicated-window fraction. At
     scale this is O(total tokens) window rows hashed to 16-byte keys — one
-    (window-hash) count-distinct aggregate plus one hash equi-join, never
-    all-pairs and never a monolithic suffix array; both shuffles key on
-    md5 output, which is uniform by construction (no skew). Reference:
-    aws-samples/glue-etl-framework has no dedup surface (EXT, north star
-    BASELINE.json:6)."""
+    (window-hash) aggregate plus one hash equi-join, never all-pairs and
+    never a monolithic suffix array; both shuffles key on md5 output,
+    which is uniform by construction (no skew). "Occurs in >= 2 distinct
+    docs" is computed as MIN(doc_id) != MAX(doc_id) — exactly equivalent
+    to COUNT(DISTINCT doc_id) >= 2 but a single-pass aggregate whose
+    map-side partial is two longs per hash (A/B at sf0.1: 1.5s -> 1.3s;
+    the distinct-agg carries every (hash, doc_id) pair into the shuffle).
+    Reference: aws-samples/glue-etl-framework has no dedup surface (EXT,
+    north star BASELINE.json:6)."""
     d = t(spark, sf_dir, "documents")
     w = d.select(
         "doc_id", F.explode(F.expr(WIN_REGEX)).alias("win")
     ).select("doc_id", F.md5("win").alias("h"))
     dup = (
         w.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
         .select("h")
     )
     hit = F.sum(F.when(F.col("nd_flag").isNull(), 0).otherwise(1))
