@@ -2005,3 +2005,50 @@ def events_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             pmi.alias("pmi_fp"),
         )
     )
+
+
+SHARD_BYTES = 4096  # target shard capacity (WebDataset-style tar shards)
+
+
+@register(
+    "multimodal_shard_manifest",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           CAST((cum - octet_length(encode(text))) // {SHARD_BYTES} AS BIGINT)
+             AS shard_idx,
+           CAST((cum - octet_length(encode(text))) % {SHARD_BYTES} AS BIGINT)
+             AS shard_offset
+    FROM (
+      SELECT doc_id, source, text,
+             SUM(octet_length(encode(text))) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents
+    )
+    """,
+    category="multimodal",
+)
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard assignment: pack payloads sequentially (by
+    doc_id, within source) into ~{SHARD_BYTES}-byte shards and emit the
+    manifest (shard index + byte offset of each payload's start) that the
+    shard writer and any random-access reader share. The running byte sum
+    is a window per SOURCE — shards never span sources, so the state per
+    window is one long and the shuffle is keyed on source, not global.
+    At 100 TB with few giant sources, sub-partition the ordering key
+    (e.g. (source, doc_id div N)) — the manifest formula is unchanged."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    nbytes = F.length(F.encode(F.col("text"), "UTF-8")).cast("long")
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    start = F.sum(nbytes).over(w) - nbytes
+    return d.select(
+        "doc_id", "source",
+        nbytes.alias("payload_bytes"),
+        (start / SHARD_BYTES).cast("long").alias("shard_idx"),
+        (start % SHARD_BYTES).cast("long").alias("shard_offset"),
+    )

@@ -168,3 +168,4 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(frame).alias("frame_md5"),
         )
     )
+
