@@ -2052,3 +2052,77 @@ def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (start / SHARD_BYTES).cast("long").alias("shard_idx"),
         (start % SHARD_BYTES).cast("long").alias("shard_offset"),
     )
+
+
+def _gopher_pass_sql() -> str:
+    """The Gopher pass predicate over a DuckDB token-list column ``w`` —
+    the same gate as quality_gopher_filters' oracle, factored so composite
+    reports reuse one source of truth."""
+    stop = ", ".join(repr(s) for s in _EN_STOPWORDS)
+    return f"""(length(w) BETWEEN {GOPHER_TOKENS_MIN} AND {GOPHER_TOKENS_MAX}
+         AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+             / length(w) BETWEEN {GOPHER_MEAN_LEN_MIN} AND {GOPHER_MEAN_LEN_MAX}
+         AND length(list_filter(w, x -> list_contains([{stop}], x)))
+             >= {GOPHER_MIN_STOPWORDS}
+         AND CAST(length(list_filter(w, x -> length(x) <= 2)) AS DOUBLE)
+             / length(w) <= {GOPHER_MAX_SHORT_RATIO})"""
+
+
+@register(
+    "curation_funnel_report",
+    oracle=f"""
+    WITH t0 AS (SELECT doc_id, source, string_split(text, ' ') AS w,
+                       md5(text) AS h
+                FROM documents),
+    g AS (
+      SELECT doc_id, source, h,
+             CASE WHEN {_gopher_pass_sql()} THEN 1 ELSE 0 END AS pass_q,
+             CASE WHEN length(list_filter(w,
+                  x -> list_contains([{", ".join(repr(b) for b in BADWORDS)}], x))) > 0 THEN 1 ELSE 0 END AS has_bad
+      FROM t0
+    ),
+    c AS (SELECT *, CASE WHEN MIN(doc_id) OVER (PARTITION BY h) = doc_id
+                         THEN 1 ELSE 0 END AS canonical
+          FROM g)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pass_q) AS BIGINT) AS n_pass_quality,
+           CAST(SUM(CASE WHEN pass_q = 1 AND has_bad = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass_blocklist,
+           CAST(SUM(CASE WHEN pass_q = 1 AND has_bad = 0 AND canonical = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_dedup
+    FROM c GROUP BY source
+    """,
+    category="curation",
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation funnel — the survivor counts after each gate
+    (quality battery -> blocklist -> exact dedup) that every production
+    pipeline reports per batch: where documents die decides where tuning
+    effort goes. Reuses the shared gate expressions (gopher_audit_cols,
+    the BADWORDS array) plus a canonical-by-content-hash window; one
+    shuffle on the 16-byte hash, one tiny source aggregate. Funnel stages
+    are successive ANDs, so each column is a subset of the previous —
+    asserted by construction, not recomputed downstream."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    bad = F.array(*[F.lit(b) for b in BADWORDS])
+    toks = F.split("text", " ")
+    audited = d.select(
+        "doc_id", "source", F.md5("text").alias("h"),
+        gopher_audit_cols("text")[-1],  # passes_gopher
+        (F.size(F.filter(toks, lambda x: F.array_contains(bad, x))) > 0)
+            .cast("int").alias("has_bad"),
+    )
+    canonical = (F.min("doc_id").over(W.partitionBy("h")) == F.col("doc_id")).cast("int")
+    c = audited.withColumn("canonical", canonical)
+    pq = F.col("passes_gopher") == 1
+    nb = F.col("has_bad") == 0
+    cn = F.col("canonical") == 1
+    return c.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(pq, 1).otherwise(0)).cast("long").alias("n_pass_quality"),
+        F.sum(F.when(pq & nb, 1).otherwise(0)).cast("long").alias("n_pass_blocklist"),
+        F.sum(F.when(pq & nb & cn, 1).otherwise(0)).cast("long").alias("n_pass_dedup"),
+    )

@@ -208,3 +208,69 @@ def test_pii_scrub_matches_duckdb_on_planted_pii(spark, tmp_path):
     # sanity on the planted values themselves, not just cross-engine accord
     assert got[0][0] == 2 and got[1][1] == 2 and got[2][2] == 2
     assert got[3][:3] == (1, 1, 1) and got[4][:3] == (0, 0, 0)
+
+
+# ----------------------------------------------------- z-order / chunking --
+
+
+def test_zvalue_formula_matches_python_bit_interleave(spark):
+    """The portable arithmetic z-value must equal true Morton interleaving
+    for random 16-bit key pairs."""
+    import random
+
+    from glue_etl_framework_spark.queries.llmops import _zvalue_expr
+
+    rnd = random.Random(7)
+    rows = [(rnd.randrange(1 << 16), rnd.randrange(1 << 16)) for _ in range(200)]
+
+    def morton(x, y):
+        z = 0
+        for b in range(16):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    df = spark.createDataFrame(rows, "l_partkey long, l_suppkey long")
+    got = [
+        r.z
+        for r in df.selectExpr(f"({_zvalue_expr('div')}) AS z").collect()
+    ]
+    want = [morton(x, y) for x, y in rows]
+    assert got == want
+
+
+def test_chunk_windows_cover_and_reassemble(spark):
+    """Every chunking invariant on random texts: chunks cover all tokens,
+    consecutive chunks overlap by CHUNK_TOKENS - CHUNK_STRIDE, and
+    stitching stride-aligned prefixes reproduces the document."""
+    import random
+
+    from glue_etl_framework_spark.queries import load_registry
+    from glue_etl_framework_spark.queries.llmops import CHUNK_STRIDE, CHUNK_TOKENS
+
+    rnd = random.Random(11)
+    texts = [
+        " ".join(f"w{rnd.randrange(50)}" for _ in range(rnd.randrange(1, 90)))
+        for _ in range(25)
+    ]
+    rows = [(i, s, "en", "src0", len(s)) for i, s in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+        out = load_registry()["text_chunk_windows"].fn(spark, d).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, text in enumerate(texts):
+        toks = text.split(" ")
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        # stitch: full first chunk + the non-overlapping tail of the rest
+        stitched = chunks[0].chunk_text.split(" ")
+        for c in chunks[1:]:
+            stitched += c.chunk_text.split(" ")[CHUNK_TOKENS - CHUNK_STRIDE:]
+        assert stitched == toks, f"doc {i} stitches wrong"
+        assert all(c.n_chunk_tokens == len(c.chunk_text.split(" ")) for c in chunks)
