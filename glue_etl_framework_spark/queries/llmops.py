@@ -2126,3 +2126,84 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(pq & nb, 1).otherwise(0)).cast("long").alias("n_pass_blocklist"),
         F.sum(F.when(pq & nb & cn, 1).otherwise(0)).cast("long").alias("n_pass_dedup"),
     )
+
+
+ZIPF_TOP = 100  # fit the slope over the top-R token ranks
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+            ORDER BY c DESC, tok LIMIT {ZIPF_TOP}),
+    ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r, c FROM cnt
+    ),
+    fp AS (
+      SELECT CAST(round(ln(r) * 1e6) AS BIGINT) AS u,
+             CAST(round(ln(c) * 1e6) AS BIGINT) AS v,
+             CAST(round(ln(r) * ln(c) * 1e6) AS BIGINT) AS a,
+             CAST(round(ln(r) * ln(r) * 1e6) AS BIGINT) AS b
+      FROM ranked
+    ),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(u) AS BIGINT) AS su,
+                 CAST(SUM(v) AS BIGINT) AS sv, CAST(SUM(a) AS BIGINT) AS sa,
+                 CAST(SUM(b) AS BIGINT) AS sb
+          FROM fp)
+    SELECT n AS n_terms,
+           round((n * sa - CAST(su AS DOUBLE) * sv / 1e6)
+                 / (n * sb - CAST(su AS DOUBLE) * su / 1e6), 6) AS zipf_slope,
+           round((CAST(sv AS DOUBLE) / 1e6
+                  - ((n * sa - CAST(su AS DOUBLE) * sv / 1e6)
+                     / (n * sb - CAST(su AS DOUBLE) * su / 1e6))
+                    * su / 1e6) / n, 6) AS zipf_intercept
+    FROM s
+    """,
+    category="text",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the top-{ZIPF_TOP} token frequencies: least-squares
+    slope/intercept of ln(count) vs ln(rank) — natural corpora fit slope
+    ~ -1; template spam and synthetic loops bend the curve, making this a
+    one-row corpus-health gauge. Per-term ln products are rounded to
+    fixed-point integers BEFORE the regression sums (order-independent,
+    exact), and the closed-form slope does only IEEE double arithmetic on
+    those exact integers — bit-identical across engines. Plan: one token
+    count aggregate, a TakeOrdered top-{ZIPF_TOP} (no global sort), and a
+    single-row reduction."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(ZIPF_TOP)
+    )
+    r = F.row_number().over(W.orderBy(F.col("c").desc(), "tok")).cast("double")
+    ranked = cnt.select(r.alias("r"), F.col("c").cast("double").alias("c"))
+    fp = ranked.select(
+        F.round(F.log("r") * 1e6).cast("long").alias("u"),
+        F.round(F.log("c") * 1e6).cast("long").alias("v"),
+        F.round(F.log("r") * F.log("c") * 1e6).cast("long").alias("a"),
+        F.round(F.log("r") * F.log("r") * 1e6).cast("long").alias("b"),
+    )
+    s = fp.agg(
+        F.count("*").alias("n"), F.sum("u").alias("su"), F.sum("v").alias("sv"),
+        F.sum("a").alias("sa"), F.sum("b").alias("sb"),
+    )
+    num = F.col("n") * F.col("sa") - F.col("su").cast("double") * F.col("sv") / 1e6
+    den = F.col("n") * F.col("sb") - F.col("su").cast("double") * F.col("su") / 1e6
+    slope = num / den
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sv").cast("double") / 1e6 - slope * F.col("su") / 1e6)
+            / F.col("n"), 6
+        ).alias("zipf_intercept"),
+    )
