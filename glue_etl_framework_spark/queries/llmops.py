@@ -2207,3 +2207,87 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n"), 6
         ).alias("zipf_intercept"),
     )
+
+
+IV_BIN_DAYS = 7  # weekly bins: every interval spans <= 4 bins at these widths
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH a AS (
+      SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS s,
+             CAST(l_shipdate AS DATE) + (l_linenumber % 7 + 1) AS e
+      FROM lineitem WHERE l_orderkey % 37 = 0
+    ),
+    b AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s2,
+             CAST(o_orderdate AS DATE) + 14 AS e2
+      FROM orders WHERE o_orderkey % 53 = 0
+    ),
+    ax AS (
+      SELECT a.*, unnest(range((s - DATE '1970-01-01') // {IV_BIN_DAYS},
+                               (e - DATE '1970-01-01') // {IV_BIN_DAYS} + 1)) AS bin
+      FROM a
+    ),
+    bx AS (
+      SELECT b.*, unnest(range((s2 - DATE '1970-01-01') // {IV_BIN_DAYS},
+                               (e2 - DATE '1970-01-01') // {IV_BIN_DAYS} + 1)) AS bin
+      FROM b
+    )
+    SELECT DISTINCT ax.l_orderkey, ax.l_linenumber, bx.o_orderkey,
+           CAST(least(ax.e, bx.e2) - greatest(ax.s, bx.s2) + 1 AS BIGINT)
+             AS overlap_days
+    FROM ax JOIN bx ON ax.bin = bx.bin
+    WHERE ax.s <= bx.e2 AND bx.s2 <= ax.e
+    """,
+    category="join",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (large x large): ship windows vs promo
+    windows, matched where the date ranges intersect. Neither side is
+    broadcastable at 100 TB, so both explode into fixed-width
+    ({IV_BIN_DAYS}-day) time bins and meet in a BIN-KEYED equi-join —
+    work is O(overlapping-bin pairs), never |A| x |B|; DISTINCT collapses
+    multi-bin duplicates of the same pair. Same discipline as
+    join_range_binned, extended from point-in-interval to
+    interval-interval. Bin width tunes the explode factor vs join
+    selectivity trade (intervals here span <= 4 bins)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    epoch = "DATE'1970-01-01'"
+    a = li.filter(F.col("l_orderkey") % 37 == 0).select(
+        "l_orderkey", "l_linenumber",
+        F.to_date("l_shipdate").alias("s"),
+        F.date_add(F.to_date("l_shipdate"),
+                   (F.col("l_linenumber") % 7 + 1).cast("int")).alias("e"),
+    )
+    b = o.filter(F.col("o_orderkey") % 53 == 0).select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("s2"),
+        F.date_add(F.to_date("o_orderdate"), 14).alias("e2"),
+    )
+    ax = a.withColumn(
+        "bin",
+        F.explode(F.sequence(
+            F.expr(f"datediff(s, {epoch}) div {IV_BIN_DAYS}"),
+            F.expr(f"datediff(e, {epoch}) div {IV_BIN_DAYS}"),
+        )),
+    )
+    bx = b.withColumn(
+        "bin",
+        F.explode(F.sequence(
+            F.expr(f"datediff(s2, {epoch}) div {IV_BIN_DAYS}"),
+            F.expr(f"datediff(e2, {epoch}) div {IV_BIN_DAYS}"),
+        )),
+    )
+    return (
+        ax.join(bx, "bin")
+        .filter((F.col("s") <= F.col("e2")) & (F.col("s2") <= F.col("e")))
+        .select(
+            "l_orderkey", "l_linenumber", "o_orderkey",
+            (F.datediff(F.least("e", "e2"), F.greatest("s", "s2")) + 1)
+                .cast("long").alias("overlap_days"),
+        )
+        .distinct()
+    )

@@ -295,3 +295,10 @@ def test_cooccurrence_pmi_broadcasts_count_tables(spark):
     plan = plan_of(spark, "events_cooccurrence_pmi")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_is_bin_keyed(spark):
+    """Interval x interval must meet in the bin equi-join — no nested loop,
+    no cartesian product (the large-large discipline)."""
+    plan = plan_of(spark, "join_interval_overlap")
+    assert "CartesianProduct" not in plan
