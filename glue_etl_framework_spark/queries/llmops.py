@@ -2291,3 +2291,68 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+EWMA_K = 8  # truncated exponential window: weights 2^-k over the last K rows
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    """(weighted_sum, weight_sum) SQL over lag columns ``vfp`` (fixed-point
+    value) — identical text for both engines (lag/CASE/integer arithmetic
+    only). Weight for lag k is 2^({EWMA_K}-1-k): integer, exact."""
+    num, den = [], []
+    for k in range(EWMA_K):
+        w = 2 ** (EWMA_K - 1 - k)
+        col = "vfp" if k == 0 else f"lag(vfp, {k}) OVER w"
+        num.append(f"COALESCE({col} * {w}, 0)")
+        den.append(f"CASE WHEN {col} IS NULL THEN 0 ELSE {w} END")
+    return " + ".join(num), " + ".join(den)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_terms_sql()
+
+
+@register(
+    "window_ewma_smooth",
+    oracle=f"""
+    SELECT user_id, event_id, round(value, 6) AS value,
+           round(CAST(({_EWMA_NUM}) AS DOUBLE)
+                 / (({_EWMA_DEN}) * 1e6), 6) AS ewma
+    FROM (SELECT user_id, event_id, ts, value,
+                 CAST(round(value * 1e6) AS BIGINT) AS vfp
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    category="window",
+)
+def window_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 1/2, truncated at
+    {EWMA_K} lags) of each user's event values in time order — the
+    time-series smoother behind anomaly baselines. Determinism: values
+    are fixed-point-quantized, weights are exact powers of two, so the
+    weighted sum is pure integer arithmetic with one final IEEE division
+    — bit-identical across engines (a float pow(alpha,k) recurrence is
+    not). One hash shuffle on user_id; all {EWMA_K} lags share a single
+    window frame, so Catalyst plans ONE Window operator, not {EWMA_K}."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    base = e.select(
+        "user_id", "event_id", "value",
+        F.round(F.col("value") * 1e6).cast("long").alias("vfp"),
+        "ts",
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    num, den = None, None
+    for k in range(EWMA_K):
+        wt = 2 ** (EWMA_K - 1 - k)
+        col = F.col("vfp") if k == 0 else F.lag("vfp", k).over(w)
+        n_k = F.coalesce(col * wt, F.lit(0))
+        d_k = F.when(col.isNull(), 0).otherwise(wt)
+        num = n_k if num is None else num + n_k
+        den = d_k if den is None else den + d_k
+    return base.select(
+        "user_id", "event_id",
+        F.round("value", 6).alias("value"),
+        F.round(num.cast("double") / (den * 1e6), 6).alias("ewma"),
+    )

@@ -302,3 +302,12 @@ def test_interval_overlap_is_bin_keyed(spark):
     no cartesian product (the large-large discipline)."""
     plan = plan_of(spark, "join_interval_overlap")
     assert "CartesianProduct" not in plan
+
+
+def test_ewma_lags_share_one_window(spark):
+    """All EWMA lag terms share a single (partition, order) spec — the plan
+    must contain exactly one Window operator and one hash exchange."""
+    plan = plan_of(spark, "window_ewma_smooth")
+    windows = sum(1 for ln in plan.splitlines() if "Window [" in ln)
+    assert windows == 1, plan[:2000]
+    assert count_shuffles(plan) == 1, plan[:2000]
