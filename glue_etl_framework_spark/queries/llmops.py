@@ -2356,3 +2356,101 @@ def window_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("value"),
         F.round(num.cast("double") / (den * 1e6), 6).alias("ewma"),
     )
+
+
+NORM_LO_FP = 6_500_000  # healthy squared-norm band (fixed-point 1e6 units):
+NORM_HI_FP = 9_500_000  # 64-dim N(0, 0.125)-ish vectors land in ~[6.5, 9.5]
+
+
+@register(
+    "quality_embedding_norm_audit",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             CAST(list_sum(list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)
+                       * CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)))
+                  AS BIGINT) AS nq
+      FROM embeddings
+    ),
+    f AS (SELECT vec_id, label,
+                 CAST(round(nq / 1099511627776.0 * 1e6) AS BIGINT) AS norm2_fp
+          FROM q)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(norm2_fp) AS BIGINT) AS min_norm2_fp,
+           CAST(MAX(norm2_fp) AS BIGINT) AS max_norm2_fp,
+           CAST(SUM(norm2_fp) AS BIGINT) AS sum_norm2_fp,
+           CAST(SUM(CASE WHEN norm2_fp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_vecs,
+           CAST(SUM(CASE WHEN norm2_fp BETWEEN {NORM_LO_FP} AND {NORM_HI_FP}
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_outliers
+    FROM f GROUP BY label
+    """,
+    category="quality",
+)
+def quality_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health audit per label: squared-norm min/max/sum,
+    zero-vector count, and out-of-band count — the cheap invariant checks
+    that catch collapsed encoders, dead batches, and unnormalized mixes
+    before any similarity op consumes the vectors. Norms are exact
+    integer sums of quantized squares (2^20 scale; /2^40 renormalizes),
+    fixed-pointed BEFORE aggregation so every statistic is
+    order-independent. One narrow scan + one tiny label aggregate."""
+    e = t(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1048576).cast("long")
+    )
+    nq = F.aggregate(
+        F.transform(qv, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    norm2_fp = F.round(nq / F.lit(1099511627776.0) * 1e6).cast("long")
+    f = e.select("vec_id", "label", norm2_fp.alias("norm2_fp"))
+    inband = F.col("norm2_fp").between(NORM_LO_FP, NORM_HI_FP)
+    return f.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.min("norm2_fp").alias("min_norm2_fp"),
+        F.max("norm2_fp").alias("max_norm2_fp"),
+        F.sum("norm2_fp").alias("sum_norm2_fp"),
+        F.sum(F.when(F.col("norm2_fp") == 0, 1).otherwise(0)).cast("long")
+            .alias("n_zero_vecs"),
+        F.sum(F.when(inband, 0).otherwise(1)).cast("long").alias("n_outliers"),
+    )
+
+
+@register(
+    "dedup_graph_degree_stats",
+    oracle=f"""
+    WITH pairs AS (SELECT * FROM ({_REGISTRY["dedup_minhash_verified"].oracle})),
+    deg AS (
+      SELECT doc_id, COUNT(*) AS degree FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL
+        SELECT doc_b AS doc_id FROM pairs
+      ) GROUP BY doc_id
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM deg GROUP BY degree
+    """,
+    category="dedup",
+)
+def dedup_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the verified near-dup graph: how many documents
+    have 1, 2, ... near-duplicates. The shape decides the dedup strategy
+    at scale — a heavy tail (template hubs) calls for component capping
+    before connected components, a flat degree-1 profile means pair-level
+    keep-one suffices and the iterative CC pass can be skipped entirely.
+    Cost: the verified-pair subplan plus two tiny aggregates over the
+    pair set."""
+    from glue_etl_framework_spark.queries.dedup import dedup_minhash_verified
+
+    pairs = dedup_minhash_verified(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_docs"))
