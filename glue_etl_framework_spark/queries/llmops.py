@@ -2454,3 +2454,77 @@ def dedup_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count("*").alias("n_docs"))
+
+
+KL_SCALE = 1_000_000_000  # per-term fixed-point scale for KL contributions
+
+
+@register(
+    "text_source_drift_kl",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cst AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok),
+    ct AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS ctot FROM cst GROUP BY tok),
+    ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cst GROUP BY source),
+    nn AS (SELECT source, n, CAST(SUM(n) OVER () AS BIGINT) AS big_n FROM ns),
+    terms AS (
+      SELECT cst.source,
+             CAST(round(CAST(cst.c AS DOUBLE) / nn.n
+                        * ln(CAST(cst.c AS DOUBLE) * nn.big_n
+                             / (CAST(nn.n AS DOUBLE) * ct.ctot))
+                        * {KL_SCALE}) AS BIGINT) AS kfp
+      FROM cst JOIN ct ON cst.tok = ct.tok
+      JOIN nn ON cst.source = nn.source
+    )
+    SELECT t.source, nn.n AS n_tokens,
+           CAST(SUM(t.kfp) AS BIGINT) AS kl_fp,
+           round(CAST(SUM(t.kfp) AS DOUBLE) / {KL_SCALE}, 6) AS kl_nats
+    FROM terms t JOIN nn ON t.source = nn.source
+    GROUP BY t.source, nn.n
+    """,
+    category="quality",
+)
+def text_source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-vs-corpus distribution drift: KL(source unigram dist ||
+    corpus unigram dist) per source — the shift detector that flags a
+    crawl slice whose token mix diverged (new boilerplate, language
+    drift, spam bursts). No smoothing needed: every source token exists
+    in the corpus by construction. Per-token KL contributions are
+    fixed-point-rounded (exact integer inputs to one ln each) and summed
+    as integers — order-independent. Plan: one (source, token) count
+    aggregate; corpus token totals and per-source totals both DERIVE from
+    that frame (no rescan); the global total is a window over the
+    #sources-row frame. Joins: vocabulary-sized and #sources-sized
+    lookups — broadcast; the corpus text is scanned once."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    cst = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    ct = cst.groupBy("tok").agg(F.sum("c").alias("ctot"))
+    ns = cst.groupBy("source").agg(F.sum("c").alias("n"))
+    nn = ns.withColumn("big_n", F.sum("n").over(W.partitionBy()))
+    kfp = F.round(
+        F.col("c").cast("double") / F.col("n")
+        * F.log(
+            F.col("c").cast("double") * F.col("big_n")
+            / (F.col("n").cast("double") * F.col("ctot"))
+        )
+        * KL_SCALE
+    ).cast("long")
+    terms = (
+        cst.join(F.broadcast(ct), "tok")
+        .join(F.broadcast(nn), "source")
+        .select("source", "n", kfp.alias("kfp"))
+    )
+    return terms.groupBy("source", "n").agg(
+        F.sum("kfp").alias("kl_fp"),
+        F.round(F.sum("kfp").cast("double") / KL_SCALE, 6).alias("kl_nats"),
+    ).select(
+        "source", F.col("n").alias("n_tokens"), "kl_fp", "kl_nats"
+    )
