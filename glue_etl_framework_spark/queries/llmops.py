@@ -2528,3 +2528,72 @@ def text_source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "source", F.col("n").alias("n_tokens"), "kl_fp", "kl_nats"
     )
+
+
+_CLUSTER_HIST_ORACLE = f"""
+    WITH comp AS (
+      SELECT * FROM ({_REGISTRY["dedup_connected_components"].oracle})
+    ),
+    sizes AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
+    SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY sz
+"""
+
+
+@register(
+    "dedup_cluster_size_hist",
+    oracle=_CLUSTER_HIST_ORACLE,
+    category="dedup",
+)
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram over the connected components of
+    the near-dup graph: the capacity-planning number for dedup (N docs in
+    size-k clusters -> N - N/k survivors) and the early warning for
+    template explosions (a single giant component means the LSH threshold
+    or the shingling broke). Two tiny aggregates on top of the CC
+    subplan; singleton docs form size-1 clusters, preserved so the
+    histogram sums to the corpus size."""
+    from glue_etl_framework_spark.queries.dedup import dedup_connected_components
+
+    comp = dedup_connected_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters")
+    )
+
+
+BOT_RATE_PER_MIN = 3  # flag users sustaining > 3 events in any single minute
+
+
+@register(
+    "events_bot_detection",
+    oracle=f"""
+    WITH perm AS (
+      SELECT user_id, date_trunc('minute', ts) AS m, COUNT(*) AS c
+      FROM events GROUP BY user_id, date_trunc('minute', ts)
+    )
+    SELECT user_id,
+           CAST(MAX(c) AS BIGINT) AS peak_per_min,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CASE WHEN MAX(c) > {BOT_RATE_PER_MIN} THEN 1 ELSE 0 END AS flagged_bot
+    FROM perm GROUP BY user_id
+    """,
+    category="events",
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-based bot flagging: a user's peak events-per-minute and a flag
+    when it exceeds {BOT_RATE_PER_MIN} — the standard pre-filter that
+    keeps scripted traffic out of behavioral training data. Two keyed
+    hash aggregates ((user, minute) then user), both with map-side
+    partials; no windows, no state — linear at any event volume and
+    robust to hot users because the first aggregate already collapses
+    their rows to one per minute."""
+    e = t(spark, sf_dir, "events")
+    perm = e.groupBy("user_id", F.date_trunc("minute", "ts").alias("m")).agg(
+        F.count("*").alias("c")
+    )
+    return perm.groupBy("user_id").agg(
+        F.max("c").alias("peak_per_min"),
+        F.sum("c").alias("n_events"),
+        F.when(F.max("c") > BOT_RATE_PER_MIN, 1).otherwise(0).alias("flagged_bot"),
+    )
