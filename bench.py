@@ -60,6 +60,8 @@ HEADLINE = [
     "dedup_minhash_against_corpus", # incremental banded near-dup vs reference corpus
     "similarity_pq_adc_topk",       # PQ code assignment + broadcast-LUT ADC search
     "dedup_substring_windows",      # exact-substring windows (hash equi-join)
+    "tpch_q5_local_supplier_volume",  # TPC-H 6-way join + grouped sum
+    "tpch_q18_large_volume_customer", # TPC-H semi-join on self-agg + top-k
 ]
 
 

@@ -97,6 +97,7 @@ _MODULES = [
     "windows",
     "relational",
     "aggregates",
+    "tpch",
 ]
 
 
