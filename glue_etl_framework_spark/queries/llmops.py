@@ -2597,3 +2597,205 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_events"),
         F.when(F.max("c") > BOT_RATE_PER_MIN, 1).otherwise(0).alias("flagged_bot"),
     )
+
+
+# --- DSIR-style importance weighting -------------------------------------
+# Hashed n-gram importance resampling (Xie et al., "Data Selection for
+# Language Models via Importance Resampling", NeurIPS 2023): score every
+# document by how target-domain-like its hashed unigram distribution is,
+# lambda(b) = ln p_target(b) - ln p_raw(b) over hashed feature buckets.
+
+DSIR_BUCKETS = 4096  # md5-prefix space: 16^3 hex buckets
+DSIR_TARGET_LANG = "en"  # the "target domain": English docs
+
+
+@register(
+    "sample_importance_dsir",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang, substr(md5(token), 1, 3) AS bucket FROM toks
+    ),
+    buckets AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS rc,
+             CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS tc
+      FROM feat GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(rc) AS BIGINT) AS rt, CAST(SUM(tc) AS BIGINT) AS tt FROM buckets
+    ),
+    lam AS (
+      SELECT b.bucket,
+             CAST(round((ln(CAST(b.tc + 1 AS DOUBLE) / (tot.tt + {DSIR_BUCKETS}.0))
+                       - ln(CAST(b.rc + 1 AS DOUBLE) / (tot.rt + {DSIR_BUCKETS}.0)))
+                       * {LM_SCALE}) AS BIGINT) AS lam_fp
+      FROM buckets b CROSS JOIN tot
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(l.lam_fp) AS BIGINT) AS dsir_fp,
+           CAST(SUM(l.lam_fp) AS DOUBLE) / COUNT(*) AS per_token_fp
+    FROM feat f JOIN lam l ON f.bucket = l.bucket
+    GROUP BY f.doc_id
+    """,
+    category="curation",
+)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting: per-document log importance ratio
+    sum_b lambda(b) with lambda(b) = ln p_target(b) - ln p_raw(b) over
+    hashed unigram buckets (md5 3-hex-prefix, 4096 buckets; add-1
+    smoothing). The target domain here is the corpus's English subset;
+    the raw distribution is the whole corpus — swap either for any
+    reference corpus without changing the plan. High scores mark docs to
+    up-sample when fitting a target domain on a raw crawl.
+
+    Scale: the bucket table is FIXED SIZE (4096 rows) no matter the corpus
+    — unlike a vocabulary table it cannot grow — so the lambda join is a
+    permanent broadcast. Two shuffles: the 4096-key bucket count (map-side
+    partials collapse each task to <=4096 rows, so hot buckets cannot
+    skew) and the per-doc sum. Lambdas are fixed-point longs (round 1e-6
+    precedent of text_unigram_logprob) so the per-doc sum is exact in any
+    order; the per-token average divides the same two integers on both
+    engines."""
+    d = t(spark, sf_dir, "documents")
+    feat = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    ).select("doc_id", "lang", F.substring(F.md5("token"), 1, 3).alias("bucket"))
+    buckets = feat.groupBy("bucket").agg(
+        F.count("*").alias("rc"),
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)).alias("tc"),
+    )
+    tot = buckets.agg(F.sum("rc").alias("rt"), F.sum("tc").alias("tt"))
+    lam_fp = F.round(
+        (
+            F.log((F.col("tc") + 1).cast("double") / (F.col("tt") + float(DSIR_BUCKETS)))
+            - F.log((F.col("rc") + 1).cast("double") / (F.col("rt") + float(DSIR_BUCKETS)))
+        )
+        * LM_SCALE
+    ).cast("long")
+    lam = buckets.crossJoin(F.broadcast(tot)).select("bucket", lam_fp.alias("lam_fp"))
+    return (
+        feat.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lam_fp").alias("dsir_fp"),
+            (F.sum("lam_fp").cast("double") / F.count("*")).alias("per_token_fp"),
+        )
+    )
+
+
+# --- robust outlier detection --------------------------------------------
+
+MAD_K = 3.0  # flag beyond 3 scaled-MADs
+MAD_SCALE = 1.4826  # normal-consistency constant
+
+
+@register(
+    "quality_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+      FROM documents GROUP BY lang
+    ),
+    dev AS (
+      SELECT d.doc_id, d.lang, d.n_chars, m.med,
+             abs(d.n_chars - m.med) AS adev
+      FROM documents d JOIN med m ON d.lang = m.lang
+    ),
+    mad AS (
+      SELECT lang, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY lang
+    )
+    SELECT v.doc_id, v.lang, v.n_chars,
+           CASE WHEN v.adev > {MAD_K} * {MAD_SCALE} * m.mad AND m.mad > 0
+                THEN 1 ELSE 0 END AS outlier
+    FROM dev v JOIN mad m ON v.lang = m.lang
+    """,
+    category="quality",
+)
+def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language length-outlier flag: |x - median| > 3 * 1.4826 *
+    MAD (median absolute deviation). Unlike z-scores (events_anomaly_zscore)
+    the median/MAD pair is immune to the outliers it hunts — the standard
+    robust gate for corpus length screens. Two tiny per-lang aggregates
+    (exact interpolated percentile: Spark `percentile` == DuckDB
+    `quantile_cont`, the established parity) broadcast back onto the scan;
+    the doc-level data itself never shuffles. At 100 TB swap the exact
+    percentile for approx_percentile(..., 1e-5) — same plan shape, bounded
+    memory per group — exact is kept here for the bit-identical oracle."""
+    d = t(spark, sf_dir, "documents")
+    med = d.groupBy("lang").agg(
+        F.percentile(F.col("n_chars").cast("double"), F.lit(0.5)).alias("med")
+    )
+    dev = d.join(F.broadcast(med), "lang").select(
+        "doc_id", "lang", "n_chars", F.abs(F.col("n_chars") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("lang").agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    return dev.join(F.broadcast(mad), "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.when(
+            (F.col("adev") > MAD_K * MAD_SCALE * F.col("mad")) & (F.col("mad") > 0), 1
+        )
+        .otherwise(0)
+        .alias("outlier"),
+    )
+
+
+# --- pretrained linear quality classifier ---------------------------------
+# fastText-style inference: a FIXED hashed bag-of-words weight vector
+# applied at scan throughput. The weights here are a deterministic stand-in
+# (derived from md5 of the feature bucket — portable across engines);
+# swapping in real trained weights is a broadcast-table swap, not a plan
+# change.
+
+
+@register(
+    "quality_hashed_classifier",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(ascii(substr(md5('w:' || substr(md5(token), 1, 3)), 1, 1)) - 80 AS BIGINT) AS w_fp
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(w_fp) AS BIGINT) AS score_fp,
+           CASE WHEN CAST(SUM(w_fp) AS DOUBLE) / COUNT(*) > 0 THEN 1 ELSE 0 END AS keep
+    FROM scored GROUP BY doc_id
+    """,
+    category="quality",
+)
+def quality_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference (the fastText-classifier step of
+    CCNet/LLaMA-style pipelines) as pure scan arithmetic: each token maps
+    to a hashed feature bucket, each bucket to a fixed integer weight, and
+    the document's score is the mean weight; keep = score > 0. The weight
+    "model" is computed inline from md5 (deterministic both engines) —
+    with trained weights it becomes a 4096-row broadcast join, same plan.
+    ONE shuffle (the per-doc sum); no corpus-wide state at all, so
+    classification throughput is scan throughput at any corpus size."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    w_fp = (
+        F.ascii(
+            F.substring(F.md5(F.concat(F.lit("w:"), F.substring(F.md5("token"), 1, 3))), 1, 1)
+        )
+        - 80
+    ).cast("long")
+    scored = toks.select("doc_id", w_fp.alias("w_fp"))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("w_fp").alias("score_fp"),
+        F.when(F.sum("w_fp").cast("double") / F.count("*") > 0, 1)
+        .otherwise(0)
+        .alias("keep"),
+    )
