@@ -2799,3 +2799,111 @@ def quality_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("keep"),
     )
+
+
+# --- multi-resolution time rollup -----------------------------------------
+
+
+@register(
+    "events_multires_rollup",
+    oracle="""
+    SELECT CASE WHEN GROUPING(h) = 1 THEN 'day'
+                WHEN GROUPING(m) = 1 THEN 'hour'
+                ELSE 'minute' END AS resolution,
+           d, h, m,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+    FROM (
+      SELECT date_trunc('day', ts) AS d, date_trunc('hour', ts) AS h,
+             date_trunc('minute', ts) AS m, value
+      FROM events
+    ) b
+    GROUP BY GROUPING SETS ((d), (d, h), (d, h, m))
+    """,
+    category="time-window",
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: minute, hour, and day
+    resolutions of the event stream in ONE pass via GROUPING SETS over
+    truncated-timestamp columns (a single Expand + one hash aggregate —
+    not three scans unioned). The resolution label decodes the grouping
+    bits, so downstream dashboards filter one materialized table by
+    resolution. Value sums are integer cents (exact any order). At 100 TB
+    the Expand produces 3 rows per event pre-aggregation; map-side partial
+    aggregation collapses them within each scan task, so the shuffle
+    carries only group cardinality (minutes+hours+days), not event
+    volume."""
+    e = t(spark, sf_dir, "events")
+    b = e.select(
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("minute", "ts").alias("m"),
+        "value",
+    )
+    g = b.groupingSets([["d"], ["d", "h"], ["d", "h", "m"]], "d", "h", "m")
+    return g.agg(
+        F.when(F.grouping("h") == 1, "day")
+        .when(F.grouping("m") == 1, "hour")
+        .otherwise("minute")
+        .alias("resolution"),
+        F.count("*").alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("total_value"),
+    ).select("resolution", "d", "h", "m", "n_events", "total_value")
+
+
+# --- categorical association audit ----------------------------------------
+
+
+@register(
+    "quality_chi2_association",
+    oracle=f"""
+    WITH obs AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o FROM documents GROUP BY lang, source
+    ),
+    rows_ AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM obs GROUP BY lang),
+    cols_ AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY source),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs)
+    SELECT obs.lang, obs.source, obs.o AS observed,
+           CAST(round(CAST(rows_.rt * cols_.ct AS DOUBLE) / tot.n * {LM_SCALE}) AS BIGINT) AS expected_fp,
+           CAST(round(
+             (obs.o - CAST(rows_.rt * cols_.ct AS DOUBLE) / tot.n)
+             * (obs.o - CAST(rows_.rt * cols_.ct AS DOUBLE) / tot.n)
+             / (CAST(rows_.rt * cols_.ct AS DOUBLE) / tot.n) * {LM_SCALE}) AS BIGINT) AS chi2_term_fp
+    FROM obs
+    JOIN rows_ ON obs.lang = rows_.lang
+    JOIN cols_ ON obs.source = cols_.source
+    CROSS JOIN tot
+    """,
+    category="quality",
+)
+def quality_chi2_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared association audit between document language and source:
+    per-cell observed count, expected count under independence, and the
+    cell's chi-squared contribution — the standard check that a corpus's
+    language mix isn't driven by a few sources (cells with large terms are
+    the skew culprits). ONE shuffle builds the contingency table; row and
+    column marginals derive from the table itself (tiny re-aggregations,
+    broadcast back), the grand total is a 1-row cross join. Expected
+    counts and chi-squared terms are exact-integer products divided once
+    in double — identical operation order on both engines — then
+    fixed-pointed for hash-stable comparison."""
+    d = t(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rows_ = obs.groupBy("lang").agg(F.sum("o").alias("rt"))
+    cols_ = obs.groupBy("source").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    exp = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    return (
+        obs.join(F.broadcast(rows_), "lang")
+        .join(F.broadcast(cols_), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            F.col("o").alias("observed"),
+            F.round(exp * LM_SCALE).cast("long").alias("expected_fp"),
+            F.round((F.col("o") - exp) * (F.col("o") - exp) / exp * LM_SCALE)
+            .cast("long")
+            .alias("chi2_term_fp"),
+        )
+    )
