@@ -2907,3 +2907,203 @@ def quality_chi2_association(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chi2_term_fp"),
         )
     )
+
+
+# --- weighted sampling without replacement --------------------------------
+# Efraimidis–Spirakis exponential keys: top-k by u^(1/w) (equivalently by
+# ln(u)/w) draws a weighted sample without replacement. u comes from md5 of
+# the doc id — engine-portable and reproducible — via hex-digit expansion.
+
+WEIGHTED_K = 20  # sample size per language stratum
+
+# Divisors are written in e-notation: Spark parses a plain `16.0` literal as
+# DECIMAL and decimal division truncates the quotient's scale; `1.6e1` is a
+# DOUBLE literal in both engines, keeping every term in float64.
+_HEX_U_SQL = (
+    "("
+    + " + ".join(
+        f"(position(substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1) IN '0123456789abcdef') - 1)"
+        f" / {16.0 ** i:e}"
+        for i in range(1, 9)
+    )
+    + " + 1e-12)"
+)
+
+
+def _hex_u_spark():
+    expr = (
+        "("
+        + " + ".join(
+            f"(position(substr(md5(CAST(doc_id AS STRING)), {i}, 1) IN '0123456789abcdef') - 1)"
+            f" / {16.0 ** i:e}"
+            for i in range(1, 9)
+        )
+        + " + 1e-12)"
+    )
+    return F.expr(expr)
+
+
+@register(
+    "sample_weighted_aes",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(round(ln({_HEX_U_SQL}) / n_chars * 1000000000) AS BIGINT) AS key_fp
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars, key_fp,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key_fp DESC, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT doc_id, lang, n_chars, key_fp, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {WEIGHTED_K}
+    """,
+    category="curation",
+)
+def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    per language stratum, keep the top-{WEIGHTED_K} docs by the key
+    ln(u)/w with w = n_chars — equivalent to drawing docs with probability
+    proportional to length, the standard token-budget-aware sampler. The
+    uniform u is md5-derived (8 hex digits -> (0,1)), so the "random"
+    draw is reproducible across runs AND engines; keys are fixed-pointed
+    to 1e-9 so rank order is an integer comparison on both engines (ln
+    ULP noise absorbed, doc_id tiebreak). One stratum-keyed shuffle;
+    Spark plans the rank-filter as WindowGroupLimit so only ~K rows per
+    stratum survive the map side — at 100 TB the shuffle carries
+    K x |strata| rows, not the corpus."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    key_fp = F.round(F.log(_hex_u_spark()) / F.col("n_chars") * 1e9).cast("long")
+    keyed = d.select("doc_id", "lang", "n_chars", key_fp.alias("key_fp"))
+    w = W.partitionBy("lang").orderBy(F.desc("key_fp"), "doc_id")
+    return (
+        keyed.select("doc_id", "lang", "n_chars", "key_fp",
+                     F.row_number().over(w).cast("long").alias("rn"))
+        .filter(F.col("rn") <= WEIGHTED_K)
+    )
+
+
+# --- Pareto skyline -------------------------------------------------------
+
+
+@register(
+    "part_pareto_skyline",
+    oracle="""
+    WITH priced AS (
+      SELECT p_partkey, p_name, p_size,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+      FROM part
+    ),
+    framed AS (
+      SELECT p_partkey, p_name, p_size, price_cents,
+             MAX(p_size) OVER (ORDER BY price_cents
+                               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS max_cheaper,
+             MAX(p_size) OVER (ORDER BY price_cents
+                               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS max_upto
+      FROM priced
+    )
+    SELECT p_partkey, p_name, p_size, price_cents / 100.0 AS price
+    FROM framed
+    WHERE (max_cheaper IS NULL OR max_cheaper < p_size) AND max_upto <= p_size
+    """,
+    category="quality",
+)
+def part_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of parts: minimize price, maximize size —
+    a part survives iff no part is cheaper-and-at-least-as-large nor
+    equal-or-cheaper-and-strictly-larger. The classic quadratic anti-join
+    collapses to two RANGE-frame running maxima over the price order
+    (strictly-cheaper via 1 PRECEDING on integer cents, cheaper-or-equal
+    via CURRENT ROW). The global order is over the PART dimension (tiny
+    next to facts); for a skyline over a fact-sized input, take per-
+    partition local skylines first and skyline the union — same operator,
+    two levels (skyline-of-skylines is associative). Prices ordered as
+    integer cents, so frames and ties are exact on both engines."""
+    from pyspark.sql import Window as W
+
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+    )
+    w_cheaper = W.orderBy("price_cents").rangeBetween(W.unboundedPreceding, -1)
+    w_upto = W.orderBy("price_cents").rangeBetween(W.unboundedPreceding, W.currentRow)
+    framed = p.select(
+        "p_partkey", "p_name", "p_size", "price_cents",
+        F.max("p_size").over(w_cheaper).alias("max_cheaper"),
+        F.max("p_size").over(w_upto).alias("max_upto"),
+    )
+    return framed.filter(
+        (F.col("max_cheaper").isNull() | (F.col("max_cheaper") < F.col("p_size")))
+        & (F.col("max_upto") <= F.col("p_size"))
+    ).select("p_partkey", "p_name", "p_size", (F.col("price_cents") / 100.0).alias("price"))
+
+
+# --- asymmetric containment -----------------------------------------------
+
+TRIGRAM_REGEX = r"regexp_extract_all(text, '(?<=^| )(?=((\\S+ ){2}\\S+))', 1)"
+
+_TRIGRAM_SQL = """
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, length(w) - 1),
+                                   i -> array_to_string(w[i:i+2], ' '))) AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      WHERE length(w) >= 3
+"""
+
+CONTAIN_MIN = 0.5  # report pairs where >= 50% of A's trigrams appear in B
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH g AS ({_TRIGRAM_SQL}),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+      FROM g a JOIN g b ON a.g = b.g AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b, i.shared, sa.n AS n_a,
+           round(CAST(i.shared AS DOUBLE) / sa.n, 6) AS containment
+    FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+    WHERE CAST(i.shared AS DOUBLE) / sa.n >= {CONTAIN_MIN}
+    """,
+    category="dedup",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment |S(A) intersect S(B)| / |S(A)| over distinct
+    trigram shingles — catches SUBSUMED documents (quotes, excerpts, a doc
+    pasted inside a longer one) that symmetric Jaccard under-scores: a
+    200-token doc fully inside a 10k-token doc has Jaccard ~0.02 but
+    containment 1.0. Same banded scale shape as dedup_ngram_jaccard: docs
+    meet only through the trigram equi-join (shingle-keyed shuffle, never
+    all-pairs), one (a,b) count aggregate, then a broadcast of the
+    per-doc shingle counts. Directional: (A,B) and (B,A) both emitted
+    with their own denominators."""
+    d = t(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", F.explode(F.expr(TRIGRAM_REGEX)).alias("g")
+    ).distinct()
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ga = g.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = g.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        ga.join(gb, "g")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    contain = F.col("shared").cast("double") / F.col("n_a")
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))),
+            "doc_a",
+        )
+        .filter(contain >= CONTAIN_MIN)
+        .select("doc_a", "doc_b", "shared", "n_a", F.round(contain, 6).alias("containment"))
+    )

@@ -18,9 +18,11 @@ EVENTS_SCHEMA = (
 
 @pytest.fixture(scope="module")
 def events(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # queries.t dispatches on the parquet timestamp encoding (nanos-as-long
+    # vs TIMESTAMP_NTZ) — the fixture data has shipped as both.
+    from glue_etl_framework_spark.queries import t
+
+    return t(spark, SF_SMOKE, "events")
 
 
 def test_incremental_ingest_is_bookmarked(tmp_path, spark, events):
