@@ -99,6 +99,10 @@ def connected_component_labels(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # Convergence probe: labels only ever DECREASE (min propagation), so the
+    # label sum strictly decreases on any change — comparing one scalar per
+    # round replaces a join-and-scan probe over the label sets.
+    label_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -106,8 +110,8 @@ def connected_component_labels(
             .agg(F.min("label").alias("nbr_label"))
         )
         # Checkpoint BEFORE the convergence probe: the round's plan executes
-        # exactly once (into the checkpoint); the probe then joins two
-        # already-materialized label sets — no recompute.
+        # exactly once (into the checkpoint); the probe then aggregates the
+        # already-materialized label set — no recompute.
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -116,16 +120,11 @@ def connected_component_labels(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == label_sum:
             break
+        label_sum = new_sum
     all_nodes = nodes.select(F.col(id_col).alias("node")).distinct()
     return all_nodes.join(labels, "node", "left").select(
         "node", F.coalesce("label", F.col("node")).alias("label")

@@ -735,3 +735,98 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#4'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    category="tpch",
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): how many suppliers can
+    furnish each surviving (brand, type, size) combination. Adaptation:
+    partsupp (absent) is replaced by the observed lineitem supplier-part
+    pairs, and the 'customer complaints' supplier exclusion becomes a
+    negative-balance exclusion — preserving the NOT IN anti-subquery
+    shape. One shuffle keyed on the group for the distinct-count; the
+    excluded-supplier set is a broadcast anti-join."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q21_suppliers_who_kept_waiting",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    category="tpch",
+)
+def tpch_q21_suppliers_who_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): the SOLE late
+    supplier in multi-supplier finalized orders. Adaptation: 'late' is
+    shipped >60 days after order date (no commit/receipt dates). The
+    EXISTS / NOT-EXISTS pair decorrelates into ONE per-order aggregate —
+    distinct suppliers and distinct LATE suppliers — joined back to the
+    late lines (qualifying iff s_all >= 2 and s_late = 1): two correlated
+    subqueries collapse into a single orderkey-keyed shuffle that AQE
+    co-locates with the probe join, instead of two more passes over
+    lineitem."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    base = l.join(o, l.l_orderkey == o.o_orderkey).withColumn(
+        "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    stats = base.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("s_all"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("s_late"),
+    )
+    qual = (
+        base.filter(F.col("late"))
+        .join(stats.withColumnRenamed("l_orderkey", "so_key"),
+              F.col("l_orderkey") == F.col("so_key"))
+        .filter((F.col("s_all") >= 2) & (F.col("s_late") == 1))
+    )
+    return (
+        qual.join(F.broadcast(s), qual.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
