@@ -58,6 +58,13 @@ def assemble_conf(
 ) -> dict[str, str]:
     """Final session conf: defaults < avro wiring < extra_conf (user wins)."""
     conf = dict(_DEFAULTS)
+    # local-mode Spark defaults to a 1 GiB driver heap; with local[32] all
+    # 32 task threads share it and anything past toy scale dies in GC.
+    # Size the single-JVM heap for the box (overridable; ignored when a
+    # session already exists or on a real cluster where executors own it).
+    conf.setdefault(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "16g")
+    )
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if with_avro:
