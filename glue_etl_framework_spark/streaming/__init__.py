@@ -7,6 +7,7 @@ from glue_etl_framework_spark.streaming.ingest import (  # noqa: F401
 )
 from glue_etl_framework_spark.streaming.stateful import (  # noqa: F401
     running_user_stats,
+    user_profile_stream,
 )
 from glue_etl_framework_spark.streaming.joins import (  # noqa: F401
     stream_stream_join,

@@ -76,3 +76,84 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- transformWithState (Spark 4 successor API) ---------------------------
+
+PROFILE_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, n_event_types long, total_value_cents long"
+)
+
+try:  # pyspark >= 4: the transformWithState API
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserProfileProcessor(StatefulProcessor):
+        """Per-user running profile with TWO typed state variables — a
+        ValueState for the scalar totals and a MapState keyed by event
+        type — the shape applyInPandasWithState cannot express without
+        packing everything into one tuple. State is per-key in the state
+        store (RocksDB-backed; transformWithState requires the RocksDB
+        provider), so memory scales with |users| x |their event types|,
+        never |rows|."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n_events long, total_value_cents long"
+            )
+            self._type_counts = handle.getMapState(
+                "type_counts", "event_type string", "c long"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+                for etype, c in pdf.groupby("event_type").size().items():
+                    prev = (
+                        self._type_counts.getValue((etype,))[0]
+                        if self._type_counts.containsKey((etype,))
+                        else 0
+                    )
+                    self._type_counts.updateValue((etype,), (prev + int(c),))
+            self._totals.update((n, cents))
+            n_types = sum(1 for _ in self._type_counts.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_event_types": [n_types],
+                    "total_value_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    HAS_TRANSFORM_WITH_STATE = True
+except ImportError:  # pragma: no cover - older pyspark
+    HAS_TRANSFORM_WITH_STATE = False
+
+
+def user_profile_stream(events: DataFrame) -> DataFrame:
+    """Per-user running (event count, distinct event types, value cents)
+    via transformWithStateInPandas — the Spark 4 arbitrary-stateful API
+    (typed state variables, timers, TTL) that supersedes
+    applyInPandasWithState (running_user_stats shows the legacy shape).
+
+    Requires a streaming input and the RocksDB state store provider:
+    set spark.sql.streaming.stateStore.providerClass to
+    ...RocksDBStateStoreProvider on the session before starting the query.
+    """
+    if not HAS_TRANSFORM_WITH_STATE:  # pragma: no cover
+        raise NotImplementedError("transformWithState needs pyspark >= 4")
+    return (
+        events.select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            UserProfileProcessor(),
+            outputStructType=PROFILE_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -395,3 +395,90 @@ def test_stream_pii_scrub_matches_batch(tmp_path, spark):
     # schema-preserving mode: same columns as the input
     plain = ST.pii_scrub_stream(spark.read.parquet(src))
     assert sorted(plain.columns) == sorted(docs.columns)
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python driver needs google.protobuf, "
+    "not installed in this container (plan/API shape still exercised by "
+    "test_transform_with_state_plan_builds)",
+)
+def test_transform_with_state_profile_matches_batch(tmp_path, spark, events):
+    """transformWithStateInPandas (Spark 4 API, ValueState + MapState,
+    RocksDB provider) over a 2-file stream: final per-user profile equals
+    the batch groupBy answer."""
+    src = str(tmp_path / "tws_src")
+    ckpt = str(tmp_path / "tws_ckpt")
+    events.filter(F.col("event_id") % 2 == 0).write.parquet(src)
+    events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = ST.read_file_stream(spark, src, EVENTS_SCHEMA, max_files_per_trigger=1)
+        q = (
+            ST.user_profile_stream(stream)
+            .writeStream.format("memory")
+            .queryName("tws_profile")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    got = (
+        spark.table("tws_profile")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("n_event_types").alias("n_event_types"),
+            F.max_by("total_value_cents", "n_events").alias("total_value_cents"),
+        )
+    )
+    want = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_value_cents"),
+    )
+    diff = (
+        got.join(want, "user_id")
+        .filter(
+            (got.n_events != want.n_events)
+            | (got.n_event_types != want.n_event_types)
+            | (got.total_value_cents != want.total_value_cents)
+        )
+    )
+    assert got.count() == want.count()
+    assert diff.count() == 0
+
+
+def test_transform_with_state_plan_builds(tmp_path, spark, events):
+    """Without protobuf the streaming query cannot RUN here, but the
+    unresolved plan and processor wiring must still build: schema, state
+    variable declarations, and the grouped transformWithStateInPandas
+    call are all validated at DataFrame-construction time."""
+    src = str(tmp_path / "twsp_src")
+    events.limit(10).write.parquet(src)
+    stream = ST.read_file_stream(spark, src, EVENTS_SCHEMA)
+    out = ST.user_profile_stream(stream)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "n_events", "n_event_types", "total_value_cents",
+    ]
