@@ -311,3 +311,49 @@ def test_ewma_lags_share_one_window(spark):
     windows = sum(1 for ln in plan.splitlines() if "Window [" in ln)
     assert windows == 1, plan[:2000]
     assert count_shuffles(plan) == 1, plan[:2000]
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_containment_pairs", "graph_pagerank_transactions",
+     "sample_importance_dsir", "tpch_q21_suppliers_who_kept_waiting"],
+)
+def test_round2_joins_never_cross_product(spark, name):
+    """New candidate/iteration joins stay keyed: no cartesian anywhere."""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dsir_lambda_table_is_broadcast(spark):
+    """The fixed-size 4096-bucket lambda table must join as a broadcast —
+    that invariant is the operator's 100 TB story."""
+    plan = plan_of(spark, "sample_importance_dsir")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q3_is_take_ordered(spark):
+    plan = plan_of(spark, "tpch_q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q6_pushes_all_predicates_and_never_shuffles_rows(spark):
+    """Q6 is the pushdown canary: filters reach the scan and the only
+    exchange is the single-row partial->final aggregate."""
+    plan = plan_of(spark, "tpch_q6_forecast_revenue")
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "no predicates pushed to the lineitem scan"
+    assert count_shuffles(plan) <= 1, plan
+
+
+def test_weighted_sample_uses_window_group_limit(spark):
+    plan = plan_of(spark, "sample_weighted_aes")
+    assert "WindowGroupLimit" in plan
+
+
+def test_multires_rollup_is_single_expand_aggregate(spark):
+    """GROUPING SETS must plan one Expand + one aggregate exchange, not a
+    union of three scans."""
+    plan = plan_of(spark, "events_multires_rollup")
+    assert plan.count("Expand") >= 1
+    assert plan.count("Scan parquet") == 1, plan
+    assert count_shuffles(plan) == 1, plan
