@@ -169,3 +169,74 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+PHASH_BITS = 16
+PHASH_MAX_HAMMING = 4  # near-dup if signatures differ in <= 4 of 16 bits
+
+
+@register(
+    "multimodal_phash_pairs",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT doc_id, md5(substring(text, i * {CHUNK_CHARS} + 1, {CHUNK_CHARS})) AS h
+      FROM documents, UNNEST(range(0, CAST(ceil(length(text) / {CHUNK_CHARS}.0) AS BIGINT))) AS u(i)
+      WHERE length(text) > 0
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST({' + '.join(
+                 f"(CASE WHEN SUM(CASE WHEN substr(h, {k + 1}, 1) >= '8' THEN 1 ELSE -1 END) > 0 THEN {1 << k} ELSE 0 END)"
+                 for k in range(16))} AS BIGINT) AS phash
+      FROM chunks GROUP BY doc_id
+    ),
+    banded AS (SELECT doc_id, phash, phash // 256 AS band FROM sig)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+    """,
+    category="multimodal",
+)
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash-style near-dup pairs over binary payloads: a
+    {PHASH_BITS}-bit signature from the majority vote of per-chunk hash
+    bits (the modality-agnostic skeleton of pHash — with real images the
+    chunk hash becomes a DCT-block sign, same plan), banded on the high
+    byte so candidate pairs meet through an equi-join, verified by exact
+    Hamming distance (bit_count of xor). Chunk-level, so a payload edit
+    perturbs only its chunks' votes — robust where whole-blob md5 breaks.
+    Two keyed shuffles (chunk sigs -> per-doc aggregate; band self-join);
+    never all-pairs."""
+    d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_chunks = F.ceil(F.length("text") / F.lit(float(CHUNK_CHARS))).cast("long")
+    chunks = d.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        F.md5(F.expr(f"substring(text, i * {CHUNK_CHARS} + 1, {CHUNK_CHARS})")).alias("h"),
+    )
+    bits = [
+        F.when(
+            F.sum(
+                F.when(F.substring("h", k + 1, 1) >= "8", 1).otherwise(-1)
+            )
+            > 0,
+            F.lit(1 << k),
+        ).otherwise(F.lit(0))
+        for k in range(PHASH_BITS)
+    ]
+    sig = chunks.groupBy("doc_id").agg(
+        sum(bits[1:], bits[0]).cast("long").alias("phash")
+    )
+    banded = sig.select("doc_id", "phash", (F.col("phash") / 256).cast("long").alias("band"))
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"), "band")
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"), "band")
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long")
+    return (
+        a.join(b, "band")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(hamming <= PHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+    )
