@@ -830,3 +830,235 @@ def tpch_q21_suppliers_who_kept_waiting(spark: SparkSession, sf_dir: str) -> Dat
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l.l_returnflag, l.l_linestatus,
+           SUM(l.l_quantity) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_disc_price,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * (1 + l.l_tax) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_charge,
+           SUM(l.l_quantity) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem l
+    WHERE l.l_shipdate <= TIMESTAMP '2001-08-06'
+    GROUP BY l.l_returnflag, l.l_linestatus
+    ORDER BY l.l_returnflag, l.l_linestatus
+    """,
+    category="tpch",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) with the FULL official column set
+    (agg_pricing_summary carries a reduced one): eight aggregates over two
+    grouping columns, shipdate cutoff 90 days before the data's end. The
+    canonical scan-heavy aggregate: one shuffle of 6 partial aggregates
+    per (returnflag, linestatus) — whole-stage codegen end to end. Money
+    and discount averages divide exact integer-cents sums by the count in
+    the same order on both engines; quantity is integer-valued so its
+    double sum is exact in any order."""
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= _ts("2001-08-06"))
+    base_c = F.sum(_cents(F.col("l_extendedprice")))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            (base_c / 100.0).alias("sum_base_price"),
+            (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0).alias("sum_disc_price"),
+            (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))) / 100.0).alias("sum_charge"),
+            (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (base_c.cast("double") / 100.0 / F.count("*")).alias("avg_price"),
+            (F.sum(_cents(F.col("l_discount"))).cast("double") / 100.0 / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(ROUND(l_extendedprice / l_quantity * 100) AS BIGINT)) AS unit_cost_cents
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eligible AS (
+      SELECT c.l_partkey, c.l_suppkey, c.unit_cost_cents
+      FROM cost c
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    best AS (
+      SELECT l_partkey, MIN(unit_cost_cents) AS best_cents FROM eligible GROUP BY l_partkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+           e.unit_cost_cents / 100.0 AS unit_cost
+    FROM eligible e
+    JOIN best b ON e.l_partkey = b.l_partkey AND e.unit_cost_cents = b.best_cents
+    JOIN part p ON p.p_partkey = e.l_partkey
+    JOIN supplier s ON s.s_suppkey = e.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    category="tpch",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum cost supplier): for each part of one size/type,
+    the European supplier(s) offering it cheapest. Adaptation: partsupp's
+    ps_supplycost (absent) becomes the supplier's best observed unit price
+    from lineitem, as a per-row fixed-point MIN (order-independent, unlike
+    an average of ratios). The correlated MIN subquery decorrelates into a
+    per-part aggregate joined back on (part, cost) — the same plan
+    Catalyst produces for the official correlated form. Region/nation/
+    supplier/part broadcast; the two aggregates share the partkey key."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = t(spark, sf_dir, "part").filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+    # fresh reads for the output-side joins: supplier/nation already feed
+    # the eligibility chain, and Spark's ambiguous-self-join check (rightly)
+    # rejects reusing those exact DataFrames downstream.
+    s2 = t(spark, sf_dir, "supplier")
+    n2 = t(spark, sf_dir, "nation")
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100).cast("long")).alias("unit_cost_cents")
+    )
+    eligible = (
+        cost.join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", "l_suppkey", "unit_cost_cents")
+    )
+    best = eligible.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost_cents").alias("best_cents")
+    )
+    return (
+        eligible.join(
+            best,
+            (eligible.l_partkey == F.col("b_partkey"))
+            & (eligible.unit_cost_cents == F.col("best_cents")),
+        )
+        .join(F.broadcast(p), eligible.l_partkey == p.p_partkey)
+        .join(F.broadcast(s2), eligible.l_suppkey == s2.s_suppkey)
+        .join(F.broadcast(n2), s2.s_nationkey == n2.n_nationkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            (F.col("unit_cost_cents") / 100.0).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH natval AS (
+      SELECT l.l_partkey,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_5'
+      GROUP BY l.l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS t FROM natval)
+    SELECT nv.l_partkey AS p_partkey, nv.value_cents / 100.0 AS part_value
+    FROM natval nv CROSS JOIN tot
+    WHERE nv.value_cents > 0.001 * tot.t
+    ORDER BY nv.value_cents DESC, nv.l_partkey
+    """,
+    category="tpch",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification): parts representing a
+    significant share of one nation's total traded value. Adaptation:
+    ps_supplycost * ps_availqty (no partsupp) becomes the nation's summed
+    lineitem value per part — the HAVING-over-scalar-subquery shape is
+    intact. The threshold scalar derives from the SAME per-part aggregate
+    (no second fact scan), broadcast as a 1-row cross join; comparison is
+    exact integer cents against a double threshold computed identically
+    on both engines."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    natval = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("value_cents"))
+    )
+    tot = natval.agg(F.sum("value_cents").alias("t"))
+    return (
+        natval.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") > 0.001 * F.col("t"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("value_cents") / 100.0).alias("part_value"),
+        )
+        .orderBy(F.desc((F.col("part_value"))), "p_partkey")
+    )
+
+
+@register(
+    "tpch_q20_potential_promotion",
+    oracle="""
+    WITH shipped AS (
+      SELECT l.l_suppkey, l.l_partkey,
+             SUM(l.l_quantity) AS qty_all,
+             SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '2000-01-01'
+                       AND l.l_shipdate < TIMESTAMP '2001-01-01'
+                      THEN l.l_quantity ELSE 0 END) AS qty_2000
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%gear%'
+      GROUP BY l.l_suppkey, l.l_partkey
+    )
+    SELECT DISTINCT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN shipped sh ON sh.l_suppkey = s.s_suppkey
+    WHERE sh.qty_2000 > 0.5 * sh.qty_all
+    ORDER BY s.s_name
+    """,
+    category="tpch",
+)
+def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers whose recent-year
+    movement of promotable parts dominates their history. Adaptation:
+    ps_availqty > 0.5 * shipped-qty (no partsupp) becomes year-2000
+    quantity > 50% of all-time quantity per (supplier, part) — one
+    conditional aggregate replaces the nested IN(EXISTS(scalar)) chain
+    while keeping the semi-join-on-aggregate shape. Quantities are
+    integer-valued doubles (exact sums); the part-name filter broadcasts
+    onto the fact scan."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    in2000 = (F.col("l_shipdate") >= _ts("2000-01-01")) & (F.col("l_shipdate") < _ts("2001-01-01"))
+    shipped = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum("l_quantity").alias("qty_all"),
+            F.sum(F.when(in2000, F.col("l_quantity")).otherwise(0.0)).alias("qty_2000"),
+        )
+    )
+    return (
+        shipped.filter(F.col("qty_2000") > 0.5 * F.col("qty_all"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .distinct()
+        .orderBy("s_name")
+    )
