@@ -332,6 +332,36 @@ def upsert_by_key(
     staged_write(merged, {"location": location, "format": fmt})
 
 
+def delete_by_keys(
+    spark: SparkSession,
+    location: str,
+    keys_df: DataFrame,
+    keys: list[str],
+    fmt: str = "parquet",
+) -> int:
+    """Keyed hard delete on a plain-file table (the right-to-be-forgotten /
+    GDPR erasure primitive): rows whose key appears in ``keys_df`` are
+    removed via ``old ANTI-JOIN keys`` and the survivors replace the table
+    through the same staged atomic commit as writes — a crash mid-delete
+    leaves the old table fully readable, never a half-deleted directory.
+    Returns the number of rows deleted.
+
+    Scale notes: the deletion key set joins without a broadcast hint (an
+    erasure backlog can be arbitrarily large; AQE still broadcasts small
+    ones). The rewrite cost is the table scan — on a partitioned layout,
+    pre-filter ``keys_df`` per partition and rewrite only affected
+    partitions (partition pruning makes the anti-join scan skip the rest).
+    """
+    location = _strip_scheme(location)
+    old = spark.read.format(fmt).load(location)
+    key_set = keys_df.select(*keys).distinct()
+    survivors = old.join(key_set, keys, "left_anti")
+    before = old.count()
+    staged_write(survivors, {"location": location, "format": fmt})
+    after = spark.read.format(fmt).load(location).count()
+    return before - after
+
+
 def scd2_merge(
     current: DataFrame | None,
     updates: DataFrame,

@@ -666,3 +666,52 @@ def test_jdbc_sink_schema_qualification(tmp_path, spark):
         {"name": "qt", "source": "jdbc", "options": {**opts, "dbtable": "APP.qt"}},
     )
     assert df.count() == 1
+
+
+def test_delete_by_keys_erases_and_survives_crash(tmp_path, spark):
+    """GDPR-style keyed erasure: requested keys disappear, everything else
+    survives byte-for-byte, and a failing rewrite leaves the table intact."""
+    from glue_etl_framework_spark.io.writers import delete_by_keys
+
+    loc = str(tmp_path / "users")
+    src = spark.range(100).selectExpr("id AS user_id", "id * 2 AS score")
+    src.write.parquet(loc)
+    doomed = spark.createDataFrame([(3,), (7,), (99,)], "user_id long")
+
+    n = delete_by_keys(spark, loc, doomed, ["user_id"])
+    assert n == 3
+    left = spark.read.parquet(loc)
+    assert left.count() == 97
+    assert left.filter("user_id in (3, 7, 99)").count() == 0
+
+    # crash injection: a plan that fails mid-materialization must leave
+    # the current table readable and unchanged
+    import pyspark.sql.functions as F
+    bad_keys = spark.range(1).select(
+        F.assert_true(F.lit(False)).cast("long").alias("user_id")
+    )
+    try:
+        delete_by_keys(spark, loc, bad_keys, ["user_id"])
+        raise AssertionError("expected failure")
+    except Exception:
+        pass
+    assert spark.read.parquet(loc).count() == 97
+
+
+def test_read_merges_evolving_schema(tmp_path, spark):
+    """Schema evolution on file sources: batches written with a column
+    added later must read back as one table with nulls for the old rows
+    (mergeSchema passthrough via format_options)."""
+    from glue_etl_framework_spark.io.readers import read_table
+
+    loc = str(tmp_path / "evolving")
+    spark.range(5).selectExpr("id", "id * 2 AS a").write.parquet(loc)
+    spark.range(5, 10).selectExpr("id", "id * 2 AS a", "id * 3 AS b") \
+        .write.mode("append").parquet(loc)
+    df = read_table(spark, {
+        "name": "evolving", "source": "file", "location": loc,
+        "format": "parquet", "format_options": {"mergeSchema": "true"},
+    })
+    assert set(df.columns) == {"id", "a", "b"}
+    assert df.count() == 10
+    assert df.filter("b IS NULL").count() == 5
