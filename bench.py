@@ -62,6 +62,13 @@ HEADLINE = [
     "dedup_substring_windows",      # exact-substring windows (hash equi-join)
     "tpch_q5_local_supplier_volume",  # TPC-H 6-way join + grouped sum
     "tpch_q18_large_volume_customer", # TPC-H semi-join on self-agg + top-k
+    "tpch_q1_pricing_summary",        # TPC-H scan-heavy 8-aggregate summary
+    "dedup_containment_pairs",        # asymmetric shingle containment join
+    "sample_importance_dsir",         # hashed-bucket importance weighting
+    # graph_pagerank_transactions is deliberately NOT benched: at fixture
+    # scale its 12 serial jobs are pure stage-scheduling latency (~9s for
+    # ~1600 rank rows), which would read as operator cost; SCALING.md
+    # records its near-flat 10x ratio (1.4) instead.
 ]
 
 

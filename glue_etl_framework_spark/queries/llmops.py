@@ -3183,13 +3183,14 @@ def graph_pagerank_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the classic join-based BSP PageRank — each iteration shuffles
     the rank table across the edge join (keyed on src) then aggregates
     inflow per dst; state is O(nodes), work per iteration O(edges). The
-    edge and degree tables are reused every round (one build). All ranks
-    and per-edge contributions are fixed-point 1e-9 integers, rounded
-    IDENTICALLY each step on both engines, so even after {PR_ITERS}
-    multiply-round cycles the trajectories match hash-exactly. At 100 TB
-    you would persist edges+deg and loop with localCheckpoint like
-    ext.dedup.connected_component_labels; the unrolled form keeps the
-    whole computation one declarative plan."""
+    edge/degree/node tables are materialized ONCE with localCheckpoint
+    (the ext.dedup.connected_component_labels discipline) so no iteration
+    re-executes the lineitem join, and each round's ranks checkpoint too,
+    keeping the plan flat instead of growing 130 nodes per iteration. All
+    ranks and per-edge contributions are fixed-point 1e-9 integers,
+    rounded IDENTICALLY each step on both engines, so even after
+    {PR_ITERS} multiply-round cycles the trajectories match
+    hash-exactly."""
     l = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     e_dir = (
@@ -3202,9 +3203,13 @@ def graph_pagerank_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = e_dir.unionAll(
         e_dir.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.sum("w").alias("wout"))
+        .localCheckpoint(eager=True)
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    deg = edges.groupBy(F.col("src").alias("node")).agg(F.sum("w").alias("wout"))
     ncount = nodes.agg(F.count("*").alias("n"))
     nbase = ncount.select(
         F.round((1 - PR_DAMP) * PR_SCALE / F.col("n")).cast("long").alias("base_fp"),
@@ -3234,5 +3239,6 @@ def graph_pagerank_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.round(PR_DAMP * F.coalesce("inflow_fp", F.lit(0))).cast("long")
                 ).alias("rank_fp"),
             )
+            .localCheckpoint(eager=True)
         )
     return ranks
