@@ -974,7 +974,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS t FROM natval)
     SELECT nv.l_partkey AS p_partkey, nv.value_cents / 100.0 AS part_value
     FROM natval nv CROSS JOIN tot
-    WHERE nv.value_cents > 0.001 * tot.t
+    WHERE nv.value_cents > 1.0e-3 * tot.t  -- e-notation: DOUBLE in DuckDB, matching Spark's double literal
     ORDER BY nv.value_cents DESC, nv.l_partkey
     """,
     category="tpch",
