@@ -3242,3 +3242,119 @@ def graph_pagerank_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+# --- table reconciliation -------------------------------------------------
+
+
+def _ts2(s: str):
+    return F.to_timestamp(F.lit(s))
+
+
+@register(
+    "quality_table_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '2001-06-01'
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1 ELSE o_totalprice END
+               AS o_totalprice
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+    )
+    SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                WHEN md5(CAST(v1.o_orderstatus AS VARCHAR) || '|' ||
+                         CAST(CAST(ROUND(v1.o_totalprice * 100) AS BIGINT) AS VARCHAR))
+                  <> md5(CAST(v2.o_orderstatus AS VARCHAR) || '|' ||
+                         CAST(CAST(ROUND(v2.o_totalprice * 100) AS BIGINT) AS VARCHAR))
+                THEN 'changed' ELSE 'unchanged' END AS diff_status
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    """,
+    category="quality",
+)
+def quality_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed table reconciliation (the data-diff primitive behind safe
+    backfills and migration sign-off): FULL OUTER JOIN two versions on the
+    key and classify every key as added / removed / changed / unchanged,
+    where "changed" compares an md5 row fingerprint over normalized column
+    values (money as integer cents, so float formatting can't fake a
+    diff). The two "versions" here are date-windowed/perturbed views of
+    orders; swap in any two snapshots. One co-partitioned shuffle on the
+    key; fingerprints are 16 bytes per row regardless of row width — at
+    100 TB, project only the compared columns and the shuffle carries
+    key + digest, not the table."""
+    o = t(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderdate") < _ts2("2001-06-01")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderdate") >= _ts2("1995-06-01")).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    def fp(df):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.col(f"{df}_status"),
+                F.round(F.col(f"{df}_price") * 100).cast("long").cast("string"),
+            )
+        )
+    a = v1.select(
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_orderstatus").alias("v1_status"),
+        F.col("o_totalprice").alias("v1_price"),
+    )
+    b = v2.select(
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_orderstatus").alias("v2_status"),
+        F.col("o_totalprice").alias("v2_price"),
+    )
+    return a.join(b, a.k1 == b.k2, "full_outer").select(
+        F.coalesce("k1", "k2").alias("o_orderkey"),
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(fp("v1") != fp("v2"), "changed")
+        .otherwise("unchanged")
+        .alias("diff_status"),
+    )
+
+
+K_ANON = 5  # flag quasi-identifier combinations shared by fewer than 5 rows
+
+
+@register(
+    "quality_k_anonymity",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CASE WHEN COUNT(*) < {K_ANON} THEN 1 ELSE 0 END AS reidentifiable
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+    category="quality",
+)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (nation, market
+    segment): any combination shared by fewer than {K_ANON} individuals is
+    re-identifiable and must be generalized or suppressed before the
+    dataset ships — the standard privacy gate next to PII scrubbing
+    (text_pii_scrub). One hash aggregate on the quasi-identifier key;
+    at any scale the output is bounded by the QI-combination cardinality,
+    not the row count."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.when(F.count("*") < K_ANON, 1).otherwise(0).alias("reidentifiable"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
