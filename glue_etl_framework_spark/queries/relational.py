@@ -832,3 +832,51 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, F.col("purchase_id")).alias("last_purchase_id"),
         F.when(within, F.col("pts")).alias("last_purchase_ts"),
     )
+
+
+@register(
+    "join_shuffle_hash_hint",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+    category="join",
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE_HASH join hint: forces a shuffled hash join where the
+    planner would default to broadcast or sort-merge — the right call when
+    one side is modestly larger than the broadcast threshold but still
+    builds a hash table cheaper than sorting both sides (classic for
+    mid-size dimensions at 100 TB). Completes the hint surface next to
+    join_broadcast_hint; plan-asserted as ShuffledHashJoin in
+    tests/test_plans.py."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(c.hint("SHUFFLE_HASH"), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "o_totalprice", "c_name")
+    )
+
+
+@register(
+    "join_merge_hint",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+    category="join",
+)
+def join_merge_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (sort-merge) join hint: forces SortMergeJoin — the resilient
+    choice when BOTH sides are large and neither hash table fits executor
+    memory, and the zero-extra-cost choice when inputs are already
+    bucketed+sorted on the key (io.bucketing writes that layout; its test
+    asserts the Exchange-free plan). Plan-asserted as SortMergeJoin."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(c.hint("MERGE"), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "o_totalprice", "c_name")
+    )

@@ -357,3 +357,8 @@ def test_multires_rollup_is_single_expand_aggregate(spark):
     assert plan.count("Expand") >= 1
     assert plan.count("Scan parquet") == 1, plan
     assert count_shuffles(plan) == 1, plan
+
+
+def test_join_hints_pick_forced_strategies(spark):
+    assert "ShuffledHashJoin" in plan_of(spark, "join_shuffle_hash_hint")
+    assert "SortMergeJoin" in plan_of(spark, "join_merge_hint")
