@@ -98,6 +98,7 @@ _MODULES = [
     "relational",
     "aggregates",
     "tpch",
+    "streaming_live",  # the only no-oracle entries (rows-only driver check)
 ]
 
 

@@ -1,0 +1,82 @@
+"""Live Structured Streaming executions registered as driver queries.
+
+These are the ONLY registry entries without a DuckDB oracle (driver
+contract: non-SQL-expressible operators get a rows-only check): each
+builds a real streaming query over the fixture events — file-stream
+source, availableNow trigger, memory sink — drains it, and returns the
+sink table. The streaming plans themselves (watermark, update mode,
+state store) are what is being exercised; their BATCH twins are the
+oracle-checked tumbling_window_agg / event_dedup_first, and
+tests/test_streaming.py pins stream==batch parity.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from glue_etl_framework_spark.queries import register, t
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    name = f"live_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glue_etl_framework_spark.streaming import read_file_stream
+
+    # materialize the (possibly type-normalized) events as a file-stream
+    # source dir; the fixture parquet itself may use nanos encoding the
+    # streaming reader's explicit schema cannot express
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    t(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    return read_file_stream(spark, src, EVENTS_SCHEMA)
+
+
+@register("streaming_live_tumbling_agg", oracle=None, category="streaming")
+def streaming_live_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming tumbling-window aggregate (not the batch twin):
+    file-stream source -> watermark -> 1h window count -> memory sink,
+    drained with availableNow. Update-mode rows include in-progress
+    windows; the batch twin tumbling_window_agg is the value oracle and
+    stream==batch parity is pinned in tests/test_streaming.py. At scale
+    this plan runs unchanged against a continuous source (Kafka/file
+    drops) with RocksDB state and per-microbatch output."""
+    from glue_etl_framework_spark.streaming import stream_window_agg
+
+    stream = _event_stream(spark, sf_dir)
+    out = _drain(stream_window_agg(stream, "1 hour", keys=["event_type"]), "append")
+    return out.orderBy("window_start", "event_type")
+
+
+@register("streaming_live_dedup", oracle=None, category="streaming")
+def streaming_live_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming exact-dedup on event_id (dropDuplicates with state):
+    the at-least-once -> exactly-once repair stage of an ingest pipeline.
+    Drained via availableNow; returns the deduplicated stream output
+    (one row per distinct event_id — rows-only driver check; the batch
+    twin is event_dedup_first)."""
+    from glue_etl_framework_spark.streaming import stream_dedup
+
+    stream = _event_stream(spark, sf_dir)
+    out = _drain(stream_dedup(stream, ["event_id"]), "append")
+    return out.select("event_id", "ts", "user_id", "event_type").orderBy("event_id")
