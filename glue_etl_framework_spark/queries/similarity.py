@@ -614,3 +614,51 @@ def similarity_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataF
         F.round("best", 9).alias("best_cosine"),
         F.when(F.coalesce("n_matches", F.lit(0)) > 0, 1).otherwise(0).alias("contaminated"),
     )
+
+
+def _recall_oracle() -> str:
+    from glue_etl_framework_spark.queries import REGISTRY
+
+    bf = REGISTRY["similarity_topk_bruteforce"].oracle
+    ann = REGISTRY["similarity_ann_ivf"].oracle
+    return f"""
+    WITH bf AS ({bf}),
+    ann AS ({ann})
+    SELECT bf.query_id,
+           CAST(COUNT(ann.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(ann.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+    FROM bf
+    LEFT JOIN ann ON bf.query_id = ann.query_id AND bf.neighbor_id = ann.neighbor_id
+    GROUP BY bf.query_id
+    """
+
+
+@register("similarity_ann_recall", oracle=_recall_oracle(), category="similarity")
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF ANN path against brute-force ground truth,
+    computed IN the engine: per query, the fraction of true top-k
+    neighbors the approximate index returned — the metric that decides
+    nprobe/K tuning before anyone ships an index. Composes the two
+    registered operators (ground truth and index are each oracle-checked
+    on their own); the evaluation itself is one (query_id, neighbor_id)
+    equi-join + per-query count over |queries| x k rows — negligible next
+    to either search, so continuous recall monitoring is free at any
+    corpus size."""
+    bf = similarity_topk_bruteforce(spark, sf_dir)
+    ann = similarity_ann_ivf(spark, sf_dir).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    return (
+        bf.join(
+            ann,
+            (bf.query_id == F.col("a_qid")) & (bf.neighbor_id == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_nid").alias("n_hits"),
+            F.count("*").alias("k"),
+            (F.count("a_nid").cast("double") / F.count("*")).alias("recall_at_k"),
+        )
+    )
