@@ -156,7 +156,8 @@ def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partition, no full shuffle), reproducible bit-identically in DuckDB. At
 # production scale you'd raise K (e.g. 4096) — the plan shape is unchanged.
 N_CENTROIDS = 16
-N_PROBE = 2  # IVF: query probes its 2 nearest centroid lists
+N_PROBE = 4  # IVF: query probes its 4 nearest centroid lists (25% of K=16;
+# recall@10 vs brute force = 0.56 at sf0.01 — measured by similarity_ann_recall)
 
 _CENT_SQL = f"""SELECT vec_id AS cid, q, nq FROM normed
       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {N_CENTROIDS}"""
