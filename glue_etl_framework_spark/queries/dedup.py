@@ -462,3 +462,38 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = connected_component_labels(d.select("doc_id"), pairs, id_col="doc_id")
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+JACCARD_TRUE = 0.5  # a candidate "really is" a near-dup at Jaccard >= 0.5
+
+
+def _lsh_quality_oracle() -> str:
+    from glue_etl_framework_spark.queries import REGISTRY
+
+    verified = REGISTRY["dedup_minhash_verified"].oracle
+    return f"""
+    WITH v AS ({verified})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN jaccard >= {JACCARD_TRUE} THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN jaccard >= {JACCARD_TRUE} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS precision
+    FROM v
+    """
+
+
+@register("dedup_lsh_quality", oracle=_lsh_quality_oracle(), category="dedup")
+def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-precision summary of the banded MinHash index: of the
+    pairs the LSH bands surface, what fraction are true near-dups (exact
+    Jaccard >= {JACCARD_TRUE})? The counterpart of similarity_ann_recall
+    for the dedup path — precision decides the band/row configuration
+    (more bands -> higher recall, lower precision -> more verify work).
+    One single-row aggregate over the already-verified pair set; at any
+    corpus size this monitoring costs one scan of the candidate pairs."""
+    v = dedup_minhash_verified(spark, sf_dir)
+    is_true = F.when(F.col("jaccard") >= JACCARD_TRUE, 1).otherwise(0)
+    return v.agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(is_true).alias("n_true"),
+        (F.sum(is_true).cast("double") / F.count("*")).alias("precision"),
+    )
