@@ -3358,3 +3358,131 @@ def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+# --- marketing-style attribution ------------------------------------------
+
+ATTR_WINDOW_H = 48  # attribute a purchase to the last click within 48h
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id AS c_id, user_id, ts AS c_ts FROM events
+      WHERE event_type = 'click'
+    ),
+    paired AS (
+      SELECT p.p_id, p.user_id, p.p_ts, c.c_id, c.c_ts,
+             ROW_NUMBER() OVER (PARTITION BY p.p_id
+                                ORDER BY c.c_ts DESC, c.c_id DESC) AS rn
+      FROM purchases p
+      JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.c_ts <= p.p_ts
+       AND c.c_ts > p.p_ts - INTERVAL {ATTR_WINDOW_H} HOUR
+    )
+    SELECT p.p_id AS purchase_id, p.user_id,
+           pa.c_id AS attributed_click_id,
+           CASE WHEN pa.c_id IS NULL THEN 0 ELSE 1 END AS attributed
+    FROM purchases p
+    LEFT JOIN (SELECT * FROM paired WHERE rn = 1) pa ON p.p_id = pa.p_id
+    """,
+    category="events",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase credits the most
+    recent click by the same user within {ATTR_WINDOW_H}h (ties on
+    timestamp break by event id). The oracle states it as
+    join-then-rank; the Spark plan bounds the join with BOTH interval
+    endpoints (c_ts <= p_ts AND c_ts > p_ts - window), so a candidate
+    click matches at most ceil(window/interarrival) purchases — the
+    user-keyed equi-join shuffle stays linear-ish and WindowGroupLimit
+    keeps only rank-1 rows per purchase on the map side. Unattributed
+    purchases survive via the left join (attributed = 0). At 100 TB the
+    same query runs per day-partition with a {ATTR_WINDOW_H}h lookback
+    read from the prior partitions."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    paired = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_H} HOURS")),
+    )
+    w = W.partitionBy("p_id").orderBy(F.desc("c_ts"), F.desc("c_id"))
+    best = (
+        paired.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("p_id").alias("b_pid"), F.col("c_id"))
+    )
+    return p.join(best, p.p_id == F.col("b_pid"), "left").select(
+        F.col("p_id").alias("purchase_id"),
+        "user_id",
+        F.col("c_id").alias("attributed_click_id"),
+        F.when(F.col("c_id").isNull(), 0).otherwise(1).alias("attributed"),
+    )
+
+
+# --- Benford first-digit audit --------------------------------------------
+
+
+@register(
+    "quality_benford_digits",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice > 0
+    ),
+    counts AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+    SELECT c.d AS first_digit, c.n,
+           CAST(round(CAST(c.n AS DOUBLE) / tot.t * {LM_SCALE}) AS BIGINT) AS observed_fp,
+           CAST(round(ln(1.0e0 + 1.0e0 / c.d) / ln(1.0e1) * {LM_SCALE}) AS BIGINT) AS benford_fp
+    FROM counts c CROSS JOIN tot
+    ORDER BY c.d
+    """,
+    category="quality",
+)
+def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order amounts: organic money
+    values follow P(d) = log10(1 + 1/d); synthetic, capped, or fabricated
+    columns visibly deviate — a one-aggregate data-forensics gauge used in
+    fraud screens and pipeline-regression checks. Digits come from the
+    integer-cents representation (identical string rendering on both
+    engines); expected frequencies use fixed-point ln-ratio like every
+    log in this repo. One 9-key aggregate; output is bounded at 9 rows at
+    any scale."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+        .cast("long")
+        .alias("d")
+    )
+    counts = d.groupBy("d").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("first_digit"),
+            "n",
+            F.round(F.col("n").cast("double") / F.col("t") * LM_SCALE).cast("long").alias("observed_fp"),
+            F.round(F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0)) * LM_SCALE)
+            .cast("long")
+            .alias("benford_fp"),
+        )
+        .orderBy("first_digit")
+    )
