@@ -3486,3 +3486,77 @@ def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+# --- market-basket association --------------------------------------------
+
+ASSOC_MIN_CO = 2  # emit rules with at least 2 co-occurring orders
+
+
+@register(
+    "part_association_rules",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM baskets),
+    item AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM baskets GROUP BY l_partkey
+    ),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, CAST(COUNT(*) AS BIGINT) AS co
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b
+      HAVING COUNT(*) >= {ASSOC_MIN_CO}
+    )
+    SELECT p.part_a, p.part_b, p.co,
+           ia.n AS n_a, ib.n AS n_b,
+           CAST(round(CAST(p.co AS DOUBLE) / nb.n_orders * {LM_SCALE}) AS BIGINT) AS support_fp,
+           CAST(round(CAST(p.co AS DOUBLE) / ia.n * {LM_SCALE}) AS BIGINT) AS confidence_fp,
+           CAST(round(CAST(p.co AS DOUBLE) * nb.n_orders / ia.n / ib.n * {LM_SCALE}) AS BIGINT) AS lift_fp
+    FROM pair p
+    JOIN item ia ON p.part_a = ia.l_partkey
+    JOIN item ib ON p.part_b = ib.l_partkey
+    CROSS JOIN nb
+    """,
+    category="events",
+)
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over same-order part pairs:
+    support, confidence(a->b), and lift in fixed point — the frequently-
+    bought-together primitive. Pairs come from a basket self-join keyed
+    on the ORDER (an equi-join, never a cross product), so the work is
+    sum(k_i^2) over basket sizes k_i — fine while baskets are small
+    (TPC-H ~4 lines). For power-law baskets cap per-basket items first
+    (WindowGroupLimit top-N by relevance) or block by item like the
+    dedup operators; the min-co HAVING prunes the pair table before the
+    marginals join (item counts broadcast)."""
+    l = t(spark, sf_dir, "lineitem")
+    baskets = l.select("l_orderkey", "l_partkey").distinct()
+    nb = baskets.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = baskets.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    a = baskets.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = baskets.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pair = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= ASSOC_MIN_CO)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    return (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a", "part_b", "co", "n_a", "n_b",
+            F.round(F.col("co").cast("double") / F.col("n_orders") * LM_SCALE).cast("long").alias("support_fp"),
+            F.round(F.col("co").cast("double") / F.col("n_a") * LM_SCALE).cast("long").alias("confidence_fp"),
+            F.round(F.col("co").cast("double") * F.col("n_orders") / F.col("n_a") / F.col("n_b") * LM_SCALE)
+            .cast("long")
+            .alias("lift_fp"),
+        )
+    )
