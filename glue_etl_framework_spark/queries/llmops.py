@@ -3560,3 +3560,68 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_fp"),
         )
     )
+
+
+# --- RFM segmentation -----------------------------------------------------
+
+RFM_CUTS = [0.2, 0.4, 0.6, 0.8]
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(date_diff('day', MAX(o_orderdate), TIMESTAMP '2001-08-01') AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+      SELECT quantile_cont(CAST(recency_days AS DOUBLE), [{', '.join(map(str, RFM_CUTS))}]) AS rc,
+             quantile_cont(CAST(frequency AS DOUBLE), [{', '.join(map(str, RFM_CUTS))}]) AS fc,
+             quantile_cont(CAST(monetary_cents AS DOUBLE), [{', '.join(map(str, RFM_CUTS))}]) AS mc
+      FROM rfm
+    )
+    SELECT r.c_custkey, r.recency_days, r.frequency, r.monetary_cents / 100.0 AS monetary,
+           CAST(5 - length(list_filter(cuts.rc, c -> CAST(r.recency_days AS DOUBLE) > c)) AS BIGINT) AS r_score,
+           CAST(1 + length(list_filter(cuts.fc, c -> CAST(r.frequency AS DOUBLE) > c)) AS BIGINT) AS f_score,
+           CAST(1 + length(list_filter(cuts.mc, c -> CAST(r.monetary_cents AS DOUBLE) > c)) AS BIGINT) AS m_score
+    FROM rfm r CROSS JOIN cuts
+    """,
+    category="aggregate",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) customer segmentation: per
+    customer, days since last order, order count, and lifetime value,
+    each scored 1-5 by quintile — recency INVERTED (recent = 5). Like
+    quality_perplexity_bucket, the quintile cutoffs come from one tiny
+    interpolated-percentile aggregate broadcast back over the scan — no
+    global ntile sort anywhere, so segmentation scales to any customer
+    count. Monetary is exact integer cents; scores count cutoffs below
+    the exact value, so bucket assignment is deterministic on both
+    engines."""
+    o = t(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.datediff(F.to_timestamp(F.lit("2001-08-01")), F.max("o_orderdate"))
+        .cast("long")
+        .alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("monetary_cents"),
+    )
+    carr = F.array(*[F.lit(p) for p in RFM_CUTS])
+    cuts = rfm.agg(
+        F.percentile(F.col("recency_days").cast("double"), carr).alias("rc"),
+        F.percentile(F.col("frequency").cast("double"), carr).alias("fc"),
+        F.percentile(F.col("monetary_cents").cast("double"), carr).alias("mc"),
+    )
+    def score(col, cut, invert=False):
+        n_below = F.size(F.filter(F.col(cut), lambda c: F.col(col).cast("double") > c))
+        return (5 - n_below if invert else 1 + n_below).cast("long")
+    return rfm.crossJoin(F.broadcast(cuts)).select(
+        "c_custkey", "recency_days", "frequency",
+        (F.col("monetary_cents") / 100.0).alias("monetary"),
+        score("recency_days", "rc", invert=True).alias("r_score"),
+        score("frequency", "fc").alias("f_score"),
+        score("monetary_cents", "mc").alias("m_score"),
+    )
