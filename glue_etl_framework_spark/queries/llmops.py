@@ -3625,3 +3625,55 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("frequency", "fc").alias("f_score"),
         score("monetary_cents", "mc").alias("m_score"),
     )
+
+
+@register(
+    "agg_ratio_to_report",
+    oracle=f"""
+    WITH nat AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY region, nation
+    ),
+    reg AS (SELECT region, CAST(SUM(rev_cents) AS BIGINT) AS reg_cents FROM nat GROUP BY region),
+    tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS tot_cents FROM nat)
+    SELECT nat.region, nat.nation, nat.rev_cents / 100.0 AS revenue,
+           CAST(round(CAST(nat.rev_cents AS DOUBLE) / reg.reg_cents * {LM_SCALE}) AS BIGINT) AS share_of_region_fp,
+           CAST(round(CAST(nat.rev_cents AS DOUBLE) / tot.tot_cents * {LM_SCALE}) AS BIGINT) AS share_of_total_fp
+    FROM nat JOIN reg ON nat.region = reg.region CROSS JOIN tot
+    """,
+    category="aggregate",
+)
+def agg_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report over the region > nation hierarchy: each nation's
+    supplier revenue as a share of its region and of the whole corpus —
+    the percent-of-parent shape every BI layer needs. Derived entirely
+    from ONE grouped aggregate: the region and grand totals re-aggregate
+    the (region, nation) table (25 rows), never the fact table, and join
+    back as broadcasts. Shares are exact-cents ratios in fixed point."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    nat = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")).alias("rev_cents"))
+    )
+    reg = nat.groupBy("region").agg(F.sum("rev_cents").alias("reg_cents"))
+    tot = nat.agg(F.sum("rev_cents").alias("tot_cents"))
+    return (
+        nat.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region", "nation", (F.col("rev_cents") / 100.0).alias("revenue"),
+            F.round(F.col("rev_cents").cast("double") / F.col("reg_cents") * LM_SCALE).cast("long").alias("share_of_region_fp"),
+            F.round(F.col("rev_cents").cast("double") / F.col("tot_cents") * LM_SCALE).cast("long").alias("share_of_total_fp"),
+        )
+    )
