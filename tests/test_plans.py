@@ -362,3 +362,33 @@ def test_multires_rollup_is_single_expand_aggregate(spark):
 def test_join_hints_pick_forced_strategies(spark):
     assert "ShuffledHashJoin" in plan_of(spark, "join_shuffle_hash_hint")
     assert "SortMergeJoin" in plan_of(spark, "join_merge_hint")
+
+
+# Ops whose BUILDER executes work eagerly (checkpoint loops, stream drains)
+# — planning them here would run jobs, not just explain them.
+_EXECUTING_OPS = {
+    "dedup_connected_components", "graph_pagerank_transactions",
+    "curation_dedup_keep_best", "dedup_cluster_size_hist",
+    "dedup_graph_degree_stats", "streaming_live_tumbling_agg",
+    "streaming_live_dedup",
+}
+_CARTESIAN_OK = {"join_cross"}  # the one operator whose SEMANTICS are a cross join
+
+
+def test_no_query_plans_a_cartesian_product(spark):
+    """Registry-wide plan audit: no operator may fall into a shuffled
+    CartesianProduct — every pairwise computation must meet through a key
+    (band, block, bucket, or join column). Broadcast single-row crossJoins
+    (scalar totals/cutoffs) plan as BroadcastNestedLoopJoin and are fine;
+    the shuffled cartesian is the scale-killer this guards against."""
+    from glue_etl_framework_spark.queries import load_registry
+
+    reg = load_registry()
+    offenders = []
+    for name in reg:
+        if name in _EXECUTING_OPS or name in _CARTESIAN_OK:
+            continue
+        plan = plan_of(spark, name)
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
