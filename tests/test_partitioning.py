@@ -45,3 +45,23 @@ def test_sql_distribute_sort_by(spark):
     assert all(len(pids) == 1 for pids in key_pids.values())
     for recs in by_pid.values():
         assert recs == sorted(recs)
+
+
+def test_partition_pruning_reaches_scan(tmp_path, spark):
+    """A filter on the partition column must become a PartitionFilter on
+    the scan (reading only matching directories) — the behavior that
+    makes partitioned layouts worth writing at 100 TB."""
+    from glue_etl_framework_spark.io.writers import write_table
+
+    loc = str(tmp_path / "by_status")
+    src = spark.range(1000).selectExpr(
+        "id", "CASE WHEN id % 3 = 0 THEN 'A' WHEN id % 3 = 1 THEN 'B' ELSE 'C' END AS status"
+    )
+    write_table(src, {"name": "t", "target": "file", "location": loc,
+                      "format": "parquet", "partition_keys": "status"})
+    df = spark.read.parquet(loc).filter("status = 'B'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "status" in seg, f"partition filter not pushed: {seg!r}"
+    assert df.count() == 333
