@@ -3677,3 +3677,108 @@ def agg_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rev_cents").cast("double") / F.col("tot_cents") * LM_SCALE).cast("long").alias("share_of_total_fp"),
         )
     )
+
+
+@register(
+    "orders_open_backlog_curve",
+    oracle="""
+    WITH opened AS (
+      SELECT date_trunc('day', o_orderdate) AS d, CAST(COUNT(*) AS BIGINT) AS delta
+      FROM orders GROUP BY d
+    ),
+    fulfilled AS (
+      SELECT date_trunc('day', last_ship) AS d, CAST(-COUNT(*) AS BIGINT) AS delta
+      FROM (SELECT l_orderkey, MAX(l_shipdate) AS last_ship FROM lineitem GROUP BY l_orderkey)
+      GROUP BY d
+    ),
+    deltas AS (
+      SELECT d, CAST(SUM(delta) AS BIGINT) AS delta
+      FROM (SELECT * FROM opened UNION ALL SELECT * FROM fulfilled)
+      GROUP BY d
+    )
+    SELECT d, delta,
+           CAST(SUM(delta) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS open_orders
+    FROM deltas
+    """,
+    category="time-window",
+)
+def orders_open_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time — the interval-stabbing curve ("how
+    many intervals cover time t") via the +1/-1 sweep: each order
+    contributes +1 at placement and -1 at its last shipment, daily deltas
+    aggregate first, and ONE running sum over the (tiny) day axis yields
+    the concurrency curve. The global window is bounded by |days|, not
+    |orders| — the two keyed aggregates (per order, per day) did the
+    volume work, which is why this formulation scales where a per-order
+    interval join would not. Works identically for session concurrency,
+    connection pools, or any validity-interval fact."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    opened = o.groupBy(F.date_trunc("day", "o_orderdate").alias("d")).agg(
+        F.count("*").alias("delta")
+    )
+    fulfilled = (
+        l.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .groupBy(F.date_trunc("day", "last_ship").alias("d"))
+        .agg((-F.count("*")).alias("delta"))
+    )
+    deltas = (
+        opened.unionByName(fulfilled)
+        .groupBy("d")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return deltas.select("d", "delta", F.sum("delta").over(w).alias("open_orders"))
+
+
+NULL_DRIFT_FACTOR = 2.0  # flag days whose null rate doubles the corpus rate
+
+
+@register(
+    "quality_null_drift_by_day",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+      FROM events GROUP BY d
+    ),
+    overall AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tot, CAST(SUM(n_null) AS BIGINT) AS tot_null FROM daily
+    )
+    SELECT daily.d, daily.n, daily.n_null,
+           CAST(round(CAST(daily.n_null AS DOUBLE) / daily.n * 1000000) AS BIGINT) AS null_rate_fp,
+           CASE WHEN CAST(daily.n_null AS DOUBLE) / daily.n
+                   > {NULL_DRIFT_FACTOR} * (CAST(overall.tot_null AS DOUBLE) / overall.tot)
+                 AND daily.n_null > 0
+                THEN 1 ELSE 0 END AS drifted
+    FROM daily CROSS JOIN overall
+    """,
+    category="quality",
+)
+def quality_null_drift_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-rate drift monitor: per-day null/empty rate of a column vs the
+    corpus-wide rate, flagging days that exceed {NULL_DRIFT_FACTOR}x — the
+    canary for an upstream producer silently dropping a field (the classic
+    way pipelines rot). One day-keyed aggregate; the baseline derives from
+    the daily table itself (no second scan) and broadcasts back. Rates are
+    exact-count ratios in fixed point."""
+    e = t(spark, sf_dir, "events")
+    is_null = F.when(F.col("props").isNull() | (F.col("props") == ""), 1).otherwise(0)
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count("*").alias("n"), F.sum(is_null).alias("n_null")
+    )
+    overall = daily.agg(F.sum("n").alias("tot"), F.sum("n_null").alias("tot_null"))
+    rate = F.col("n_null").cast("double") / F.col("n")
+    base = F.col("tot_null").cast("double") / F.col("tot")
+    return daily.crossJoin(F.broadcast(overall)).select(
+        "d", "n", "n_null",
+        F.round(rate * 1_000_000).cast("long").alias("null_rate_fp"),
+        F.when((rate > NULL_DRIFT_FACTOR * base) & (F.col("n_null") > 0), 1)
+        .otherwise(0)
+        .alias("drifted"),
+    )
