@@ -3782,3 +3782,62 @@ def quality_null_drift_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("drifted"),
     )
+
+
+@register(
+    "events_conversion_latency",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'
+    ),
+    paired AS (
+      SELECT p.p_id,
+             CAST(date_diff('second', MAX(c.c_ts), MAX(p.p_ts)) AS BIGINT) AS latency_s
+      FROM purchases p
+      JOIN clicks c
+        ON c.user_id = p.user_id AND c.c_ts <= p.p_ts
+       AND c.c_ts > p.p_ts - INTERVAL {ATTR_WINDOW_H} HOUR
+      GROUP BY p.p_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           quantile_cont(CAST(latency_s AS DOUBLE), 0.5) AS median_latency_s,
+           quantile_cont(CAST(latency_s AS DOUBLE), 0.9) AS p90_latency_s
+    FROM paired
+    """,
+    category="events",
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase latency distribution (median and p90 seconds over
+    last-touch-attributed conversions) — the SLA-style companion to
+    events_attribution_last_touch: the MAX(c_ts) per purchase is the
+    attributed click, so latency = purchase time minus last qualifying
+    click. Same bounded interval join; the latency aggregate reduces to
+    one interpolated-percentile pass over |conversions| rows (exact here,
+    approx_percentile at 100 TB — same plan)."""
+    e = t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    paired = (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") > F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_H} HOURS")),
+        )
+        .groupBy("p_id")
+        .agg(
+            (F.unix_seconds(F.max("p_ts")) - F.unix_seconds(F.max("c_ts"))).alias("latency_s")
+        )
+    )
+    return paired.agg(
+        F.count("*").alias("n_conversions"),
+        F.percentile(F.col("latency_s").cast("double"), F.lit(0.5)).alias("median_latency_s"),
+        F.percentile(F.col("latency_s").cast("double"), F.lit(0.9)).alias("p90_latency_s"),
+    )

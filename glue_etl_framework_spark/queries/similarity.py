@@ -663,3 +663,73 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("a_nid").cast("double") / F.count("*")).alias("recall_at_k"),
         )
     )
+
+
+def _silhouette_oracle() -> str:
+    return f"""
+    WITH quant AS ({_QUANT_SQL}),
+    lab AS (
+      SELECT q.vec_id, q.q, e.label FROM quant q JOIN embeddings e ON q.vec_id = e.vec_id
+    ),
+    elems AS (
+      SELECT vec_id, label, i, q[i] AS v
+      FROM lab, UNNEST(range(1, 65)) AS u(i)
+    ),
+    cent AS (
+      SELECT label AS clabel, i,
+             CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+      FROM elems GROUP BY clabel, i
+    ),
+    dist AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             CAST(SUM((e.v - c.c) * (e.v - c.c)) AS BIGINT) AS d2
+      FROM elems e JOIN cent c ON e.i = c.i
+      GROUP BY e.vec_id, e.label, c.clabel
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             CAST(MIN(CASE WHEN clabel = label THEN d2 END) AS BIGINT) AS a2,
+             CAST(MIN(CASE WHEN clabel <> label THEN d2 END) AS BIGINT) AS b2
+      FROM dist GROUP BY vec_id, label
+    )
+    SELECT vec_id, label, a2, b2,
+           CAST(round((CAST(b2 AS DOUBLE) - a2) / GREATEST(a2, b2) * 1000000) AS BIGINT)
+             AS silhouette_fp
+    FROM ab
+    """
+
+
+@register("similarity_cluster_silhouette", oracle=_silhouette_oracle(), category="similarity")
+def similarity_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based silhouette score per vector: a = squared distance to
+    the OWN label centroid, b = to the nearest OTHER centroid, silhouette
+    = (b-a)/max(a,b) — the cluster-quality gauge that says whether the
+    label column (or a k-means assignment) actually separates the
+    embedding space, without the O(n^2) pairwise silhouette. Centroids
+    are FIXED-POINT (rounded mean per dimension), so every distance term
+    is an exact integer and the per-(vector, centroid) sums are
+    order-independent. Shape: one element-explode shuffle builds the
+    centroid table (|labels| x 64 rows — broadcast forever), one more
+    computes the n x |labels| distance matrix keyed on the vector."""
+    v = _quantized(spark, sf_dir)
+    lab = v.join(t(spark, sf_dir, "embeddings").select("vec_id", "label"), "vec_id")
+    elems = lab.select(
+        "vec_id", "label", F.posexplode("q").alias("i0", "v")
+    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "v")
+    cent = elems.groupBy(F.col("label").alias("clabel"), "i").agg(
+        F.round(F.sum("v").cast("double") / F.count("*")).cast("long").alias("c")
+    )
+    dist = (
+        elems.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("d2"))
+    )
+    ab = dist.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("d2"))).alias("a2"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2"))).alias("b2"),
+    )
+    sil = (F.col("b2").cast("double") - F.col("a2")) / F.greatest("a2", "b2")
+    return ab.select(
+        "vec_id", "label", "a2", "b2",
+        F.round(sil * 1_000_000).cast("long").alias("silhouette_fp"),
+    )
