@@ -3841,3 +3841,124 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(F.col("latency_s").cast("double"), F.lit(0.5)).alias("median_latency_s"),
         F.percentile(F.col("latency_s").cast("double"), F.lit(0.9)).alias("p90_latency_s"),
     )
+
+
+@register(
+    "text_source_vocab_overlap",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM vocab GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS shared
+      FROM vocab a JOIN vocab b ON a.token = b.token AND a.source < b.source
+      GROUP BY src_a, src_b
+    )
+    SELECT i.src_a, i.src_b, i.shared, sa.n AS n_a, sb.n AS n_b,
+           CAST(round(CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) * {LM_SCALE}) AS BIGINT)
+             AS jaccard_fp
+    FROM inter i
+    JOIN sizes sa ON i.src_a = sa.source
+    JOIN sizes sb ON i.src_b = sb.source
+    """,
+    category="text",
+)
+def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between SOURCES (not documents): which
+    corpus slices speak the same language and which bring genuinely new
+    tokens — the diagnostic behind source-mixture and dedup-scope
+    decisions. Sources meet only through the token-keyed equi-join of
+    their distinct-vocab tables, so the pair table is |sources|^2-bounded
+    (tiny) while the heavy work — two distinct aggregates — is linear in
+    corpus tokens. Same banded discipline as document dedup, lifted one
+    aggregation level up."""
+    d = t(spark, sf_dir, "documents")
+    vocab = d.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count("*").alias("n"))
+    a = vocab.select(F.col("source").alias("src_a"), "token")
+    b = vocab.select(F.col("source").alias("src_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        inter.join(F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))), "src_a")
+        .join(F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))), "src_b")
+        .select(
+            "src_a", "src_b", "shared", "n_a", "n_b",
+            F.round(jac * LM_SCALE).cast("long").alias("jaccard_fp"),
+        )
+    )
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    spend AS (
+      SELECT f.cohort_month,
+             CAST(date_diff('month', f.cohort_month, date_trunc('month', o.o_orderdate)) AS BIGINT)
+               AS months_since,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
+             CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS active_customers
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+      GROUP BY f.cohort_month, months_since
+    ),
+    sized AS (
+      SELECT cohort_month, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM firsts GROUP BY cohort_month
+    )
+    SELECT s.cohort_month, s.months_since, s.active_customers, z.cohort_size,
+           CAST(SUM(s.spend_cents) OVER (PARTITION BY s.cohort_month ORDER BY s.months_since
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             / 100.0 / z.cohort_size AS cum_ltv_per_customer
+    FROM spend s JOIN sized z ON s.cohort_month = z.cohort_month
+    """,
+    category="time-window",
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, cumulative spend per customer by months-since-acquisition —
+    the money companion to events_retention_cohorts. Two custkey-keyed
+    aggregates build the (cohort, month) matrix; the running sum windows
+    over the TINY matrix (months^2 rows), never the fact table. Spend is
+    exact integer cents; the per-customer division happens once on the
+    cumulative sum, identically on both engines."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    joined = o.join(firsts, "o_custkey")
+    spend = joined.groupBy(
+        "cohort_month",
+        (
+            (F.year(F.date_trunc("month", "o_orderdate")) - F.year("cohort_month")) * 12
+            + (F.month(F.date_trunc("month", "o_orderdate")) - F.month("cohort_month"))
+        )
+        .cast("long")
+        .alias("months_since"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("spend_cents"),
+        F.countDistinct("o_custkey").alias("active_customers"),
+    )
+    sized = firsts.groupBy("cohort_month").agg(F.count("*").alias("cohort_size"))
+    w = W.partitionBy("cohort_month").orderBy("months_since").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        spend.join(F.broadcast(sized), "cohort_month")
+        .select(
+            "cohort_month", "months_since", "active_customers", "cohort_size",
+            (F.sum("spend_cents").over(w) / 100.0 / F.col("cohort_size")).alias("cum_ltv_per_customer"),
+        )
+    )
