@@ -497,3 +497,59 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_true).alias("n_true"),
         (F.sum(is_true).cast("double") / F.count("*")).alias("precision"),
     )
+
+
+def _estimator_oracle() -> str:
+    from glue_etl_framework_spark.queries import REGISTRY
+
+    verified = REGISTRY["dedup_minhash_verified"].oracle
+    sig_exprs = ", ".join(_minhash_sig_sql())
+    agree = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH)
+    )
+    return f"""
+    WITH v AS ({verified}),
+    sh AS ({_SHINGLE_SQL}),
+    sig AS (SELECT doc_id, {sig_exprs} FROM sh GROUP BY doc_id)
+    SELECT v.doc_a, v.doc_b, v.jaccard,
+           CAST({agree} AS BIGINT) AS n_agree,
+           CAST(round(CAST({agree} AS DOUBLE) / {N_MINHASH} * 1000000) AS BIGINT) AS est_fp,
+           CAST(round(abs(CAST({agree} AS DOUBLE) / {N_MINHASH} - v.jaccard) * 1000000) AS BIGINT)
+             AS abs_err_fp
+    FROM v
+    JOIN sig sa ON v.doc_a = sa.doc_id
+    JOIN sig sb ON v.doc_b = sb.doc_id
+    """
+
+
+@register("dedup_minhash_estimator_error", oracle=_estimator_oracle(), category="dedup")
+def dedup_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator audit: per verified candidate pair, the
+    signature-agreement estimate of Jaccard (agreeing signatures / 8)
+    against the exact value, with absolute error — the third monitor of
+    the index trio (recall: similarity_ann_recall; precision:
+    dedup_lsh_quality; estimation error: here). With 8 signatures the
+    expected |error| is ~1/sqrt(8) ~ 0.35 worst-case — the measurement
+    that justifies signature-count budgets before scaling an index out.
+    The signature table is one per-doc aggregate (reused plan subtree of
+    the LSH operator); joining it twice onto the verified pairs is keyed
+    on doc id."""
+    v = dedup_minhash_verified(spark, sf_dir)
+    sig = _shingles(spark, sf_dir).groupBy("doc_id").agg(*_minhash_sig_cols())
+    agree_col = sum(
+        (F.when(F.col(f"a_s{i}") == F.col(f"b_s{i}"), 1).otherwise(0) for i in range(1, N_MINHASH)),
+        F.when(F.col("a_s0") == F.col("b_s0"), 1).otherwise(0),
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"s{i}").alias(f"a_s{i}") for i in range(N_MINHASH)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"s{i}").alias(f"b_s{i}") for i in range(N_MINHASH)])
+    est = agree_col.cast("double") / N_MINHASH
+    return (
+        v.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "jaccard",
+            agree_col.cast("long").alias("n_agree"),
+            F.round(est * 1_000_000).cast("long").alias("est_fp"),
+            F.round(F.abs(est - F.col("jaccard")) * 1_000_000).cast("long").alias("abs_err_fp"),
+        )
+    )

@@ -3962,3 +3962,58 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("spend_cents").over(w) / 100.0 / F.col("cohort_size")).alias("cum_ltv_per_customer"),
         )
     )
+
+
+@register(
+    "quality_pk_uniqueness_audit",
+    oracle="""
+    SELECT 'orders' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_dup_rows
+    FROM orders
+    UNION ALL
+    SELECT 'customer', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer
+    UNION ALL
+    SELECT 'part', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT p_partkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT p_partkey) AS BIGINT) FROM part
+    UNION ALL
+    SELECT 'supplier', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT s_suppkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT s_suppkey) AS BIGINT) FROM supplier
+    UNION ALL
+    SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT l_orderkey * 16 + l_linenumber) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 16 + l_linenumber) AS BIGINT) FROM lineitem
+    ORDER BY table_name
+    """,
+    category="quality",
+)
+def quality_pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across the star schema in one result:
+    rows vs distinct keys per table (lineitem's composite key packed into
+    one BIGINT so the distinct is single-column). The first check any
+    ingest should run — a duplicated key silently doubles every join
+    downstream. Each branch is one count-distinct aggregate; the union is
+    five independent scans that schedule in parallel."""
+    def audit(name, df, key):
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct(key).alias("n_keys"),
+            (F.count("*") - F.countDistinct(key)).alias("n_dup_rows"),
+        )
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        audit("orders", o, F.col("o_orderkey"))
+        .unionByName(audit("customer", c, F.col("c_custkey")))
+        .unionByName(audit("part", p, F.col("p_partkey")))
+        .unionByName(audit("supplier", s, F.col("s_suppkey")))
+        .unionByName(audit("lineitem", l, F.col("l_orderkey") * 16 + F.col("l_linenumber")))
+        .orderBy("table_name")
+    )
