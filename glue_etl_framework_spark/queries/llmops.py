@@ -4017,3 +4017,143 @@ def quality_pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit("lineitem", l, F.col("l_orderkey") * 16 + F.col("l_linenumber")))
         .orderBy("table_name")
     )
+
+
+# --- code detection -------------------------------------------------------
+
+CODE_SYMBOLS = r"[{}();=<>\[\]|&+*/%#]"
+
+
+@register(
+    "text_code_detection",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(regexp_replace(text, '[^{{}}();=<>\\[\\]|&+*/%#]', '', 'g')) AS BIGINT)
+             AS n_code_symbols,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(round(CAST(length(regexp_replace(text, '[^{{}}();=<>\\[\\]|&+*/%#]', '', 'g')) AS DOUBLE)
+                 / length(text) * 1000000) AS BIGINT) AS symbol_ratio_fp,
+           CASE WHEN CAST(length(regexp_replace(text, '[^{{}}();=<>\\[\\]|&+*/%#]', '', 'g')) AS DOUBLE)
+                     / length(text) > 0.02
+                THEN 1 ELSE 0 END AS looks_like_code
+    FROM documents WHERE length(text) > 0
+    """,
+    category="text",
+)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose heuristic: density of code-ish symbols ({{}}();=<>...)
+    per character — the cheap first-stage router that separates code from
+    natural language before language-specific pipelines (prose rarely
+    exceeds ~2% symbol density; source code runs 5-15%). Pure scan-side
+    regexp arithmetic, zero shuffles; the fixed-point ratio keeps the
+    driver hash stable. Swap the symbol class or threshold per corpus —
+    the plan is unchanged."""
+    d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_sym = F.length(F.regexp_replace("text", r"[^{}();=<>\[\]|&+*/%#]", ""))
+    ratio = n_sym.cast("double") / F.length("text")
+    return d.select(
+        "doc_id",
+        n_sym.cast("long").alias("n_code_symbols"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(ratio * 1_000_000).cast("long").alias("symbol_ratio_fp"),
+        F.when(ratio > 0.02, 1).otherwise(0).alias("looks_like_code"),
+    )
+
+
+@register(
+    "events_user_gini",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i FROM per_user
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM((2 * i - 1) * x) AS BIGINT) AS swx
+      FROM ranked
+    )
+    SELECT n AS n_users, sx AS n_events,
+           CAST(round((CAST(swx AS DOUBLE) / (CAST(n AS DOUBLE) * sx) - CAST(n + 1 AS DOUBLE) / n)
+                 * 1000000) AS BIGINT) AS gini_fp
+    FROM agg
+    """,
+    category="events",
+)
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event concentration (0 = uniform,
+    -> 1 = a few users generate everything): the audit that decides
+    whether behavioral data needs per-user caps before training. Formula
+    G = sum((2i-1) x_i)/(n sum(x)) - (n+1)/n over users sorted by count.
+    The volume work is the per-user aggregate; the rank runs over USERS
+    (already 1000x smaller than events). The rank window is global by
+    necessity — at extreme user counts, bucket counts into a fixed
+    histogram and compute Gini over bins (same formula, bounded rows).
+    All terms are exact integers until the one closed-form division."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("x"))
+    ranked = per_user.select(
+        "x", F.row_number().over(W.orderBy("x", "user_id")).alias("i")
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum((2 * F.col("i") - 1) * F.col("x")).alias("swx"),
+    )
+    gini = (
+        F.col("swx").cast("double") / (F.col("n").cast("double") * F.col("sx"))
+        - (F.col("n") + 1).cast("double") / F.col("n")
+    )
+    return agg.select(
+        F.col("n").alias("n_users"),
+        F.col("sx").alias("n_events"),
+        F.round(gini * 1_000_000).cast("long").alias("gini_fp"),
+    )
+
+
+@register(
+    "curation_mixture_entropy",
+    oracle=f"""
+    WITH src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM src),
+    terms AS (
+      SELECT CAST(round(-(CAST(n AS DOUBLE) / tot.t) * ln(CAST(n AS DOUBLE) / tot.t)
+                   * {LM_SCALE}) AS BIGINT) AS h_fp
+      FROM src CROSS JOIN tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(h_fp) AS BIGINT) AS entropy_nats_fp,
+           CAST(round(exp(CAST(SUM(h_fp) AS DOUBLE) / {LM_SCALE}) * 1000) AS BIGINT)
+             AS effective_sources_x1000
+    FROM terms
+    """,
+    category="curation",
+)
+def curation_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the source mixture and its exponential — the
+    EFFECTIVE number of sources (perplexity of the mix): 20 sources at
+    effective 19.9 is a healthy blend, at effective 3.2 three sources
+    dominate and rebalancing (sample_domain_mixture /
+    sample_temperature_rebalance) is overdue. One tiny source aggregate;
+    per-source entropy terms are fixed-pointed before the sum (the ln
+    discipline), so the corpus-level number is order-independent."""
+    d = t(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count("*").alias("n"))
+    tot = src.agg(F.sum("n").alias("t"))
+    p = F.col("n").cast("double") / F.col("t")
+    terms = src.crossJoin(F.broadcast(tot)).select(
+        F.round(-p * F.log(p) * LM_SCALE).cast("long").alias("h_fp")
+    )
+    return terms.agg(
+        F.count("*").alias("n_sources"),
+        F.sum("h_fp").alias("entropy_nats_fp"),
+        F.round(F.exp(F.sum("h_fp").cast("double") / LM_SCALE) * 1000)
+        .cast("long")
+        .alias("effective_sources_x1000"),
+    )
