@@ -4157,3 +4157,57 @@ def curation_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("effective_sources_x1000"),
     )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    dau AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM user_days GROUP BY d
+    ),
+    spread AS (
+      SELECT user_id, d + to_days(CAST(k AS INTEGER)) AS d
+      FROM user_days, UNNEST(range(0, 7)) AS u(k)
+    ),
+    wau AS (
+      SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau FROM spread GROUP BY d
+    )
+    SELECT dau.d, dau.dau, wau.wau,
+           CAST(round(CAST(dau.dau AS DOUBLE) / wau.wau * 1000000) AS BIGINT) AS stickiness_fp
+    FROM dau JOIN wau ON dau.d = wau.d
+    ORDER BY dau.d
+    """,
+    category="events",
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day (what share of the week's active users
+    showed up today). The naive WAU — COUNT(DISTINCT user) over a sliding
+    7-day window — re-scans each event 7x inside window state; instead
+    each (user, day) PAIR (already deduplicated, 1000x smaller than
+    events) fans out to the 7 days it contributes to, and WAU is a plain
+    per-day distinct count. Bounded 7x expansion of the SMALL table — the
+    same first-collapse-then-expand discipline as
+    events_cumulative_uniques. Ratio is an exact-count division, fixed
+    point."""
+    e = t(spark, sf_dir, "events")
+    user_days = e.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    dau = user_days.groupBy("d").agg(F.count("*").alias("dau"))
+    spread = user_days.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+        "d",
+    ).select("user_id", (F.col("d") + F.make_interval(days=F.col("k").cast("int"))).alias("d"))
+    wau = spread.groupBy("d").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "d")
+        .select(
+            "d", "dau", "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau") * 1_000_000)
+            .cast("long")
+            .alias("stickiness_fp"),
+        )
+        .orderBy("d")
+    )
