@@ -4211,3 +4211,90 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "orders_seasonality_index",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(month(o_orderdate) AS BIGINT) AS m,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY m
+    ),
+    base AS (
+      SELECT CAST(SUM(rev_cents) AS BIGINT) AS tot_cents, CAST(COUNT(*) AS BIGINT) AS n_months
+      FROM monthly
+    )
+    SELECT monthly.m AS month, monthly.n_orders, monthly.rev_cents / 100.0 AS revenue,
+           CAST(round(CAST(monthly.rev_cents AS DOUBLE) * base.n_months / base.tot_cents * 1000000) AS BIGINT)
+             AS seasonal_index_fp
+    FROM monthly CROSS JOIN base
+    ORDER BY month
+    """,
+    category="time-window",
+)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonal index: each calendar month's revenue
+    relative to the average month (1e6 = exactly average) — the
+    normalization behind deseasonalized trend monitoring and inventory
+    planning. Twelve-row output at any scale: one month-keyed aggregate,
+    baseline derived from the monthly table itself. Exact cents
+    throughout; the index divides integers in the same order on both
+    engines."""
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.month("o_orderdate").cast("long").alias("month")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"),
+        F.count("*").alias("n_orders"),
+    )
+    base = monthly.agg(
+        F.sum("rev_cents").alias("tot_cents"), F.count("*").alias("n_months")
+    )
+    idx = F.col("rev_cents").cast("double") * F.col("n_months") / F.col("tot_cents")
+    return (
+        monthly.crossJoin(F.broadcast(base))
+        .select(
+            "month", "n_orders", (F.col("rev_cents") / 100.0).alias("revenue"),
+            F.round(idx * 1_000_000).cast("long").alias("seasonal_index_fp"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "supplier_lead_time_stats",
+    oracle="""
+    WITH lags AS (
+      SELECT l.l_suppkey,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS lead_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT l_suppkey AS s_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_shipments,
+           quantile_cont(CAST(lead_days AS DOUBLE), 0.5) AS median_lead_days,
+           quantile_cont(CAST(lead_days AS DOUBLE), 0.9) AS p90_lead_days,
+           CAST(MAX(lead_days) AS BIGINT) AS max_lead_days
+    FROM lags GROUP BY s_suppkey
+    """,
+    category="aggregate",
+)
+def supplier_lead_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier fulfillment lead time (order date to ship date):
+    median, p90, and worst case — the vendor-scorecard aggregate behind
+    SLA enforcement. One orderkey join (the date lives on the order) and
+    one supplier-keyed aggregate; exact interpolated percentiles here,
+    approx_percentile at extreme shipment counts — same plan shape. Lead
+    days are exact integers so the percentile interpolation is
+    deterministic on both engines."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    lags = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("lead_days"),
+    )
+    return lags.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.count("*").alias("n_shipments"),
+        F.percentile(F.col("lead_days").cast("double"), F.lit(0.5)).alias("median_lead_days"),
+        F.percentile(F.col("lead_days").cast("double"), F.lit(0.9)).alias("p90_lead_days"),
+        F.max("lead_days").alias("max_lead_days"),
+    )
