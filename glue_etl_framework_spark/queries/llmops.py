@@ -4298,3 +4298,36 @@ def supplier_lead_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(F.col("lead_days").cast("double"), F.lit(0.9)).alias("p90_lead_days"),
         F.max("lead_days").alias("max_lead_days"),
     )
+
+
+@register(
+    "events_hourly_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS weekday,
+           CAST(SUM(CASE WHEN hour(ts) BETWEEN 0 AND 5 THEN 1 ELSE 0 END) AS BIGINT) AS night,
+           CAST(SUM(CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN 1 ELSE 0 END) AS BIGINT) AS morning,
+           CAST(SUM(CASE WHEN hour(ts) BETWEEN 12 AND 17 THEN 1 ELSE 0 END) AS BIGINT) AS afternoon,
+           CAST(SUM(CASE WHEN hour(ts) BETWEEN 18 AND 23 THEN 1 ELSE 0 END) AS BIGINT) AS evening
+    FROM events
+    GROUP BY weekday
+    ORDER BY weekday
+    """,
+    category="events",
+)
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday x daypart activity heatmap — the load-profile query behind
+    capacity planning and anomaly baselines, expressed as conditional
+    sums rather than a pivot so the output schema is static (a PIVOT's
+    columns depend on observed values; dashboards want fixed columns).
+    One 7-row aggregate with map-side partials; DuckDB's dayofweek
+    (0=Sunday) matches Spark's dayofweek-1, aligned below."""
+    e = t(spark, sf_dir, "events")
+    h = F.hour("ts")
+    def part(lo, hi, name):
+        return F.sum(F.when(h.between(lo, hi), 1).otherwise(0)).alias(name)
+    return (
+        e.groupBy((F.dayofweek("ts") - 1).cast("long").alias("weekday"))
+        .agg(part(0, 5, "night"), part(6, 11, "morning"),
+             part(12, 17, "afternoon"), part(18, 23, "evening"))
+        .orderBy("weekday")
+    )
