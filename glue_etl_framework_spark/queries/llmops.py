@@ -4331,3 +4331,113 @@ def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
              part(12, 17, "afternoon"), part(18, 23, "evening"))
         .orderBy("weekday")
     )
+
+
+@register(
+    "quality_fk_coverage_summary",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY fk
+    """,
+    category="quality",
+)
+def quality_fk_coverage_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential coverage across every foreign key of the star schema in
+    one result — the companion to quality_fk_orphans (which LISTS broken
+    rows; this COUNTS them per relationship, the number a data contract
+    monitors). Each branch is a left join against a broadcastable
+    dimension + conditional count; branches are independent scans that
+    schedule in parallel."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+
+    def cov(name, fact, dim, fk, pk):
+        joined = fact.join(F.broadcast(dim), fact[fk] == dim[pk], "left")
+        return joined.agg(
+            F.lit(name).alias("fk"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(dim[pk].isNull(), 1).otherwise(0)).alias("n_orphans"),
+        )
+
+    return (
+        cov("lineitem.l_orderkey->orders", l, o, "l_orderkey", "o_orderkey")
+        .unionByName(cov("lineitem.l_partkey->part", l, p, "l_partkey", "p_partkey"))
+        .unionByName(cov("lineitem.l_suppkey->supplier", l, s, "l_suppkey", "s_suppkey"))
+        .unionByName(cov("orders.o_custkey->customer", o, c, "o_custkey", "c_custkey"))
+        .orderBy("fk")
+    )
+
+
+SLA_DAYS = 30
+
+
+@register(
+    "orders_fulfillment_sla",
+    oracle=f"""
+    WITH per_order AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             CASE WHEN MAX(l.l_shipdate) <= o.o_orderdate + INTERVAL {SLA_DAYS} DAY
+                  THEN 1 ELSE 0 END AS on_time
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(on_time) AS BIGINT) AS n_on_time,
+           CAST(round(CAST(SUM(on_time) AS DOUBLE) / COUNT(*) * 1000000) AS BIGINT) AS sla_rate_fp
+    FROM per_order
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    category="aggregate",
+)
+def orders_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-level fulfillment SLA by priority: an order is on time only
+    if its LAST line ships within {SLA_DAYS} days — the all-lines MAX
+    semantics that line-level late counts (tpch_q12_late_shipments) can't
+    express. Two keyed aggregates: per-order max collapses the fact table
+    on the join key it already shuffles on; the per-priority rollup is
+    five rows. The SLA rate is an exact-count ratio in fixed point."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    per_order = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(
+            F.when(
+                F.max("l_shipdate") <= F.col("o_orderdate") + F.expr(f"INTERVAL {SLA_DAYS} DAYS"),
+                1,
+            )
+            .otherwise(0)
+            .alias("on_time")
+        )
+    )
+    return (
+        per_order.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("on_time").alias("n_on_time"),
+            F.round(F.sum("on_time").cast("double") / F.count("*") * 1_000_000)
+            .cast("long")
+            .alias("sla_rate_fp"),
+        )
+        .orderBy("o_orderpriority")
+    )
