@@ -65,6 +65,9 @@ HEADLINE = [
     "tpch_q1_pricing_summary",        # TPC-H scan-heavy 8-aggregate summary
     "dedup_containment_pairs",        # asymmetric shingle containment join
     "sample_importance_dsir",         # hashed-bucket importance weighting
+    "text_source_drift_kl",           # per-source KL vs corpus (unhinted vocab join)
+    "part_pareto_skyline",            # two-level (bucketed) Pareto skyline
+    "events_user_gini",               # 64-bin histogram Gini (bounded window)
     # graph_pagerank_transactions is deliberately NOT benched: at fixture
     # scale its 12 serial jobs are pure stage-scheduling latency (~9s for
     # ~1600 rank rows), which would read as operator cost; SCALING.md

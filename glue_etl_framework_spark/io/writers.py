@@ -351,15 +351,26 @@ def delete_by_keys(
     ones). The rewrite cost is the table scan — on a partitioned layout,
     pre-filter ``keys_df`` per partition and rewrite only affected
     partitions (partition pruning makes the anti-join scan skip the rest).
+    The deleted-row count comes from two ``observe`` metrics on the ONE
+    rewrite job (rows scanned minus rows surviving the anti-join) — no
+    separate before/after count jobs re-scanning the table (ADVICE r02).
     """
+    from pyspark.sql import Observation
+
     location = _strip_scheme(location)
-    old = spark.read.format(fmt).load(location)
+    obs_scanned = Observation()
+    obs_kept = Observation()
+    old = (
+        spark.read.format(fmt)
+        .load(location)
+        .observe(obs_scanned, F.count(F.lit(1)).alias("n"))
+    )
     key_set = keys_df.select(*keys).distinct()
-    survivors = old.join(key_set, keys, "left_anti")
-    before = old.count()
+    survivors = old.join(key_set, keys, "left_anti").observe(
+        obs_kept, F.count(F.lit(1)).alias("n")
+    )
     staged_write(survivors, {"location": location, "format": fmt})
-    after = spark.read.format(fmt).load(location).count()
-    return before - after
+    return obs_scanned.get["n"] - obs_kept.get["n"]
 
 
 def scd2_merge(

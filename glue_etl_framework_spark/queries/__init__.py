@@ -80,11 +80,15 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # Registration order drives the driver's CORRECTNESS sampling (it records the
 # first N registry entries). Round 1 proved the first 50 (relational/agg/
-# window/sort); round 2 front-loads the 50 least-proven operators — dedup(9) +
-# similarity(6) + text(9) + curation(3) + multimodal(4) + setops(7) +
-# functions(12) = 50 — then events/time-window, then the already-proven
-# families. Rotate per round until every operator has a driver row.
+# window/sort); round 2 the next 50 (dedup/similarity/text/curation/
+# multimodal/setops/functions). Round 3 front-loads llmops (72 entries — the
+# 50-row driver window covers the first 50, all never-checked SURVEY §2.10
+# EXT rows). Round 4 should rotate again: remaining llmops(22) + events(13) +
+# tpch(first 15). Rotate per round until every operator has a driver row.
 _MODULES = [
+    "llmops",
+    "events",
+    "tpch",
     "dedup",
     "similarity",
     "text",
@@ -92,18 +96,53 @@ _MODULES = [
     "multimodal",
     "setops",
     "functions",
-    "llmops",
-    "events",
     "windows",
     "relational",
     "aggregates",
-    "tpch",
     "streaming_live",  # the only no-oracle entries (rows-only driver check)
 ]
 
 
+def _driver_checked_names() -> set[str]:
+    """Names already recorded by a past driver CORRECTNESS round.
+
+    The driver's correctness window is the first ~50 entries of ``queries()``
+    per round, so rotation is the only way every operator eventually gets a
+    driver row. Reading past CORRECTNESS_r*.json makes the rotation
+    self-maintaining: anything already checked sorts to the back.
+    """
+    import json
+    from pathlib import Path
+
+    repo_root = Path(__file__).resolve().parents[2]
+    seen: set[str] = set()
+    for f in sorted(repo_root.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            seen.update(data.keys())
+    return seen
+
+
 def load_registry() -> dict[str, QuerySpec]:
-    """Import all query modules (idempotent) and return the registry."""
+    """Import all query modules (idempotent) and return the registry,
+    ordered so never-driver-checked operators come first (module-priority
+    order, insertion order within a module) — see _driver_checked_names."""
     for mod in _MODULES:
         importlib.import_module(f"glue_etl_framework_spark.queries.{mod}")
-    return REGISTRY
+    checked = _driver_checked_names()
+    mod_rank = {m: i for i, m in enumerate(_MODULES)}
+    order = list(REGISTRY)
+    ranked = sorted(
+        range(len(order)),
+        key=lambda i: (
+            REGISTRY[order[i]].name in checked,
+            mod_rank.get(
+                REGISTRY[order[i]].fn.__module__.rsplit(".", 1)[-1], 99
+            ),
+            i,
+        ),
+    )
+    return {order[i]: REGISTRY[order[i]] for i in ranked}

@@ -90,6 +90,20 @@ def _minhash_sig_cols():
 # tests/test_text_properties.py::test_shingle_regex_matches_split_semantics).
 SHINGLE_REGEX = r"regexp_extract_all(text, '(?<=^| )(?=((\\S+ ){2}\\S+))', 1)"
 
+# Document-frequency ceiling for the PAIRWISE shingle self-joins
+# (dedup_ngram_jaccard, llmops.dedup_containment_pairs). A shingle shared by
+# k documents alone yields k^2 candidate pairs, so one stop-phrase trigram
+# ("terms of service") turns the shingle-keyed join into a hot-key quadratic
+# at corpus scale. Shingles with DF > cap are dropped from BOTH sides of the
+# ratio (numerator and denominator) on BOTH engines, so parity is exact.
+# Recall trade: a true near-dup pair loses at most the capped shingles from
+# its intersection; pairs whose overlap rests solely on >cap stop-phrases
+# are by construction boilerplate matches, not near-dups. Fixture max-DF is
+# far below the cap (pinned by tests/test_text_properties.py), so test-scale
+# results are identical to the uncapped formulation. The banded MinHash path
+# is unaffected (signatures are per-doc; no pairwise shingle join).
+SHINGLE_DF_CAP = 8192
+
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-3-gram shingles per document. Overlapping 3-grams come
@@ -109,7 +123,11 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH sh AS ({_SHINGLE_SQL}),
+    WITH sh0 AS ({_SHINGLE_SQL}),
+    sh AS (
+      SELECT doc_id, shingle FROM sh0
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {SHINGLE_DF_CAP}
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -129,8 +147,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (J >= 0.5). The pair space is
     pruned by the shingle equi-join (only docs sharing a shingle meet) —
     at 100 TB the further pruning is MinHash banding (next operator);
-    jaccard = |A∩B| / (|A|+|B|-|A∩B|) is an exact integer ratio."""
-    sh = _shingles(spark, sf_dir)
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) is an exact integer ratio.
+    Hot-key guard: shingles with document frequency > SHINGLE_DF_CAP are
+    dropped on both engines before the self-join (see the constant's
+    comment for the k^2-pairs rationale and recall trade). The DF filter
+    is a shingle-partitioned window, so its shuffle key matches the
+    self-join key."""
+    from pyspark.sql import Window as W
+
+    sh = (
+        _shingles(spark, sf_dir)
+        .withColumn("df_ct", F.count("*").over(W.partitionBy("shingle")))
+        .filter(F.col("df_ct") <= SHINGLE_DF_CAP)
+        .drop("df_ct")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -2496,8 +2496,11 @@ def text_source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     as integers — order-independent. Plan: one (source, token) count
     aggregate; corpus token totals and per-source totals both DERIVE from
     that frame (no rescan); the global total is a window over the
-    #sources-row frame. Joins: vocabulary-sized and #sources-sized
-    lookups — broadcast; the corpus text is scanned once."""
+    #sources-row frame. Joins: the corpus token totals are VOCABULARY-
+    sized (grows with the corpus — 100M+ types on a real crawl), so that
+    join is an unhinted tok-keyed equi-join (AQE may still broadcast it
+    at small scale); only the #sources-row lookup is hint-broadcast.
+    The corpus text is scanned once."""
     from pyspark.sql import Window as W
 
     d = t(spark, sf_dir, "documents")
@@ -2518,7 +2521,7 @@ def text_source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         * KL_SCALE
     ).cast("long")
     terms = (
-        cst.join(F.broadcast(ct), "tok")
+        cst.join(ct, "tok")
         .join(F.broadcast(nn), "source")
         .select("source", "n", kfp.alias("kfp"))
     )
@@ -2988,6 +2991,28 @@ def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Pareto skyline -------------------------------------------------------
 
+SKYLINE_BUCKETS = 32  # level-1 fan-in for the two-level skyline
+
+
+def _skyline_filter(df: DataFrame, part_cols: list[str]) -> DataFrame:
+    """One skyline pass: two RANGE-frame running maxima over the price
+    order (within ``part_cols`` if given, else global). A row survives iff
+    no row is cheaper-with-size>=, nor equal-or-cheaper-with-size>."""
+    from pyspark.sql import Window as W
+
+    base = W.partitionBy(*part_cols) if part_cols else W
+    w_cheaper = base.orderBy("price_cents").rangeBetween(W.unboundedPreceding, -1)
+    w_upto = base.orderBy("price_cents").rangeBetween(W.unboundedPreceding, W.currentRow)
+    framed = df.select(
+        *df.columns,
+        F.max("p_size").over(w_cheaper).alias("max_cheaper"),
+        F.max("p_size").over(w_upto).alias("max_upto"),
+    )
+    return framed.filter(
+        (F.col("max_cheaper").isNull() | (F.col("max_cheaper") < F.col("p_size")))
+        & (F.col("max_upto") <= F.col("p_size"))
+    ).drop("max_cheaper", "max_upto")
+
 
 @register(
     "part_pareto_skyline",
@@ -3019,28 +3044,27 @@ def part_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal-or-cheaper-and-strictly-larger. The classic quadratic anti-join
     collapses to two RANGE-frame running maxima over the price order
     (strictly-cheaper via 1 PRECEDING on integer cents, cheaper-or-equal
-    via CURRENT ROW). The global order is over the PART dimension (tiny
-    next to facts); for a skyline over a fact-sized input, take per-
-    partition local skylines first and skyline the union — same operator,
-    two levels (skyline-of-skylines is associative). Prices ordered as
-    integer cents, so frames and ties are exact on both engines."""
-    from pyspark.sql import Window as W
-
+    via CURRENT ROW). Executed as TWO levels because the input grows with
+    sf: level 1 buckets rows by hash(p_partkey) % {SKYLINE_BUCKETS} and
+    takes the local skyline per bucket with a PARTITIONED window (any
+    globally dominated row is either dominated inside its bucket — pruned
+    here — or survives into level 2; no global-skyline row is ever
+    dropped). Level 2 re-runs the same filter globally over the union of
+    local skylines — a 2-D skyline is typically O(log n) per bucket, so
+    the single-task window at level 2 sees ~{SKYLINE_BUCKETS} x log n
+    rows, not the input (skyline-of-skylines is associative). The oracle
+    keeps the one-level global formulation: both produce exactly the
+    global skyline. Prices ordered as integer cents, so frames and ties
+    are exact on both engines."""
     p = t(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_size",
         F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
     )
-    w_cheaper = W.orderBy("price_cents").rangeBetween(W.unboundedPreceding, -1)
-    w_upto = W.orderBy("price_cents").rangeBetween(W.unboundedPreceding, W.currentRow)
-    framed = p.select(
-        "p_partkey", "p_name", "p_size", "price_cents",
-        F.max("p_size").over(w_cheaper).alias("max_cheaper"),
-        F.max("p_size").over(w_upto).alias("max_upto"),
+    bucketed = p.withColumn("bkt", F.pmod(F.col("p_partkey"), F.lit(SKYLINE_BUCKETS)))
+    local = _skyline_filter(bucketed, ["bkt"]).drop("bkt")
+    return _skyline_filter(local, []).select(
+        "p_partkey", "p_name", "p_size", (F.col("price_cents") / 100.0).alias("price")
     )
-    return framed.filter(
-        (F.col("max_cheaper").isNull() | (F.col("max_cheaper") < F.col("p_size")))
-        & (F.col("max_upto") <= F.col("p_size"))
-    ).select("p_partkey", "p_name", "p_size", (F.col("price_cents") / 100.0).alias("price"))
 
 
 # --- asymmetric containment -----------------------------------------------
@@ -3057,11 +3081,17 @@ _TRIGRAM_SQL = """
 
 CONTAIN_MIN = 0.5  # report pairs where >= 50% of A's trigrams appear in B
 
+from glue_etl_framework_spark.queries.dedup import SHINGLE_DF_CAP  # noqa: E402
+
 
 @register(
     "dedup_containment_pairs",
     oracle=f"""
-    WITH g AS ({_TRIGRAM_SQL}),
+    WITH g0 AS ({_TRIGRAM_SQL}),
+    g AS (
+      SELECT doc_id, g FROM g0
+      QUALIFY COUNT(*) OVER (PARTITION BY g) <= {SHINGLE_DF_CAP}
+    ),
     sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
@@ -3082,13 +3112,28 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     200-token doc fully inside a 10k-token doc has Jaccard ~0.02 but
     containment 1.0. Same banded scale shape as dedup_ngram_jaccard: docs
     meet only through the trigram equi-join (shingle-keyed shuffle, never
-    all-pairs), one (a,b) count aggregate, then a broadcast of the
-    per-doc shingle counts. Directional: (A,B) and (B,A) both emitted
-    with their own denominators."""
+    all-pairs), one (a,b) count aggregate, then an unhinted equi-join to
+    attach per-doc shingle counts (one row per document — data-sized, so
+    NO broadcast hint; AQE picks broadcast only when genuinely small).
+    Hot-key guard: shingles whose document frequency exceeds
+    SHINGLE_DF_CAP (stop-phrase trigrams — a DF-k shingle alone yields
+    k^2 candidate pairs) are dropped from BOTH the numerator and the
+    denominator on both engines; see dedup.SHINGLE_DF_CAP for the recall
+    trade. Directional: (A,B) and (B,A) both emitted with their own
+    denominators."""
+    from pyspark.sql import Window as W
+
     d = t(spark, sf_dir, "documents")
-    g = d.select(
+    g0 = d.select(
         "doc_id", F.explode(F.expr(TRIGRAM_REGEX)).alias("g")
     ).distinct()
+    # DF ceiling via a shingle-partitioned window: one shuffle on g, which
+    # the candidate self-join below reuses (same key).
+    g = (
+        g0.withColumn("df_ct", F.count("*").over(W.partitionBy("g")))
+        .filter(F.col("df_ct") <= SHINGLE_DF_CAP)
+        .drop("df_ct")
+    )
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
     ga = g.select(F.col("doc_id").alias("doc_a"), "g")
     gb = g.select(F.col("doc_id").alias("doc_b"), "g")
@@ -3101,7 +3146,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     contain = F.col("shared").cast("double") / F.col("n_a")
     return (
         inter.join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))),
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
             "doc_a",
         )
         .filter(contain >= CONTAIN_MIN)
@@ -4066,14 +4111,24 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per_user AS (
       SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY user_id
     ),
-    ranked AS (
-      SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i FROM per_user
+    bins AS (
+      SELECT length(bin(x)) - 1 AS b,
+             CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(x) AS BIGINT) AS sb
+      FROM per_user GROUP BY b
+    ),
+    cum AS (
+      SELECT nb, sb,
+             CAST(COALESCE(SUM(nb) OVER (ORDER BY b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
+      FROM bins
     ),
     agg AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx,
-             CAST(SUM((2 * i - 1) * x) AS BIGINT) AS swx
-      FROM ranked
+      SELECT CAST(SUM(nb) AS BIGINT) AS n,
+             CAST(SUM(sb) AS BIGINT) AS sx,
+             CAST(SUM(sb * (2 * cb + nb)) AS BIGINT) AS swx
+      FROM cum
     )
     SELECT n AS n_users, sx AS n_events,
            CAST(round((CAST(swx AS DOUBLE) / (CAST(n AS DOUBLE) * sx) - CAST(n + 1 AS DOUBLE) / n)
@@ -4085,24 +4140,39 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-user event concentration (0 = uniform,
     -> 1 = a few users generate everything): the audit that decides
-    whether behavioral data needs per-user caps before training. Formula
-    G = sum((2i-1) x_i)/(n sum(x)) - (n+1)/n over users sorted by count.
-    The volume work is the per-user aggregate; the rank runs over USERS
-    (already 1000x smaller than events). The rank window is global by
-    necessity — at extreme user counts, bucket counts into a fixed
-    histogram and compute Gini over bins (same formula, bounded rows).
-    All terms are exact integers until the one closed-form division."""
+    whether behavioral data needs per-user caps before training. Binned
+    (grouped-data) Gini: users land in the FIXED histogram of log2
+    activity bins (bin = floor(log2(x)) via the length of x's binary
+    string — integer-exact on both engines, <= 63 bins for any BIGINT
+    count, so the cumulative window runs over a BOUNDED frame no matter
+    how many users exist). Within a bin, users are treated as equal at
+    the bin mean; the grouped rank-sum collapses in closed form to
+    swx = sum_b sb*(2*cb+nb) (cb = users in cheaper bins) — every term an
+    exact integer, so the result is order-independent and engine-exact.
+    Grouping only removes within-bin inequality, so binned G <= exact G,
+    converging as bins narrow (pinned vs the exact rank formula in
+    tests/test_text_properties.py). The volume work stays in the per-user
+    aggregate; NO global window ever touches the per-user frame."""
     from pyspark.sql import Window as W
 
     e = t(spark, sf_dir, "events")
     per_user = e.groupBy("user_id").agg(F.count("*").alias("x"))
-    ranked = per_user.select(
-        "x", F.row_number().over(W.orderBy("x", "user_id")).alias("i")
+    bins = per_user.groupBy(
+        (F.length(F.bin("x")) - 1).alias("b")
+    ).agg(F.count("*").alias("nb"), F.sum("x").alias("sb"))
+    cum = bins.select(
+        "nb", "sb",
+        F.coalesce(
+            F.sum("nb").over(
+                W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cb"),
     )
-    agg = ranked.agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum((2 * F.col("i") - 1) * F.col("x")).alias("swx"),
+    agg = cum.agg(
+        F.sum("nb").alias("n"),
+        F.sum("sb").alias("sx"),
+        F.sum(F.col("sb") * (2 * F.col("cb") + F.col("nb"))).alias("swx"),
     )
     gini = (
         F.col("swx").cast("double") / (F.col("n").cast("double") * F.col("sx"))
@@ -4360,17 +4430,22 @@ def quality_fk_coverage_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential coverage across every foreign key of the star schema in
     one result — the companion to quality_fk_orphans (which LISTS broken
     rows; this COUNTS them per relationship, the number a data contract
-    monitors). Each branch is a left join against a broadcastable
-    dimension + conditional count; branches are independent scans that
-    schedule in parallel."""
+    monitors). The part/supplier/customer branches left-join a BOUNDED
+    dimension and hint broadcast; the lineitem->orders branch is
+    FACT-to-FACT (orders grows with sf), so it is left unhinted — a
+    forced broadcast of orders would OOM at scale; AQE/stats pick the
+    strategy (shuffle join at scale, broadcast only while genuinely
+    small). Each branch is one conditional count; branches are
+    independent scans that schedule in parallel."""
     l = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     p = t(spark, sf_dir, "part")
     s = t(spark, sf_dir, "supplier")
     c = t(spark, sf_dir, "customer")
 
-    def cov(name, fact, dim, fk, pk):
-        joined = fact.join(F.broadcast(dim), fact[fk] == dim[pk], "left")
+    def cov(name, fact, dim, fk, pk, hint_broadcast=True):
+        rhs = F.broadcast(dim) if hint_broadcast else dim
+        joined = fact.join(rhs, fact[fk] == dim[pk], "left")
         return joined.agg(
             F.lit(name).alias("fk"),
             F.count("*").alias("n_rows"),
@@ -4378,7 +4453,8 @@ def quality_fk_coverage_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        cov("lineitem.l_orderkey->orders", l, o, "l_orderkey", "o_orderkey")
+        cov("lineitem.l_orderkey->orders", l, o, "l_orderkey", "o_orderkey",
+            hint_broadcast=False)
         .unionByName(cov("lineitem.l_partkey->part", l, p, "l_partkey", "p_partkey"))
         .unionByName(cov("lineitem.l_suppkey->supplier", l, s, "l_suppkey", "s_suppkey"))
         .unionByName(cov("orders.o_custkey->customer", o, c, "o_custkey", "c_custkey"))

@@ -12,6 +12,8 @@ tests/test_streaming.py pins stream==batch parity.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 import uuid
 
@@ -27,18 +29,42 @@ EVENTS_SCHEMA = (
 
 
 def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Run the stream to completion into a memory sink and return the sink
+    table. The checkpoint dir is ephemeral by design (availableNow drains
+    everything in one shot) and removed as soon as the query terminates —
+    repeated registry sweeps/benchmarks must not accumulate orphans
+    (ADVICE r02)."""
     name = f"live_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return stream_df.sparkSession.table(name)
+
+
+# One materialized stream-source dir per fixture dir, reused across
+# invocations in the process (registry sweeps hit these operators dozens of
+# times; re-writing the source parquet per call both leaked dirs and paid a
+# full write per sweep). Removed at interpreter exit.
+_SRC_CACHE: dict[str, str] = {}
+
+
+def _cleanup_src_cache() -> None:
+    for d in _SRC_CACHE.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _SRC_CACHE.clear()
+
+
+atexit.register(_cleanup_src_cache)
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,8 +73,11 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the (possibly type-normalized) events as a file-stream
     # source dir; the fixture parquet itself may use nanos encoding the
     # streaming reader's explicit schema cannot express
-    src = tempfile.mkdtemp(prefix="stream_src_")
-    t(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    src = _SRC_CACHE.get(sf_dir)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="stream_src_")
+        t(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+        _SRC_CACHE[sf_dir] = src
     return read_file_stream(spark, src, EVENTS_SCHEMA)
 
 
@@ -56,11 +85,14 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_live_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming tumbling-window aggregate (not the batch twin):
     file-stream source -> watermark -> 1h window count -> memory sink,
-    drained with availableNow. Update-mode rows include in-progress
-    windows; the batch twin tumbling_window_agg is the value oracle and
-    stream==batch parity is pinned in tests/test_streaming.py. At scale
-    this plan runs unchanged against a continuous source (Kafka/file
-    drops) with RocksDB state and per-microbatch output."""
+    drained with availableNow in APPEND mode: only windows finalized
+    relative to the end-of-drain watermark are emitted, so trailing
+    windows inside the watermark horizon are (correctly) withheld from
+    the result. The batch twin tumbling_window_agg is the value oracle
+    and stream==batch parity — restricted to the emitted horizon — is
+    pinned in tests/test_streaming.py. At scale this plan runs unchanged
+    against a continuous source (Kafka/file drops) with RocksDB state
+    and per-microbatch output."""
     from glue_etl_framework_spark.streaming import stream_window_agg
 
     stream = _event_stream(spark, sf_dir)

@@ -1,0 +1,71 @@
+"""Mechanical performance-regression gate (VERDICT r02 item 7).
+
+`BASELINE_BENCH.json` freezes the per-query median seconds of the first two
+benchmark rounds (local[32], sf0.1). This test diffs the LATEST recorded
+`BENCH_r*.json` against the frozen numbers and fails on any per-query
+regression > 2x — the driver's "within 2x of BASELINE" gate made executable
+against a real anchor instead of the reference's (nonexistent) numbers.
+
+Refreezing after a deliberate perf change:
+
+    python - <<'PY'
+    import json, statistics, glob
+    rounds = [json.load(open(f))["parsed"]["queries"]
+              for f in sorted(glob.glob("BENCH_r*.json"))]
+    names = sorted({n for r in rounds for n in r})
+    base = {n: round(statistics.median([r[n] for r in rounds if n in r]), 4)
+            for n in names}
+    json.dump({"frozen_from": sorted(glob.glob("BENCH_r*.json")), "sf": 0.1,
+               "note": "per-query median seconds; standing 2x-gate anchor",
+               "queries": base, "total": round(sum(base.values()), 4)},
+              open("BASELINE_BENCH.json", "w"), indent=1)
+    PY
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+# Absolute noise floor: sub-0.3s queries are dominated by stage-scheduling
+# jitter on a busy box; a 0.15s -> 0.35s drift is not a plan regression.
+NOISE_FLOOR_SEC = 0.3
+MAX_RATIO = 2.0
+
+
+def _latest_bench() -> tuple[str, dict[str, float]] | None:
+    benches = sorted(REPO.glob("BENCH_r*.json"))
+    if not benches:
+        return None
+    latest = benches[-1]
+    data = json.loads(latest.read_text())
+    queries = (data.get("parsed") or {}).get("queries") or data.get("queries")
+    if not queries:
+        return None
+    return latest.name, queries
+
+
+def test_latest_bench_within_2x_of_frozen_baseline():
+    baseline_path = REPO / "BASELINE_BENCH.json"
+    assert baseline_path.exists(), "BASELINE_BENCH.json missing — run the refreeze snippet"
+    baseline = json.loads(baseline_path.read_text())["queries"]
+
+    latest = _latest_bench()
+    if latest is None:
+        pytest.skip("no BENCH_r*.json recorded yet")
+    name, current = latest
+
+    regressions = []
+    for q, base_sec in baseline.items():
+        cur = current.get(q)
+        if cur is None:
+            continue  # query rotated out of the headline set
+        if cur <= NOISE_FLOOR_SEC:
+            continue
+        if cur > base_sec * MAX_RATIO:
+            regressions.append(f"{q}: {base_sec:.2f}s -> {cur:.2f}s ({cur / base_sec:.2f}x)")
+    assert not regressions, f"{name} regressed >2x vs frozen baseline: {regressions}"

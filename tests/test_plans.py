@@ -5,6 +5,8 @@ plans, so a refactor can't silently trade them away. These are the
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from glue_etl_framework_spark.queries import load_registry
@@ -375,20 +377,122 @@ _EXECUTING_OPS = {
 _CARTESIAN_OK = {"join_cross"}  # the one operator whose SEMANTICS are a cross join
 
 
+_ALL_PLANS: dict[str, str] = {}
+
+
+def _registry_plans(spark) -> dict[str, str]:
+    """Executed-plan text for every non-executing registry entry, built once
+    and shared by the registry-wide audits below."""
+    if not _ALL_PLANS:
+        from glue_etl_framework_spark.queries import load_registry
+
+        for name in load_registry():
+            if name in _EXECUTING_OPS:
+                continue
+            _ALL_PLANS[name] = plan_of(spark, name)
+    return _ALL_PLANS
+
+
 def test_no_query_plans_a_cartesian_product(spark):
     """Registry-wide plan audit: no operator may fall into a shuffled
     CartesianProduct — every pairwise computation must meet through a key
     (band, block, bucket, or join column). Broadcast single-row crossJoins
     (scalar totals/cutoffs) plan as BroadcastNestedLoopJoin and are fine;
     the shuffled cartesian is the scale-killer this guards against."""
-    from glue_etl_framework_spark.queries import load_registry
-
-    reg = load_registry()
-    offenders = []
-    for name in reg:
-        if name in _EXECUTING_OPS or name in _CARTESIAN_OK:
-            continue
-        plan = plan_of(spark, name)
-        if "CartesianProduct" in plan:
-            offenders.append(name)
+    offenders = [
+        name
+        for name, plan in _registry_plans(spark).items()
+        if name not in _CARTESIAN_OK and "CartesianProduct" in plan
+    ]
     assert not offenders, f"cartesian products in: {offenders}"
+
+
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level [...] groups of a plan-node line (nested brackets stay
+    inside their group)."""
+    depth, cur, out = 0, [], []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                cur = []
+            else:
+                cur.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                out.append("".join(cur))
+            else:
+                cur.append(ch)
+        elif depth > 0:
+            cur.append(ch)
+    return out
+
+
+_ORDER_RE = re.compile(r" (ASC|DESC) ")
+
+
+def _has_unpartitioned_window(plan: str) -> bool:
+    """True if any Window node in the executed plan has no PARTITION BY.
+
+    Window prints as ``Window [defs], [partition], [order]``; the partition
+    group is absent for global windows (``Window [defs], [order]`` or
+    ``Window [defs]``). A partition-only window (no ORDER BY) also prints
+    two groups, distinguished by the order group's ASC/DESC markers.
+    """
+    for ln in plan.splitlines():
+        i = ln.find("Window [")
+        if i < 0 or "WindowGroupLimit" in ln:
+            continue
+        if i > 0 and ln[i - 1].isalnum():
+            continue
+        g = _bracket_groups(ln[i + len("Window"):])
+        if len(g) >= 3:
+            continue  # partitioned, ordered
+        if len(g) == 2 and not _ORDER_RE.search(g[1]):
+            continue  # partitioned, no order
+        return True
+    return False
+
+
+# Queries whose one global Window runs over a PROVABLY BOUNDED frame — each
+# entry names the bound. Everything else in the registry must partition its
+# windows: a partition-less Window over a data-sized input is a single-task
+# stage, the quadratic-at-scale failure VERDICT r02 flagged in
+# part_pareto_skyline (since fixed: two-level) and events_user_gini (since
+# fixed: 64-bin histogram).
+_GLOBAL_WINDOW_OK = {
+    "sample_domain_mixture": "sum over per-source counts (#sources rows)",
+    "sample_temperature_rebalance": "sum over per-language counts (#langs rows)",
+    "curation_token_budget_mix": "sum over per-source weights (#sources rows)",
+    "text_source_drift_kl": "global total over per-source counts (#sources rows)",
+    "similarity_pq_encode": "codebook index (fixed K x M rows)",
+    "similarity_pq_adc_topk": "codebook index (fixed K x M rows)",
+    "text_zipf_slope": "rank over TakeOrdered top-R tokens (fixed R)",
+    "events_cumulative_uniques": "running sum over calendar days (time-bounded)",
+    "orders_open_backlog_curve": "running sum over calendar days (time-bounded)",
+    "window_pct_change": "lag over daily aggregate (time-bounded)",
+    "events_user_gini": "cumulative over <=63 log2 histogram bins",
+    "part_pareto_skyline": "level-2 skyline over union of 32 local skylines",
+    # SURVEY §2.5 operator demos whose SEMANTICS are a global frame (the
+    # operator itself is the global window; partitioned variants are the
+    # other §2.5 rows):
+    "window_range_frame": "operator demo: global RANGE frame semantics",
+    "window_ntile_dist": "operator demo: global NTILE semantics",
+}
+
+
+def test_no_unpartitioned_window_over_unbounded_input(spark):
+    """Registry-wide plan audit: every Window must either declare a
+    PARTITION BY or appear in the justified bounded-frame allowlist above.
+    Compared with set equality so both NEW offenders and STALE allowlist
+    entries fail the build."""
+    found = {
+        name
+        for name, plan in _registry_plans(spark).items()
+        if _has_unpartitioned_window(plan)
+    }
+    assert found == set(_GLOBAL_WINDOW_OK), (
+        f"new unpartitioned windows: {sorted(found - set(_GLOBAL_WINDOW_OK))}; "
+        f"stale allowlist entries: {sorted(set(_GLOBAL_WINDOW_OK) - found)}"
+    )

@@ -274,3 +274,73 @@ def test_chunk_windows_cover_and_reassemble(spark):
             stitched += c.chunk_text.split(" ")[CHUNK_TOKENS - CHUNK_STRIDE:]
         assert stitched == toks, f"doc {i} stitches wrong"
         assert all(c.n_chunk_tokens == len(c.chunk_text.split(" ")) for c in chunks)
+
+
+def test_shingle_df_cap_noop_at_fixture_scale_and_live_when_lowered(spark, monkeypatch):
+    """The SHINGLE_DF_CAP hot-key guard (r02 hardening): at fixture scale the
+    cap sits far above the max shingle document frequency, so capped results
+    are IDENTICAL to the uncapped formulation; lowering the cap to 1 must
+    actually drop all shared shingles (the filter is live, not decorative)."""
+    import glue_etl_framework_spark.queries.dedup as dd
+    import glue_etl_framework_spark.queries.llmops as lo
+    from tests.conftest import SF_SMOKE
+
+    max_df = (
+        dd._shingles(spark, SF_SMOKE)
+        .groupBy("shingle")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_df < dd.SHINGLE_DF_CAP, (
+        f"fixture max shingle DF {max_df} >= cap {dd.SHINGLE_DF_CAP}: "
+        "capped fixture results would diverge from the uncapped oracle claim"
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    capped_jac = rows(dd.dedup_ngram_jaccard(spark, SF_SMOKE))
+    capped_con = rows(lo.dedup_containment_pairs(spark, SF_SMOKE))
+    monkeypatch.setattr(dd, "SHINGLE_DF_CAP", 10**9)
+    monkeypatch.setattr(lo, "SHINGLE_DF_CAP", 10**9)
+    assert rows(dd.dedup_ngram_jaccard(spark, SF_SMOKE)) == capped_jac
+    assert rows(lo.dedup_containment_pairs(spark, SF_SMOKE)) == capped_con
+    # cap=1 keeps only single-document shingles -> no candidate pairs at all
+    monkeypatch.setattr(dd, "SHINGLE_DF_CAP", 1)
+    monkeypatch.setattr(lo, "SHINGLE_DF_CAP", 1)
+    assert dd.dedup_ngram_jaccard(spark, SF_SMOKE).count() == 0
+    assert lo.dedup_containment_pairs(spark, SF_SMOKE).count() == 0
+
+
+def test_binned_gini_lower_bounds_and_tracks_exact_gini(spark):
+    """events_user_gini computes the GROUPED (64-log2-bin) Gini so no global
+    window ever runs over the per-user frame (VERDICT r02). Grouping only
+    removes within-bin inequality, so binned G <= exact G; with integer-exact
+    bin terms the gap at fixture scale stays small."""
+    from pyspark.sql import Window as W
+
+    from glue_etl_framework_spark.queries import t
+    from glue_etl_framework_spark.queries.llmops import events_user_gini
+    from tests.conftest import SF_SMOKE
+
+    binned = events_user_gini(spark, SF_SMOKE).collect()[0]
+
+    per_user = (
+        t(spark, SF_SMOKE, "events").groupBy("user_id").agg(F.count("*").alias("x"))
+    )
+    ranked = per_user.select(
+        "x", F.row_number().over(W.orderBy("x", "user_id")).alias("i")
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum((2 * F.col("i") - 1) * F.col("x")).alias("swx"),
+    ).collect()[0]
+    exact = agg["swx"] / (agg["n"] * agg["sx"]) - (agg["n"] + 1) / agg["n"]
+
+    assert binned["n_users"] == agg["n"]
+    assert binned["n_events"] == agg["sx"]
+    binned_g = binned["gini_fp"] / 1_000_000
+    assert binned_g <= exact + 1e-6
+    assert exact - binned_g < 0.15, (binned_g, exact)
