@@ -74,17 +74,26 @@ def read_table(spark: SparkSession, table: dict[str, Any]) -> DataFrame:
             reader = reader.schema(table["schema"])
         try:
             return reader.load(str(location))
-        except Exception as exc:  # noqa: BLE001 - re-raise with actionable context
+        except Exception as exc:  # noqa: BLE001 - fall back with actionable context
             if fmt == "avro" and "Failed to find data source" in str(exc):
+                # The native datasource jar is absent (no Maven access in this
+                # environment). Fall back to the pure-Python container codec —
+                # distributed binaryFile + mapInPandas decode; file-granular
+                # splits instead of block-granular, and format_options/schema
+                # overrides don't apply. On a jar-equipped cluster prefer
+                # get_spark(with_avro=True) + the native path.
+                import logging
+
+                from glue_etl_framework_spark.io.avro_py import read_avro
                 from glue_etl_framework_spark.session import avro_package
 
-                raise RuntimeError(
-                    "format 'avro' needs the external spark-avro package on the "
-                    f"classpath ({avro_package()}); it is not bundled with this "
-                    "Spark build — start the session with "
-                    "get_spark(with_avro=True) (requires Maven access or a "
-                    "populated ivy cache)"
-                ) from exc
+                logging.getLogger("glue_etl_framework_spark").warning(
+                    "spark-avro datasource (%s) not on classpath; reading %s "
+                    "with the pure-Python avro codec (io/avro_py.py)",
+                    avro_package(),
+                    location,
+                )
+                return read_avro(spark, str(location))
             raise
     if source in {"catalog", "gdc"}:
         database = table.get("database")

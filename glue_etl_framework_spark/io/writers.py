@@ -58,6 +58,40 @@ def _layout(df: DataFrame, output: dict[str, Any]) -> tuple[DataFrame, list[str]
     return df, list(keys)
 
 
+def _write_avro_fallback(
+    df: DataFrame, location: str, refresh: str, partition_keys: list[str]
+) -> None:
+    """Jar-less avro sink via the pure-Python codec (io/avro_py.py):
+    refresh=full clears prior ``*.avro`` part files then writes one file per
+    partition; refresh=incremental appends new part files. Hive-style
+    ``partition_keys`` layouts need the native datasource — raise rather
+    than silently flatten the layout."""
+    import glob as _glob
+    import logging
+    import os
+
+    from glue_etl_framework_spark.io.avro_py import write_avro
+    from glue_etl_framework_spark.session import avro_package
+
+    if partition_keys:
+        raise RuntimeError(
+            "partitioned avro output needs the native spark-avro datasource "
+            f"({avro_package()}); the pure-Python fallback writes unpartitioned "
+            "part files only"
+        )
+    logging.getLogger("glue_etl_framework_spark").warning(
+        "spark-avro datasource (%s) not on classpath; writing %s with the "
+        "pure-Python avro codec (io/avro_py.py)",
+        avro_package(),
+        location,
+    )
+    location = _strip_scheme(location)
+    if refresh == "full":
+        for old in _glob.glob(os.path.join(location, "*.avro")):
+            os.remove(old)
+    write_avro(df, location)
+
+
 def write_table(df: DataFrame, output: dict[str, Any]) -> None:
     """Write the query result per the ``output_table`` config block
     (README.md:51-58): keys ``target`` (file|catalog), ``location``,
@@ -101,7 +135,13 @@ def write_table(df: DataFrame, output: dict[str, Any]) -> None:
         location = output.get("location")
         if not location:
             raise ValueError("file target requires 'location'")
-        writer.save(str(location))
+        try:
+            writer.save(str(location))
+        except Exception as exc:  # noqa: BLE001 - avro fallback, see readers.py
+            if fmt == "avro" and "Failed to find data source" in str(exc):
+                _write_avro_fallback(df, str(location), refresh, partition_keys)
+            else:
+                raise
     elif target == "jdbc":
         # Mirror of the JDBC source (readers.py): the reference stubs JDBC
         # entirely (glue_etl_framework.py:119-120); here it is a real writer.

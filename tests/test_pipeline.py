@@ -243,10 +243,13 @@ sql: SELECT count(*) AS n FROM region
     assert out.collect()[0]["n"] == 5
 
 
-def test_avro_unavailable_gives_clear_error(tmp_path, spark):
+def test_avro_without_jar_falls_back_to_python_codec(tmp_path, spark):
+    """With the spark-avro jar absent, format: avro is served by the
+    pure-Python codec (io/avro_py.py) instead of erroring; an empty
+    location still gives a clear file-level error, not a datasource one."""
     from glue_etl_framework_spark.io.readers import read_table
 
-    with pytest.raises(RuntimeError, match="spark-avro"):
+    with pytest.raises(FileNotFoundError, match="no .avro files"):
         read_table(
             spark,
             {"name": "x", "source": "file", "location": str(tmp_path), "format": "avro"},
