@@ -583,4 +583,12 @@ def write_avro(df, path: str, codec: str = "deflate") -> int:
         yield fname
 
     files = df.rdd.mapPartitionsWithIndex(write_partition).collect()
+    if not files:
+        # Zero-row input: write one empty container from the driver so the
+        # directory stays schema-readable (mirrors parquet's empty-write
+        # behavior; read_avro needs at least one header to map the schema).
+        fname = os.path.join(path, f"part-00000-{run_tag}.avro")
+        with open(fname, "wb") as fh:
+            fh.write(encode_container(schema, [], codec=codec))
+        files = [fname]
     return len(files)

@@ -65,11 +65,13 @@ def read_table(spark: SparkSession, table: dict[str, Any]) -> DataFrame:
         fmt = str(table.get("format", "parquet")).lower()
         if fmt not in SUPPORTED_FORMATS:
             raise ValueError(f"unsupported format {fmt!r}; expected one of {sorted(SUPPORTED_FORMATS)}")
-        reader = (
-            spark.read.format(fmt)
-            .options(**_translate_options(table.get("format_options")))
-            .option("recursiveFileLookup", "true")
-        )
+        # recursiveFileLookup mirrors Glue's recurse:True default, but it
+        # DISABLES hive partition-directory discovery — format_options may
+        # override it (e.g. recursiveFileLookup: false to read a
+        # partition_keys layout back with its partition columns).
+        opts = _translate_options(table.get("format_options"))
+        opts.setdefault("recursiveFileLookup", "true")
+        reader = spark.read.format(fmt).options(**opts)
         if "schema" in table:
             reader = reader.schema(table["schema"])
         try:

@@ -89,6 +89,7 @@ _MODULES = [
     "llmops",
     "events",
     "tpch",
+    "io_ops",
     "dedup",
     "similarity",
     "text",

@@ -1,0 +1,521 @@
+"""Driver-verifiable IO round-trips — SURVEY §2.1 as registry queries.
+
+Every operator here EXERCISES a real sink/source path (write through the
+engine's writers, read back through its readers) and returns a DataFrame
+that is a pure function of the fixture tables — so the driver's DuckDB
+oracle (which sees only the fixture parquet) hash-checks the round-trip:
+any value/type corruption in the write -> read cycle breaks the match.
+This closes the §2.1 visibility gap from VERDICT r02 (file sink, format
+dispatch, partitioned write, upsert, transactional write, SCD2, and the
+offline avro codec previously had pytest evidence only — no driver rows).
+
+Mechanics: each entry materializes its table(s) into one per-process temp
+dir per (operator, sf_dir) — rebuilt on first call, reused within a sweep,
+removed at interpreter exit (same lifecycle as queries/streaming_live's
+stream sources). Read-backs always pass an explicit schema so zero-row
+inputs (the empty-input sweep) stay readable. Side-effects happen at
+BUILD time, like the streaming drains; the returned DataFrame is lazy.
+
+Reference surface covered: create_dynamic_frame format dispatch + sink
+(/root/reference/glue/glue_etl_framework.py:81-102,215-231), repartition/
+coalesce (:196-202), partition_keys (:204-207), upsert claim (README
+:68), plus the engine's own staged transactional commit and SCD2 MERGE.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from glue_etl_framework_spark.queries import register, t
+
+_WORKDIRS: dict[tuple[str, str], str] = {}
+
+
+def _cleanup_workdirs() -> None:
+    for d in _WORKDIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _WORKDIRS.clear()
+
+
+atexit.register(_cleanup_workdirs)
+
+
+def _workdir(tag: str, sf_dir: str) -> tuple[str, bool]:
+    """(dir, fresh): one cached dir per (operator, fixture dir) per process."""
+    key = (tag, sf_dir)
+    if key in _WORKDIRS:
+        return _WORKDIRS[key], False
+    d = tempfile.mkdtemp(prefix=f"ioop_{tag}_")
+    _WORKDIRS[key] = d
+    return d, True
+
+
+# --- parquet partitioned write + pruned read-back --------------------------
+
+_PARQ_ORACLE = """
+    SELECT l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+"""
+
+
+@register("io_roundtrip_parquet_partitioned", oracle=_PARQ_ORACLE, category="io")
+def io_roundtrip_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned file sink round-trip: lineitem written hive-partitioned
+    by l_returnflag (write_table: partition_keys + refresh full), read back
+    through the file reader, filtered to ONE partition, aggregated. The
+    oracle aggregates the fixture directly, so a wrong partition layout,
+    dropped rows, or type corruption all hash-mismatch. The read-back
+    filter prunes to a single hive partition (pruning plan-asserted in
+    tests/test_partitioning.py); quantities are integer-valued doubles so
+    sums are exact."""
+    from glue_etl_framework_spark.io.readers import read_table
+    from glue_etl_framework_spark.io.writers import write_table
+
+    d, fresh = _workdir("parq", sf_dir)
+    loc = f"{d}/lineitem_part"
+    if fresh:
+        li = t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_linestatus", "l_returnflag"
+        )
+        write_table(
+            li,
+            {
+                "target": "file",
+                "location": loc,
+                "format": "parquet",
+                "partition_keys": "l_returnflag",
+                "refresh": "full",
+            },
+        )
+    back = read_table(
+        spark,
+        {
+            "name": "li",
+            "source": "file",
+            "location": loc,
+            "format": "parquet",
+            # partition discovery needs the recursive-lookup default OFF
+            "format_options": {"recursiveFileLookup": False},
+            "schema": "l_orderkey long, l_linenumber int, l_quantity double, "
+            "l_linestatus string, l_returnflag string",
+        },
+    )
+    return (
+        back.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )
+
+
+# --- csv with Glue-style format_options ------------------------------------
+
+_CSV_ORACLE = """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+           CAST(SUM(c_nationkey) AS BIGINT) AS nation_sum
+    FROM customer GROUP BY c_mktsegment
+"""
+
+
+@register("io_roundtrip_csv_options", oracle=_CSV_ORACLE, category="io")
+def io_roundtrip_csv_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV format dispatch round-trip with the reference's Glue-style
+    format_options (withHeader + separator '|', translated to Spark's
+    header/sep — readers._GLUE_OPTION_ALIASES): customer written as csv,
+    read back with an explicit schema, aggregated per segment. Integer and
+    string columns only — text round-tripping of floats is deliberately
+    NOT part of the csv contract here (parquet/orc/avro carry doubles
+    losslessly; csv is the interchange format)."""
+    from glue_etl_framework_spark.io.readers import read_table
+    from glue_etl_framework_spark.io.writers import write_table
+
+    d, fresh = _workdir("csv", sf_dir)
+    loc = f"{d}/customer_csv"
+    if fresh:
+        c = t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+        )
+        write_table(
+            c,
+            {
+                "target": "file",
+                "location": loc,
+                "format": "csv",
+                "format_options": {"withHeader": True, "separator": "|"},
+                "refresh": "full",
+            },
+        )
+    back = read_table(
+        spark,
+        {
+            "name": "c",
+            "source": "file",
+            "location": loc,
+            "format": "csv",
+            "format_options": {"withHeader": True, "separator": "|"},
+            "schema": "c_custkey long, c_name string, c_nationkey int, c_mktsegment string",
+        },
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_cust"),
+        F.sum("c_custkey").alias("key_sum"),
+        F.sum(F.col("c_nationkey").cast("long")).alias("nation_sum"),
+    )
+
+
+# --- json with timestamps ---------------------------------------------------
+
+_JSON_ORACLE = """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MAX(o_orderdate) AS max_date,
+           MIN(o_orderdate) AS min_date
+    FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("io_roundtrip_json_timestamps", oracle=_JSON_ORACLE, category="io")
+def io_roundtrip_json_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON format dispatch round-trip carrying TIMESTAMP values (ISO-8601
+    text in flight, parsed back via explicit schema): per-status order
+    counts and min/max order dates must survive the text encoding exactly
+    (UTC session; micros precision)."""
+    from glue_etl_framework_spark.io.readers import read_table
+    from glue_etl_framework_spark.io.writers import write_table
+
+    d, fresh = _workdir("json", sf_dir)
+    loc = f"{d}/orders_json"
+    if fresh:
+        o = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderdate"
+        )
+        write_table(
+            o,
+            {"target": "file", "location": loc, "format": "json", "refresh": "full"},
+        )
+    back = read_table(
+        spark,
+        {
+            "name": "o",
+            "source": "file",
+            "location": loc,
+            "format": "json",
+            "schema": "o_orderkey long, o_orderstatus string, o_orderdate timestamp",
+        },
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.max("o_orderdate").alias("max_date"),
+        F.min("o_orderdate").alias("min_date"),
+    )
+
+
+# --- orc full-fidelity doubles ----------------------------------------------
+
+_ORC_ORACLE = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("io_roundtrip_orc_doubles", oracle=_ORC_ORACLE, category="io")
+def io_roundtrip_orc_doubles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC format dispatch round-trip carrying DOUBLE columns losslessly
+    (binary IEEE in the file, unlike csv): the pricing-summary shape over
+    the read-back must produce the identical integer-cents sums as the
+    fixture itself."""
+    from glue_etl_framework_spark.io.readers import read_table
+    from glue_etl_framework_spark.io.writers import write_table
+
+    d, fresh = _workdir("orc", sf_dir)
+    loc = f"{d}/lineitem_orc"
+    if fresh:
+        li = t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+        )
+        write_table(
+            li,
+            {"target": "file", "location": loc, "format": "orc", "refresh": "full"},
+        )
+    back = read_table(
+        spark,
+        {
+            "name": "li",
+            "source": "file",
+            "location": loc,
+            "format": "orc",
+            "schema": "l_orderkey long, l_quantity double, l_extendedprice double, "
+            "l_returnflag string",
+        },
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("price_cents"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+# --- avro via the offline pure-Python codec ---------------------------------
+
+_AVRO_ORACLE = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           MAX(o_orderdate) AS max_date
+    FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("io_roundtrip_avro_codec", oracle=_AVRO_ORACLE, category="io")
+def io_roundtrip_avro_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro round-trip through the jar-less pure-Python container codec
+    (io/avro_py.py; write_table/read_table fall back to it automatically
+    when the spark-avro datasource is absent): longs, strings, IEEE
+    doubles, and timestamp-micros must all survive the spec binary
+    encoding bit-exactly — the driver hash against the parquet fixture is
+    the cross-format fidelity proof (the Java avro-core cross-read lives
+    in tests/test_avro_py.py)."""
+    from glue_etl_framework_spark.io.readers import read_table
+    from glue_etl_framework_spark.io.writers import write_table
+
+    d, fresh = _workdir("avro", sf_dir)
+    loc = f"{d}/orders_avro"
+    if fresh:
+        o = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+        )
+        write_table(
+            o,
+            {"target": "file", "location": loc, "format": "avro", "refresh": "full"},
+        )
+    back = read_table(
+        spark,
+        {"name": "o", "source": "file", "location": loc, "format": "avro"},
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+
+
+# --- upsert (key-level MERGE) ----------------------------------------------
+
+_UPSERT_ORACLE = """
+    WITH seed AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) + 100 AS cents
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT s.* FROM seed s ANTI JOIN upd u ON s.o_orderkey = u.o_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM merged GROUP BY o_orderstatus
+"""
+
+
+@register("io_upsert_by_key_merge", oracle=_UPSERT_ORACLE, category="io")
+def io_upsert_by_key_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-level MERGE round-trip (README.md:68's UPSERT done on plain
+    files): a seed table (orderkeys not divisible by 3) upserted with a
+    deterministic update batch (even orderkeys: status 'U', price +1.00 —
+    existing keys replaced, unseen keys inserted), read back, aggregated.
+    The oracle expresses the same last-writer-wins merge relationally
+    (updates UNION ALL seed-anti-updates), so replaced-row leakage, lost
+    inserts, or double-application all hash-mismatch. The engine path is
+    upsert_by_key's staged anti-join rewrite (writers.py)."""
+    from glue_etl_framework_spark.io.writers import staged_write, upsert_by_key
+
+    d, fresh = _workdir("upsert", sf_dir)
+    loc = f"{d}/orders_upsert"
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    if fresh:
+        o = t(spark, sf_dir, "orders")
+        seed = o.filter(F.col("o_orderkey") % 3 != 0).select(
+            "o_orderkey", "o_orderstatus", cents.alias("cents")
+        )
+        staged_write(seed, {"location": loc, "format": "parquet"})
+        updates = o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (cents + 100).alias("cents"),
+        )
+        upsert_by_key(spark, updates, loc, keys=["o_orderkey"])
+    back = spark.read.schema("o_orderkey long, o_orderstatus string, cents long").parquet(loc)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"), F.sum("cents").alias("sum_cents")
+    )
+
+
+# --- transactional (staged) write survives a failing plan -------------------
+
+_STAGED_ORACLE = """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+@register("io_staged_write_crash_intact", oracle=_STAGED_ORACLE, category="io")
+def io_staged_write_crash_intact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional-write guarantee, driver-checked: after a good staged
+    write of nation, a SECOND staged write whose plan fails mid-job
+    (assert_true(false) raises during materialization) must leave the
+    table byte-identical to the good copy — the oracle is the fixture
+    nation itself, so any partial/destroyed state hash-mismatches. This is
+    the stage-dir + atomic-rename commit of writers.staged_write
+    (crash-injection variants in tests/test_pipeline.py)."""
+    from glue_etl_framework_spark.io.writers import staged_write
+
+    d, fresh = _workdir("staged", sf_dir)
+    loc = f"{d}/nation_staged"
+    if fresh:
+        n = t(spark, sf_dir, "nation")
+        staged_write(n, {"location": loc, "format": "parquet"})
+        poisoned = n.withColumn(
+            "boom", F.assert_true(F.lit(False), F.lit("injected failure"))
+        )
+        try:
+            staged_write(poisoned, {"location": loc, "format": "parquet"})
+        except Exception:
+            pass  # expected: the failed stage must not touch the live table
+    return spark.read.schema("n_nationkey int, n_name string, n_regionkey int").parquet(loc)
+
+
+# --- SCD2 history -----------------------------------------------------------
+
+_SCD2_ORACLE = """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    b1 AS (
+      SELECT o_custkey, o_orderpriority AS prio, o_orderdate AS ts
+      FROM ranked WHERE rn = 1
+    ),
+    changed AS (SELECT * FROM b1 WHERE o_custkey % 2 = 0),
+    unchanged AS (SELECT * FROM b1 WHERE o_custkey % 2 <> 0)
+    SELECT o_custkey, prio, ts AS valid_from,
+           ts + INTERVAL 30 DAY AS valid_to, FALSE AS is_current
+    FROM changed
+    UNION ALL
+    SELECT o_custkey, 'CHANGED' AS prio, ts + INTERVAL 30 DAY AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+    FROM changed
+    UNION ALL
+    SELECT o_custkey, prio, ts AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+    FROM unchanged
+"""
+
+
+@register("io_scd2_history", oracle=_SCD2_ORACLE, category="io")
+def io_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 MERGE round-trip: batch 1 seeds one dimension row per customer
+    (their first even-keyed order's priority), batch 2 updates EVEN
+    custkeys 30 days later with a changed attribute. The expected history
+    — closed row + new open row for changed keys, untouched open row for
+    the rest — is spelled out relationally in the oracle, so wrong
+    valid_from/valid_to stitching, lost history, or spurious closes all
+    hash-mismatch. Engine path: writers.scd2_merge twice (init + merge),
+    the single-pass branch-explode MERGE."""
+    from pyspark.sql import Window as W
+
+    from glue_etl_framework_spark.io.writers import scd2_merge
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 2 == 0)
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    b1 = (
+        o.select(
+            "o_custkey", "o_orderpriority", "o_orderdate",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderdate").alias("ts"),
+        )
+    )
+    h1 = scd2_merge(None, b1, keys=["o_custkey"], ts_col="ts")
+    b2 = (
+        b1.filter(F.col("o_custkey") % 2 == 0)
+        .select(
+            "o_custkey",
+            F.lit("CHANGED").alias("prio"),
+            (F.col("ts") + F.expr("INTERVAL 30 DAY")).alias("ts"),
+        )
+    )
+    h2 = scd2_merge(h1, b2, keys=["o_custkey"], ts_col="ts")
+    return h2.select(
+        "o_custkey", "prio",
+        F.col("valid_from"), F.col("valid_to"), F.col("is_current"),
+    )
+
+
+# --- compaction + repartition files-out -------------------------------------
+
+_COMPACT_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+    FROM lineitem
+"""
+
+
+@register("io_compact_small_files", oracle=_COMPACT_ORACLE, category="io")
+def io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip: lineitem deliberately written as
+    16 files (write_table repartition=16 — the reference's files-out knob,
+    glue_etl_framework.py:196-202), compacted by io.compaction.compact_table
+    (size-planned rewrite through the same staged commit), read back and
+    totaled. Value preservation is the driver check here; the file-count
+    math is pinned separately in tests/test_compaction.py."""
+    from glue_etl_framework_spark.io.compaction import compact_table
+    from glue_etl_framework_spark.io.writers import write_table
+
+    d, fresh = _workdir("compact", sf_dir)
+    loc = f"{d}/lineitem_small"
+    if fresh:
+        li = t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        write_table(
+            li,
+            {
+                "target": "file",
+                "location": loc,
+                "format": "parquet",
+                "repartition": 16,
+                "refresh": "full",
+            },
+        )
+        compact_table(spark, loc)
+    back = spark.read.schema("l_orderkey long, l_extendedprice double").parquet(loc)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("price_cents"),
+    )

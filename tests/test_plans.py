@@ -366,13 +366,19 @@ def test_join_hints_pick_forced_strategies(spark):
     assert "SortMergeJoin" in plan_of(spark, "join_merge_hint")
 
 
-# Ops whose BUILDER executes work eagerly (checkpoint loops, stream drains)
-# — planning them here would run jobs, not just explain them.
+# Ops whose BUILDER executes work eagerly (checkpoint loops, stream drains,
+# IO round-trip writes) — planning them here would run jobs, not just
+# explain them.
 _EXECUTING_OPS = {
     "dedup_connected_components", "graph_pagerank_transactions",
     "curation_dedup_keep_best", "dedup_cluster_size_hist",
     "dedup_graph_degree_stats", "streaming_live_tumbling_agg",
     "streaming_live_dedup",
+    # queries/io_ops.py: every builder writes through a real sink first
+    "io_roundtrip_parquet_partitioned", "io_roundtrip_csv_options",
+    "io_roundtrip_json_timestamps", "io_roundtrip_orc_doubles",
+    "io_roundtrip_avro_codec", "io_upsert_by_key_merge",
+    "io_staged_write_crash_intact", "io_compact_small_files",
 }
 _CARTESIAN_OK = {"join_cross"}  # the one operator whose SEMANTICS are a cross join
 
