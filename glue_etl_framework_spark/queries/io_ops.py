@@ -519,3 +519,123 @@ def io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("price_cents"),
     )
+
+
+# --- DISTRIBUTE BY / SORT WITHIN PARTITIONS invariant ------------------------
+
+_DISTSORT_ORACLE = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+           CAST(0 AS BIGINT) AS sort_violations,
+           CAST(0 AS BIGINT) AS placement_violations
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("layout_distribute_sort_invariant", oracle=_DISTSORT_ORACLE, category="io")
+def layout_distribute_sort_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTE BY + SORT BY (SURVEY §2.6), driver-checked through its
+    INVARIANTS rather than its (partition-boundary-dependent, hence not
+    SQL-expressible) physical layout: after ``repartition(l_returnflag)``
+    + ``sortWithinPartitions(l_returnflag, l_orderkey)``, (a) every
+    partition must be non-decreasing in the sort key — counted via a lag
+    over (partition_id)-partitioned windows, (b) no key may straddle two
+    partitions — distinct (key, partition_id) pairs per key must be 1, and
+    (c) content must be preserved (per-key counts + key sums). The oracle
+    states the expected zero violation counts plus the content aggregates
+    from the fixture, so a broken exchange, lost rows, or unsorted output
+    all hash-mismatch. The violation windows partition by
+    spark_partition_id — bounded per-task frames at any scale."""
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    laid = li.repartition("l_returnflag").sortWithinPartitions(
+        "l_returnflag", "l_orderkey"
+    )
+    tagged = laid.select(
+        "l_orderkey", "l_returnflag", F.spark_partition_id().alias("pid")
+    )
+    w = W.partitionBy("pid").orderBy("l_returnflag", "l_orderkey")
+    prev_key = F.lag("l_orderkey").over(w)
+    prev_flag = F.lag("l_returnflag").over(w)
+    sort_bad = F.when(
+        prev_flag.isNotNull()
+        & (prev_flag == F.col("l_returnflag"))
+        & (prev_key > F.col("l_orderkey")),
+        1,
+    ).otherwise(0)
+    placement = tagged.groupBy("l_returnflag").agg(
+        (F.countDistinct("pid") - 1).alias("extra_pids")
+    )
+    checked = tagged.withColumn("sort_bad", sort_bad)
+    return (
+        checked.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("l_orderkey").alias("key_sum"),
+            F.sum("sort_bad").alias("sort_violations"),
+        )
+        .join(placement, "l_returnflag")
+        .select(
+            "l_returnflag", "n_rows", "key_sum", "sort_violations",
+            F.col("extra_pids").cast("long").alias("placement_violations"),
+        )
+    )
+
+
+# --- GlueTransform verb pipeline --------------------------------------------
+
+_VERBS_ORACLE = """
+    WITH mapped AS (
+      SELECT o_orderkey AS order_id,
+             CAST(o_custkey AS INTEGER) AS cust_id,
+             o_orderpriority AS priority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    filtered AS (SELECT * FROM mapped WHERE cents > 1000000)
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(cust_id) AS BIGINT) AS cust_sum
+    FROM filtered GROUP BY priority
+"""
+
+
+@register("glue_verbs_pipeline", oracle=_VERBS_ORACLE, category="transforms")
+def glue_verbs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GlueTransform verb layer (SURVEY §2.10: ApplyMapping,
+    ResolveChoice/cast, Filter, SelectFields, DropFields, RenameField —
+    transforms/verbs.py, mirroring the reference's DynamicFrame verbs)
+    composed into one driver-checked pipeline over orders: rename+cast via
+    apply_mapping, narrow, filter on a computed column, aggregate. The
+    oracle re-expresses the verb chain relationally, so a verb that drops,
+    retypes, or mis-renames a column breaks the hash. Verbs are thin
+    declarative wrappers — the whole chain stays one Catalyst plan (no
+    materialization between verbs)."""
+    from glue_etl_framework_spark.transforms import verbs
+
+    o = t(spark, sf_dir, "orders")
+    mapped = verbs.apply_mapping(
+        o,
+        [
+            ("o_orderkey", "order_id", "bigint"),
+            ("o_custkey", "cust_id", "int"),
+            ("o_orderpriority", "priority", "string"),
+            ("o_totalprice", "price", "double"),
+        ],
+    )
+    with_cents = mapped.withColumn(
+        "cents", F.round(F.col("price") * 100).cast("long")
+    )
+    filtered = verbs.filter_rows(with_cents, F.col("cents") > 1_000_000)
+    narrowed = verbs.select_fields(
+        verbs.rename_field(filtered, "cust_id", "cust"), 
+        ["priority", "cents", "cust"],
+    )
+    return narrowed.groupBy("priority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum(F.col("cust").cast("long")).alias("cust_sum"),
+    )
