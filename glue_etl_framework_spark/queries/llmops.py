@@ -4517,3 +4517,242 @@ def orders_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+PSI_SCALE = 1_000_000_000  # fixed-point scale for per-bin PSI contributions
+
+
+@register(
+    "quality_psi_drift",
+    oracle=f"""
+    WITH e AS (
+      SELECT date_trunc('day', ts) AS day,
+             length(bin(CAST(round(value * 100) AS BIGINT))) - 1 AS b
+      FROM events
+    ),
+    cdb AS (SELECT day, b, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY day, b),
+    nd AS (SELECT day, CAST(SUM(c) AS BIGINT) AS n FROM cdb GROUP BY day),
+    cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM cdb GROUP BY b),
+    tot AS (SELECT CAST(SUM(cb) AS BIGINT) AS big_n,
+                   CAST(COUNT(*) AS BIGINT) AS n_bins FROM cb),
+    grid AS (SELECT nd.day, nd.n, cb.b, cb.cb, tot.big_n, tot.n_bins
+             FROM nd CROSS JOIN cb CROSS JOIN tot),
+    terms AS (
+      SELECT g.day, g.n,
+             CAST(round((CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / (g.n + g.n_bins)
+                         - CAST(g.cb + 1 AS DOUBLE) / (g.big_n + g.n_bins))
+                        * ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) * (g.big_n + g.n_bins)
+                             / (CAST(g.n + g.n_bins AS DOUBLE) * (g.cb + 1)))
+                        * {PSI_SCALE}) AS BIGINT) AS pfp
+      FROM grid g LEFT JOIN cdb c ON g.day = c.day AND g.b = c.b
+    )
+    SELECT day, n AS n_events,
+           CAST(SUM(pfp) AS BIGINT) AS psi_fp,
+           round(CAST(SUM(pfp) AS DOUBLE) / {PSI_SCALE}, 6) AS psi
+    FROM terms GROUP BY day, n
+    """,
+    category="quality",
+)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution, per day
+    vs the full corpus — the standard production drift monitor (PSI > 0.2
+    = significant shift) for deciding whether a feed's value mix moved
+    before it poisons training. Values land in FIXED log2 cent bins
+    (length(bin(cents))-1 — integer-exact in both engines, <= 64 bins for
+    any BIGINT), so the reference histogram is a BOUNDED frame no matter
+    the volume; Laplace-smoothed (+1 per bin) so days missing a bin stay
+    finite. Per-bin contributions are fixed-point-rounded after one ln on
+    exact-integer ratios, then integer-summed — order-independent and
+    engine-exact. Plan: one (day, bin) count aggregate carries all the
+    volume; per-day totals derive from it; the per-bin reference histogram
+    (<= 64 rows) and the 1-row grand total broadcast onto the days x bins
+    grid. Days grow with the time horizon, never with event rate — every
+    shuffle after the first is over bounded-or-days-sized frames."""
+    e = t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"),
+        (F.length(F.bin(F.round(F.col("value") * 100).cast("long"))) - 1).alias("b"),
+    )
+    cdb = e.groupBy("day", "b").agg(F.count("*").alias("c"))
+    nd = cdb.groupBy("day").agg(F.sum("c").alias("n"))
+    cb = cdb.groupBy("b").agg(F.sum("c").alias("cb"))
+    tot = cb.agg(
+        F.sum("cb").alias("big_n"), F.count("*").alias("n_bins")
+    )
+    grid = nd.crossJoin(F.broadcast(cb)).crossJoin(F.broadcast(tot))
+    joined = grid.join(cdb, ["day", "b"], "left").select(
+        "day",
+        "n",
+        F.round(
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                / (F.col("n") + F.col("n_bins"))
+                - (F.col("cb") + 1).cast("double") / (F.col("big_n") + F.col("n_bins"))
+            )
+            * F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                * (F.col("big_n") + F.col("n_bins"))
+                / ((F.col("n") + F.col("n_bins")).cast("double") * (F.col("cb") + 1))
+            )
+            * PSI_SCALE
+        )
+        .cast("long")
+        .alias("pfp"),
+    )
+    return joined.groupBy("day", "n").agg(
+        F.sum("pfp").alias("psi_fp"),
+        F.round(F.sum("pfp").cast("double") / PSI_SCALE, 6).alias("psi"),
+    ).select("day", F.col("n").alias("n_events"), "psi_fp", "psi")
+
+
+RETENTION_SCALE = 1_000_000
+
+
+@register(
+    "events_retention_cohort",
+    oracle=f"""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS w
+      FROM events
+    ),
+    cohort AS (SELECT user_id, CAST(MIN(w) AS BIGINT) AS cw FROM uw GROUP BY user_id),
+    sizes AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM cohort GROUP BY cw),
+    act AS (
+      SELECT c.cw, CAST(u.w - c.cw AS BIGINT) AS week_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM uw u JOIN cohort c ON u.user_id = c.user_id
+      GROUP BY c.cw, u.w - c.cw
+    )
+    SELECT a.cw AS cohort_week, a.week_offset, a.n_active, s.cohort_size,
+           CAST(round(CAST(a.n_active AS DOUBLE) * {RETENTION_SCALE} / s.cohort_size)
+                AS BIGINT) AS retention_fp
+    FROM act a JOIN sizes s ON a.cw = s.cw
+    """,
+    category="events",
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users are cohorted by their first
+    active week and each later week contributes the share of the cohort
+    still active — the table behind every retention curve. Weeks are
+    absolute epoch-week indices (days-since-1970 div 7 — engine-exact
+    integer arithmetic, no locale week-start ambiguity). Plan: the volume
+    work is ONE (user, week) distinct (events collapse to at most
+    #users x #weeks rows); the per-user min-week aggregate and the
+    user-keyed join both shuffle on user_id; the output and the cohort-
+    size frame are bounded by #weeks^2 / #weeks — independent of event
+    rate. The sizes join is left unhinted: #weeks rows, AQE broadcasts
+    it. At 100 TB the only heavy stage is the first distinct, a
+    map-side-combining hash aggregate."""
+    e = t(spark, sf_dir, "events")
+    uw = (
+        e.select(
+            "user_id",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")) / 7
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    cohort = uw.groupBy("user_id").agg(F.min("w").alias("cw"))
+    sizes = cohort.groupBy("cw").agg(F.count("*").alias("cohort_size"))
+    act = (
+        uw.join(cohort, "user_id")
+        .groupBy("cw", (F.col("w") - F.col("cw")).alias("week_offset"))
+        .agg(F.count("*").alias("n_active"))
+    )
+    return act.join(sizes, "cw").select(
+        F.col("cw").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active").cast("double") * RETENTION_SCALE / F.col("cohort_size"))
+        .cast("long")
+        .alias("retention_fp"),
+    )
+
+
+@register(
+    "quality_dataset_card",
+    oracle="""
+    WITH base AS (
+      SELECT source, lang, n_chars,
+             CAST(length(string_split(text, ' ')) AS BIGINT) AS n_toks,
+             md5(text) AS h
+      FROM documents
+    ),
+    per_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_texts
+      FROM base GROUP BY source
+    ),
+    lang_counts AS (
+      SELECT source, lang, COUNT(*) AS c FROM base GROUP BY source, lang
+    ),
+    top_lang AS (
+      SELECT source, lang AS top_lang FROM (
+        SELECT source, lang,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+        FROM lang_counts
+      ) WHERE rn = 1
+    )
+    SELECT p.source, p.n_docs, p.n_tokens, p.n_chars_total, p.n_langs,
+           t.top_lang,
+           CAST(p.n_docs - p.n_distinct_texts AS BIGINT) AS n_redundant_docs,
+           CAST(round(CAST(p.n_docs - p.n_distinct_texts AS DOUBLE) * 1000000
+                      / p.n_docs) AS BIGINT) AS dup_rate_fp
+    FROM per_source p JOIN top_lang t ON p.source = t.source
+    """,
+    category="quality",
+)
+def quality_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card generator: the per-source summary block (docs, tokens,
+    chars, language spread, dominant language, exact-duplicate redundancy)
+    that documents a corpus release — the first artifact any 100 TB
+    pretraining mix ships with. All volume work happens in ONE scan-side
+    projection (token count, 128-bit text hash) feeding per-source hash
+    aggregates with map-side combine; exact-dup redundancy is
+    n_docs - distinct(md5) so no pairwise work exists. The dominant-
+    language window partitions by source over the (source, lang) count
+    frame — bounded by #langs per source (ISO language codes, a fixed
+    vocabulary), never by volume. Ties break to the lexicographically
+    smallest language identically in both engines."""
+    from pyspark.sql import Window as W
+
+    base = t(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+        F.md5("text").alias("h"),
+    )
+    per_source = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars_total"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("h").alias("n_distinct_texts"),
+    )
+    lang_counts = base.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    rn_w = W.partitionBy("source").orderBy(F.col("c").desc(), "lang")
+    top_lang = (
+        lang_counts.withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    redundant = (F.col("n_docs") - F.col("n_distinct_texts")).cast("long")
+    return per_source.join(top_lang, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars_total",
+        "n_langs",
+        "top_lang",
+        redundant.alias("n_redundant_docs"),
+        F.round(redundant.cast("double") * 1_000_000 / F.col("n_docs"))
+        .cast("long")
+        .alias("dup_rate_fp"),
+    )

@@ -733,3 +733,131 @@ def similarity_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame
         "vec_id", "label", "a2", "b2",
         F.round(sil * 1_000_000).cast("long").alias("silhouette_fp"),
     )
+
+
+SEMDEDUP_TAU = 0.35  # within-cluster cosine above which the higher id drops
+
+_SIG_SQL = f"""
+      SELECT vec_id, q, nq,
+             {{b0}} AS band0,
+             {{b1}} AS band1
+      FROM normed
+"""
+
+
+@register(
+    "dedup_semdedup",
+    oracle=f"""
+    WITH quant AS ({_QUANT_SQL}),
+    normed AS ({_NORM_SQL}),
+    cent AS ({_CENT_SQL}),
+    assign AS ({{assign}}),
+    sig AS (
+      SELECT vec_id, {{b0}} AS band0, {{b1}} AS band1 FROM normed
+    ),
+    mem AS (
+      SELECT a.vec_id, a.cid, s.band0, s.band1
+      FROM assign a JOIN sig s ON a.vec_id = s.vec_id
+    ),
+    cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM mem a JOIN mem b
+        ON a.cid = b.cid AND a.band0 = b.band0 AND a.vec_id < b.vec_id
+      UNION
+      SELECT a.vec_id, b.vec_id
+      FROM mem a JOIN mem b
+        ON a.cid = b.cid AND a.band1 = b.band1 AND a.vec_id < b.vec_id
+    ),
+    ver AS (
+      SELECT c.vec_a, c.vec_b FROM cand c
+      JOIN normed x ON x.vec_id = c.vec_a
+      JOIN normed y ON y.vec_id = c.vec_b
+      WHERE {_COSINE_SQL.format(a='x', b='y')} >= {SEMDEDUP_TAU}
+    ),
+    dropped AS (SELECT DISTINCT vec_b FROM ver)
+    SELECT a.vec_id, a.cid,
+           CASE WHEN d.vec_b IS NULL THEN 1 ELSE 0 END AS kept
+    FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_b
+    """.format(
+        assign=_kmeans_assign_sql("cent"),
+        b0=_band_exprs_sql()[0],
+        b1=_band_exprs_sql()[1],
+    ),
+    category="dedup",
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540) — semantic
+    deduplication in embedding space, the step that removes *meaning*-level
+    duplicates exact/MinHash text dedup cannot see. Faithful two-level
+    shape, re-expressed scale-first: (1) coarse k-means cells — the FIXED
+    bottom-K-by-md5 centroid sample of similarity_ann_ivf, broadcast
+    O(K), assignment an O(n*K) map-side max_by (one row per vector reaches
+    the shuffle); (2) within-cell near-dup discovery — instead of the
+    paper's per-cell dense pairwise matrix (quadratic in cell size, and
+    cells GROW with the corpus), candidates collide on (cell, hyperplane
+    band) equi-join keys, then exact quantized cosine >= {SEMDEDUP_TAU}
+    verifies. Keep policy: within a verified pair the lower vec_id wins
+    (greedy keep-one — deterministic in both engines); a vector is dropped
+    iff some smaller-id near-duplicate shares its cell. Every join is
+    keyed (no cross product anywhere); banding bounds candidate volume the
+    same way the MinHash LSH path does. Returns one row per vector with
+    its cell and kept/dropped verdict."""
+    v = _quantized(spark, sf_dir)
+    cent = F.broadcast(
+        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(N_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("nq").alias("cnq"))
+    )
+    cos_to_cent = _dot(F.col("q"), F.col("cq")) / (
+        F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("cnq").cast("double"))
+    )
+    scored = v.join(cent, how="cross").select("vec_id", "cid", cos_to_cent.alias("cos"))
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))).alias("cid")
+    )
+    band_cols = []
+    for b in range(N_HYPERPLANES // _BAND_BITS):
+        bits = []
+        for k in range(_BAND_BITS):
+            j = b * _BAND_BITS + k
+            signs = F.array(*[F.lit(s) for s in _hyperplane_signs(j)])
+            proj = F.aggregate(
+                F.zip_with(F.col("q"), signs, lambda x, s: x * s.cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0)))
+        band_cols.append(sum(bits[1:], bits[0]).alias(f"band{b}"))
+    sig = v.select("vec_id", *band_cols)
+    mem = assign.join(sig, "vec_id").select(
+        "vec_id", "cid", F.posexplode(F.array("band0", "band1")).alias("bidx", "bv")
+    )
+    a_side = mem.select(F.col("vec_id").alias("vec_a"), "cid", "bidx", "bv")
+    b_side = mem.select(F.col("vec_id").alias("vec_b"), "cid", "bidx", "bv")
+    cand = (
+        a_side.join(b_side, ["cid", "bidx", "bv"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    x = v.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("nq").alias("na"))
+    y = v.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("nq").alias("nb"))
+    cosine = _dot(F.col("qa"), F.col("qb")) / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    dropped = (
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
+        .filter(cosine >= SEMDEDUP_TAU)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        assign.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.when(F.col("is_dropped").isNull(), 1).otherwise(0).alias("kept"),
+        )
+    )

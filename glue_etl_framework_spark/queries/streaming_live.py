@@ -51,11 +51,11 @@ def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
     return stream_df.sparkSession.table(name)
 
 
-# One materialized stream-source dir per fixture dir, reused across
-# invocations in the process (registry sweeps hit these operators dozens of
-# times; re-writing the source parquet per call both leaked dirs and paid a
-# full write per sweep). Removed at interpreter exit.
-_SRC_CACHE: dict[str, str] = {}
+# One materialized stream-source dir per (fixture dir, table), reused
+# across invocations in the process (registry sweeps hit these operators
+# dozens of times; re-writing the source parquet per call both leaked dirs
+# and paid a full write per sweep). Removed at interpreter exit.
+_SRC_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _cleanup_src_cache() -> None:
@@ -67,18 +67,27 @@ def _cleanup_src_cache() -> None:
 atexit.register(_cleanup_src_cache)
 
 
-def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _table_stream(
+    spark: SparkSession, sf_dir: str, table: str, schema: str
+) -> DataFrame:
     from glue_etl_framework_spark.streaming import read_file_stream
 
-    # materialize the (possibly type-normalized) events as a file-stream
+    # materialize the (possibly type-normalized) fixture as a file-stream
     # source dir; the fixture parquet itself may use nanos encoding the
     # streaming reader's explicit schema cannot express
-    src = _SRC_CACHE.get(sf_dir)
+    src = _SRC_CACHE.get((sf_dir, table))
     if src is None:
-        src = tempfile.mkdtemp(prefix="stream_src_")
-        t(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
-        _SRC_CACHE[sf_dir] = src
-    return read_file_stream(spark, src, EVENTS_SCHEMA)
+        src = tempfile.mkdtemp(prefix=f"stream_src_{table}_")
+        t(spark, sf_dir, table).write.mode("overwrite").parquet(src)
+        _SRC_CACHE[(sf_dir, table)] = src
+    return read_file_stream(spark, src, schema)
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _table_stream(spark, sf_dir, "events", EVENTS_SCHEMA)
 
 
 @register("streaming_live_tumbling_agg", oracle=None, category="streaming")
@@ -112,3 +121,105 @@ def streaming_live_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _event_stream(spark, sf_dir)
     out = _drain(stream_dedup(stream, ["event_id"]), "append")
     return out.select("event_id", "ts", "user_id", "event_type").orderBy("event_id")
+
+
+@register("streaming_live_sliding_agg", oracle=None, category="streaming")
+def streaming_live_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming SLIDING-window aggregate (2h window, 1h slide): each
+    event lands in two overlapping windows, so the state store carries
+    window-count x keys entries — still bounded, because the watermark
+    evicts windows older than the horizon. Drained with availableNow in
+    APPEND mode (finalized windows only); batch twin sliding_window_agg is
+    the value oracle and parity is pinned in tests/test_streaming.py. At
+    scale this plan runs unchanged on a continuous source with RocksDB
+    state."""
+    from glue_etl_framework_spark.streaming import stream_window_agg
+
+    stream = _event_stream(spark, sf_dir)
+    out = _drain(
+        stream_window_agg(stream, "2 hours", slide="1 hour", keys=["event_type"]),
+        "append",
+    )
+    return out.orderBy("window_start", "event_type")
+
+
+@register("streaming_live_session_window", oracle=None, category="streaming")
+def streaming_live_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming SESSION-window aggregate (30 min gap, per user):
+    session windows are the one window kind whose extent is data-driven —
+    the state store must merge adjacent sessions as late rows arrive, and
+    the watermark is what lets it finalize (and evict) closed sessions.
+    Drained with availableNow in append mode; batch twin
+    session_window_agg. State per key is bounded by the watermark horizon,
+    so the plan holds on an unbounded source."""
+    from glue_etl_framework_spark.streaming import stream_session_agg
+
+    stream = _event_stream(spark, sf_dir)
+    out = _drain(stream_session_agg(stream, gap="30 minutes"), "append")
+    return out.orderBy("user_id", "session_start")
+
+
+@register("streaming_live_stream_stream_join", oracle=None, category="streaming")
+def streaming_live_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL watermarked stream-stream interval join: purchases joined to
+    the same user's clicks within the preceding 30 minutes — the canonical
+    attribution shape. BOTH sides are streams with watermarks, so join
+    state is evicted past watermark+interval (the bound that makes a
+    100 TB/day stream-stream join feasible; without the time bound state
+    grows forever). Drained via availableNow, append mode; returns
+    per-purchase matched-click counts (rows-only driver check — the
+    interval-join semantics are batch-twinned by join_interval_overlap)."""
+    from glue_etl_framework_spark.streaming import stream_stream_join
+
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_id"), "ts")
+    )
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+    )
+    joined = stream_stream_join(
+        purchases, clicks, "user_id", left_ts="ts", right_ts="click_ts",
+        watermark="1 hour", interval="30 minutes",
+    )
+    out = _drain(
+        joined.select("purchase_id", "click_id"),
+        "append",
+    )
+    return (
+        out.groupBy("purchase_id")
+        .agg(F.count("*").alias("n_attributed_clicks"))
+        .orderBy("purchase_id")
+    )
+
+
+@register("streaming_live_quality_ingest", oracle=None, category="streaming")
+def streaming_live_quality_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming ingest-time curation: documents stream -> Gopher
+    quality gate -> PII scrub, the filter-at-ingest posture where failing
+    docs never reach storage. Both stages are stateless per-row column
+    expressions (no watermark, no shuffle) shared verbatim with the batch
+    operators quality_gopher_filters / text_pii_scrub, so the stream runs
+    at scan throughput on any volume. Returns per-source admitted counts
+    and scrub tallies (rows-only driver check; batch twins are
+    oracle-checked)."""
+    from glue_etl_framework_spark.streaming import (
+        pii_scrub_stream,
+        quality_gate_stream,
+    )
+
+    docs = _table_stream(spark, sf_dir, "documents", DOCS_SCHEMA)
+    gated = pii_scrub_stream(quality_gate_stream(docs), keep_counts=True)
+    out = _drain(gated, "append")
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count("*").alias("n_admitted"),
+            F.sum("n_emails").alias("emails_scrubbed"),
+            F.sum("n_ips").alias("ips_scrubbed"),
+        )
+        .orderBy("source")
+    )
