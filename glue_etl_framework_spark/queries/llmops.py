@@ -4756,3 +4756,157 @@ def quality_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dup_rate_fp"),
     )
+
+
+def _ivfpq_coarse_sql() -> tuple[str, str, str]:
+    """Coarse-quantizer CTE bodies (cnorm, ccent, cassign+probes) for the
+    combined IVF+PQ oracle — the cosine coarse layer of
+    queries.similarity.similarity_ann_ivf under clash-free names so they
+    compose with _PQ_ASSIGN_SQL's quant/cent/sub/csub/scored/assign."""
+    from glue_etl_framework_spark.queries.similarity import (
+        _COSINE_SQL,
+        N_CENTROIDS,
+        N_PROBE,
+    )
+
+    cnorm = """SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq
+      FROM quant"""
+    ccent = f"""SELECT vec_id AS ccid, q, nq FROM cnorm
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {N_CENTROIDS}"""
+    cos = _COSINE_SQL.format(a="n", b="c")
+    cassign_probes = f"""
+    cassign AS (
+      SELECT vec_id, ccid FROM (
+        SELECT n.vec_id, c.ccid,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {cos} DESC, c.ccid) AS rn
+        FROM cnorm n CROSS JOIN ccent c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, ccid FROM (
+        SELECT n.vec_id AS query_id, c.ccid,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {cos} DESC, c.ccid) AS rn
+        FROM cnorm n CROSS JOIN ccent c
+        WHERE n.vec_id < {PQ_N_QUERIES}
+      ) WHERE rn <= {N_PROBE}
+    )"""
+    return cnorm, ccent, cassign_probes
+
+
+_IVFPQ_COARSE = _ivfpq_coarse_sql()
+
+
+@register(
+    "similarity_ivf_pq_topk",
+    oracle=f"""
+    WITH {_PQ_ASSIGN_SQL},
+    cnorm AS ({_IVFPQ_COARSE[0]}),
+    ccent AS ({_IVFPQ_COARSE[1]}),
+    {_IVFPQ_COARSE[2]},
+    lut AS (
+      SELECT s.vec_id AS query_id, s.m, c.cidx,
+             CAST(list_sum(list_transform(range(1, {PQ_SUBDIM}+1),
+                  i -> (sq[i]-cs[i]) * (sq[i]-cs[i]))) AS BIGINT) AS d
+      FROM sub s JOIN csub c ON s.m = c.m
+      WHERE s.vec_id < {PQ_N_QUERIES}
+    ),
+    acode AS (SELECT vec_id, m, MIN(packed) % {PQ_K} AS cidx FROM scored GROUP BY vec_id, m),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN cassign a ON a.ccid = p.ccid
+      WHERE a.vec_id <> p.query_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
+      FROM cand c
+      JOIN acode a ON a.vec_id = c.vec_id
+      JOIN lut l ON l.query_id = c.query_id AND l.m = a.m AND l.cidx = a.cidx
+      GROUP BY c.query_id, c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rn
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, adc_dist FROM ranked WHERE rn <= {PQ_TOP_K}
+    """,
+    category="similarity",
+)
+def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ combined ANN search (the FAISS IndexIVFPQ shape, without
+    residual encoding — codes are on raw vectors, the by_residual=false
+    variant) — THE standard billion-scale production index: the IVF
+    coarse layer prunes the corpus to the query's nprobe nearest cells,
+    and PQ asymmetric distance scores the survivors from 16-bit codes via
+    a broadcast lookup table, so query-time work is nprobe/K of the corpus
+    and never touches raw floats. Composition of two already-verified
+    layers: the fixed-K cosine coarse quantizer of similarity_ann_ivf
+    (O(K) broadcast, O(n*K) map-side assignment) and the ADC machinery of
+    similarity_pq_adc_topk (fixed-K codebook, integer-packed argmin,
+    query LUT broadcast). All candidate generation is keyed joins on cell
+    id and (m, cidx); distances are exact fixed-point integers, ties
+    break on neighbor id — fully oracle-checked end to end. At scale,
+    raise both K's; the plan shape is constant."""
+    from pyspark.sql import Window as W
+
+    from glue_etl_framework_spark.queries.similarity import (
+        N_CENTROIDS,
+        N_PROBE,
+        _dot,
+        _quantized,
+    )
+
+    sub, csub, assign_pq = _pq_frames(spark, sf_dir)
+    v = _quantized(spark, sf_dir)
+    ccent = F.broadcast(
+        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(N_CENTROIDS)
+        .select(F.col("vec_id").alias("ccid"), F.col("q").alias("cq"), F.col("nq").alias("cnq"))
+    )
+    cos_to_cent = _dot(F.col("q"), F.col("cq")) / (
+        F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("cnq").cast("double"))
+    )
+    scored = v.join(ccent, how="cross").select("vec_id", "ccid", cos_to_cent.alias("cos"))
+    cassign = scored.groupBy("vec_id").agg(
+        F.max_by("ccid", F.struct(F.col("cos"), (-F.col("ccid")).alias("nc"))).alias("ccid")
+    )
+    rn_w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("ccid"))
+    probes = (
+        scored.filter(F.col("vec_id") < PQ_N_QUERIES)
+        .withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "ccid")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("sq"), F.col("cs"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        sub.filter(F.col("vec_id") < PQ_N_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(csub), "m")
+        .select("query_id", "m", "cidx", dist.alias("d"))
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(cassign, "ccid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    adc = (
+        cand.join(assign_pq, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "cidx"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    topk_w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(topk_w))
+        .filter(F.col("rn") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist")
+    )
