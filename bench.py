@@ -68,6 +68,8 @@ HEADLINE = [
     "text_source_drift_kl",           # per-source KL vs corpus (unhinted vocab join)
     "part_pareto_skyline",            # two-level (bucketed) Pareto skyline
     "events_user_gini",               # 64-bin histogram Gini (bounded window)
+    "dedup_semdedup",                 # semantic dedup: IVF cells + hyperplane bands
+    "similarity_ivf_pq_topk",         # combined IVF cell pruning + PQ ADC scoring
     # graph_pagerank_transactions is deliberately NOT benched: at fixture
     # scale its 12 serial jobs are pure stage-scheduling latency (~9s for
     # ~1600 rank rows), which would read as operator cost; SCALING.md

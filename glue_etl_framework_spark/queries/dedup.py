@@ -583,3 +583,145 @@ def dedup_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.abs(est - F.col("jaccard")) * 1_000_000).cast("long").alias("abs_err_fp"),
         )
     )
+
+
+BLOOM_BITS = 8192   # m: filter size in bits (256 32-bit words in BIGINTs)
+BLOOM_HASHES = 4    # k: probe positions per key (4 disjoint md5 byte-slices)
+_BLOOM_WORD = 32    # bits packed per BIGINT word (avoids the sign bit)
+
+
+def _bloom_pos_sql(j: int, h: str = "h") -> str:
+    """DuckDB: j-th bloom bit position from an md5 hex column."""
+    return (
+        f"CAST(('0x' || substr({h}, {1 + 8 * j}, 8))::UBIGINT % {BLOOM_BITS} AS BIGINT)"
+    )
+
+
+@register(
+    "dedup_bloom_prefilter",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    src AS (SELECT doc_id, source FROM documents),
+    ref AS (
+      SELECT DISTINCT md5(shingle) AS h
+      FROM sh JOIN src ON sh.doc_id = src.doc_id WHERE src.source = 'src0'
+    ),
+    rpos AS (
+      SELECT DISTINCT {_bloom_pos_sql(0)} AS p FROM ref
+      UNION SELECT {_bloom_pos_sql(1)} FROM ref
+      UNION SELECT {_bloom_pos_sql(2)} FROM ref
+      UNION SELECT {_bloom_pos_sql(3)} FROM ref
+    ),
+    words AS (
+      SELECT p // {_BLOOM_WORD} AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % {_BLOOM_WORD} AS INTEGER)) AS bits
+      FROM rpos GROUP BY p // {_BLOOM_WORD}
+    ),
+    new_sh AS (
+      SELECT sh.doc_id, md5(sh.shingle) AS h
+      FROM sh JOIN src ON sh.doc_id = src.doc_id WHERE src.source <> 'src0'
+    ),
+    probes AS (
+      SELECT doc_id, h, {_bloom_pos_sql(0)} AS p FROM new_sh
+      UNION ALL SELECT doc_id, h, {_bloom_pos_sql(1)} FROM new_sh
+      UNION ALL SELECT doc_id, h, {_bloom_pos_sql(2)} FROM new_sh
+      UNION ALL SELECT doc_id, h, {_bloom_pos_sql(3)} FROM new_sh
+    ),
+    checks AS (
+      SELECT pr.doc_id, pr.h,
+             CASE WHEN w.bits IS NOT NULL
+                   AND (w.bits & (CAST(1 AS BIGINT) << CAST(pr.p % {_BLOOM_WORD} AS INTEGER)))
+                       <> 0
+                  THEN 1 ELSE 0 END AS bit_set
+      FROM probes pr LEFT JOIN words w ON pr.p // {_BLOOM_WORD} = w.w
+    ),
+    per_shingle AS (
+      SELECT c.doc_id, c.h, MIN(c.bit_set) AS bloom_hit
+      FROM checks c GROUP BY c.doc_id, c.h
+    ),
+    truth AS (
+      SELECT n.doc_id, n.h, CASE WHEN r.h IS NULL THEN 0 ELSE 1 END AS true_hit
+      FROM new_sh n LEFT JOIN ref r ON n.h = r.h
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(p.bloom_hit) AS BIGINT) AS n_bloom_hits,
+           CAST(SUM(t.true_hit) AS BIGINT) AS n_true_hits,
+           CASE WHEN SUM(p.bloom_hit) > 0 THEN 1 ELSE 0 END AS flagged
+    FROM per_shingle p JOIN truth t ON p.doc_id = t.doc_id AND p.h = t.h
+    GROUP BY p.doc_id
+    """,
+    category="dedup",
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination prefilter — the cheap first pass of
+    incremental corpus-vs-reference dedup at 100 TB: the reference
+    corpus's distinct shingle set is compressed into a {BLOOM_HASHES}-probe
+    bit array ({BLOOM_BITS} bits packed into {BLOOM_BITS // _BLOOM_WORD}
+    BIGINT words — a BOUNDED broadcast sized by target false-positive
+    rate, never carrying per-row payloads the way data-sized broadcasts
+    do; at a billion reference shingles you'd size ~10 bits/key and shard
+    the array by key range, plan shape unchanged). Incoming documents
+    probe the broadcast words map-side — no-false-negative pruning with
+    ZERO shuffle against the reference at query time — and only flagged
+    docs would pay the exact shingle join in a production pipeline.
+    Fully portable construction (md5 byte-slice bit positions, bit_or
+    word aggregate — deterministic in both engines), so the entire
+    filter, not just the verdict, is oracle-checked. Returns per incoming
+    doc: shingle count, bloom-positive count, exact-truth count (from the
+    real join, for audit), and the flag. bloom >= truth everywhere (no
+    false negatives) and the gap IS the measured FP rate at this m/n —
+    both pinned by tests/test_bloom_properties.py."""
+    d = t(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", "source", F.explode(F.expr(SHINGLE_REGEX)).alias("shingle"))
+        .distinct()
+    )
+    ref = (
+        sh.filter(F.col("source") == "src0")
+        .select(F.md5("shingle").alias("h"))
+        .distinct()
+    )
+    new_sh = sh.filter(F.col("source") != "src0").select(
+        "doc_id", F.md5("shingle").alias("h")
+    )
+
+    def pos(j):
+        return F.conv(F.substring("h", 1 + 8 * j, 8), 16, 10).cast("long") % BLOOM_BITS
+
+    positions = F.array(*[pos(j) for j in range(BLOOM_HASHES)])
+    rpos = ref.select(F.explode(positions).alias("p")).distinct()
+    words = rpos.groupBy((F.col("p") / _BLOOM_WORD).cast("long").alias("w")).agg(
+        F.expr(f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % {_BLOOM_WORD} AS INT)))").alias(
+            "bits"
+        )
+    )
+    probes = new_sh.select("doc_id", "h", F.explode(positions).alias("p"))
+    bitmask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {_BLOOM_WORD} AS INT))")
+    checks = probes.join(
+        F.broadcast(words), (F.col("p") / _BLOOM_WORD).cast("long") == F.col("w"), "left"
+    ).select(
+        "doc_id",
+        "h",
+        F.when(F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(bitmask) != 0), 1)
+        .otherwise(0)
+        .alias("bit_set"),
+    )
+    per_shingle = checks.groupBy("doc_id", "h").agg(F.min("bit_set").alias("bloom_hit"))
+    truth = new_sh.join(
+        ref.withColumnRenamed("h", "rh"), F.col("h") == F.col("rh"), "left"
+    ).select(
+        "doc_id",
+        "h",
+        F.when(F.col("rh").isNull(), 0).otherwise(1).alias("true_hit"),
+    )
+    return (
+        per_shingle.join(truth, ["doc_id", "h"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("bloom_hit").alias("n_bloom_hits"),
+            F.sum("true_hit").alias("n_true_hits"),
+            F.when(F.sum("bloom_hit") > 0, 1).otherwise(0).alias("flagged"),
+        )
+    )
