@@ -223,3 +223,33 @@ def streaming_live_quality_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+@register("streaming_live_stateful_user_stats", oracle=None, category="streaming")
+def streaming_live_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals folded in the state store across micro-batches
+    — the §2.9 "arbitrary stateful op" row executed live, not just its
+    batch twin. State is one small tuple per user (scales with |users|,
+    never |rows|); integer-cent totals make the result independent of how
+    the source files batch. Drained via availableNow in UPDATE mode and
+    reduced to the final row per user (last micro-batch wins, which for
+    running totals is the complete-stream answer). Rows-only driver check;
+    exact value parity vs the batch aggregate is pinned in
+    tests/test_streaming.py."""
+    from glue_etl_framework_spark.streaming import running_user_stats
+
+    stream = _event_stream(spark, sf_dir)
+    out = _drain(running_user_stats(stream), "update")
+    # update mode re-emits a user on every micro-batch that touches them;
+    # keep the final (max n_events) emission per user. availableNow drains
+    # the fixture as ONE batch here, so this is a no-op projection kept for
+    # multi-batch sources.
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value_cents").alias("total_value_cents"),
+        )
+        .orderBy("user_id")
+    )
