@@ -482,3 +482,53 @@ def test_transform_with_state_plan_builds(tmp_path, spark, events):
     assert [f.name for f in out.schema.fields] == [
         "user_id", "n_events", "n_event_types", "total_value_cents",
     ]
+
+
+def test_stateful_fold_twins_agree():
+    """running_user_stats ships a BY-VALUE nested copy of the fold logic
+    (so vanilla-session workers need no repo on sys.path); this pins the
+    nested copy to the module-level reference `_running_user_stats_fn` by
+    running both over the same fake state/batches."""
+    import pandas as pd
+
+    from glue_etl_framework_spark.streaming.stateful import _running_user_stats_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    nested = ST.running_user_stats.__wrapped__ if hasattr(
+        ST.running_user_stats, "__wrapped__"
+    ) else None
+    # extract the nested fold by building the operator closure indirectly:
+    # call the factory's code object constants for a function named 'fold'
+    import types
+
+    codes = [
+        c
+        for c in ST.running_user_stats.__code__.co_consts
+        if isinstance(c, types.CodeType) and c.co_name == "fold"
+    ]
+    assert len(codes) == 1, "nested fold function not found"
+    fold = types.FunctionType(codes[0], {"__builtins__": __builtins__}, "fold")
+
+    pdf = pd.DataFrame(
+        {
+            "value": [1.234, 2.5, 0.011],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-03", "2024-01-02"]),
+        }
+    )
+    s1, s2 = FakeState(), FakeState()
+    ref = list(_running_user_stats_fn((7,), iter([pdf.copy()]), s1))[0]
+    got = list(fold((7,), iter([pdf.copy()]), s2))[0]
+    pd.testing.assert_frame_equal(ref, got)
+    assert s1._v == s2._v
