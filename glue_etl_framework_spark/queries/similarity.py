@@ -861,3 +861,71 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("is_dropped").isNull(), 1).otherwise(0).alias("kept"),
         )
     )
+
+
+@register(
+    "embedding_anisotropy_audit",
+    oracle=f"""
+    WITH quant AS ({_QUANT_SQL}),
+    normed AS ({_NORM_SQL}),
+    ex AS (
+      SELECT unnest(q) AS v, generate_subscripts(q, 1) AS pos FROM normed
+    ),
+    dimsum AS (SELECT pos, CAST(SUM(v) AS HUGEINT) AS s FROM ex GROUP BY pos),
+    gram AS (SELECT CAST(SUM(s * s) AS HUGEINT) AS s2 FROM dimsum),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(nq) AS HUGEINT) AS sum_self
+      FROM normed
+    )
+    SELECT tot.n AS n_vectors,
+           CAST(tot.sum_self AS BIGINT) AS sum_self_dot,
+           CAST(gram.s2 - tot.sum_self AS BIGINT) AS sum_pair_dot,
+           round((CAST(gram.s2 - tot.sum_self AS DOUBLE)
+                  / (CAST(tot.n AS DOUBLE) * (tot.n - 1)))
+                 / (CAST(tot.sum_self AS DOUBLE) / tot.n), 9) AS anisotropy
+    FROM gram CROSS JOIN tot
+    """,
+    category="similarity",
+)
+def embedding_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy audit (Ethayarajh 2019 family): the mean
+    pairwise dot product across ALL n^2 vector pairs, in O(n) — via the
+    Gram identity sum_{i != j} <v_i, v_j> = ||sum_i v_i||^2 - sum_i
+    ||v_i||^2, so a statistic that looks quadratic needs ONE pass: per-dim
+    integer sums (a 64-group map-side-combining aggregate), square and
+    reduce the 64-row frame, subtract the self-dot total. High anisotropy
+    (mean pair dot comparable to mean self dot) means embeddings share a
+    dominant direction — retrieval and clustering quality degrade and the
+    corpus needs centering before ANN indexing. All sums are exact
+    integers; the squared per-dim sums are computed in DECIMAL(38,0)
+    (HUGEINT in the oracle) because ||sum v||^2 grows with n^2 and clears
+    BIGINT around a billion vectors — the final columns are cast back for
+    the contract (exact at any test scale; at extreme scale emit the
+    double ratio only). The reported `anisotropy` is the dot-domain ratio
+    mean_pair_dot / mean_self_dot — exactly the mean pairwise cosine when
+    norms are equal, a documented proxy otherwise (no per-row normalize:
+    rounding a normalized re-quantization inside the aggregate would make
+    the result ULP-fragile across engines)."""
+    v = _quantized(spark, sf_dir)
+    ex = v.select(F.posexplode("q").alias("pos", "val"))
+    dimsum = ex.groupBy("pos").agg(F.sum("val").cast("decimal(38,0)").alias("s"))
+    gram = dimsum.agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
+    tot = v.agg(
+        F.count("*").alias("n"),
+        F.sum("nq").cast("decimal(38,0)").alias("sum_self"),
+    )
+    pair = (F.col("s2") - F.col("sum_self")).cast("decimal(38,0)")
+    return (
+        gram.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_vectors"),
+            F.col("sum_self").cast("long").alias("sum_self_dot"),
+            pair.cast("long").alias("sum_pair_dot"),
+            F.round(
+                (pair.cast("double") / (F.col("n").cast("double") * (F.col("n") - 1)))
+                / (F.col("sum_self").cast("double") / F.col("n")),
+                9,
+            ).alias("anisotropy"),
+        )
+    )

@@ -253,3 +253,35 @@ def streaming_live_stateful_user_stats(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("user_id")
     )
+
+
+@register("streaming_live_static_enrich", oracle=None, category="streaming")
+def streaming_live_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-static broadcast enrichment — the most common production
+    streaming join: the events stream joined per micro-batch to a STATIC
+    customer dimension (re-read each trigger, so dim updates surface on
+    the next micro-batch; broadcast, so the stream side never shuffles).
+    No watermark needed — the static side holds no streaming state.
+    Drained via availableNow; returns per-segment event counts (rows-only
+    driver check; the join semantics are batch-twinned by the oracle-
+    checked equi-join operators). The dimension maps user_id to a market
+    segment via the customer table (fixture user ids map onto customer
+    keys mod 1000)."""
+    from glue_etl_framework_spark.streaming.joins import stream_static_enrich
+
+    stream = _event_stream(spark, sf_dir)
+    dim = (
+        t(spark, sf_dir, "customer")
+        .select(
+            (F.col("c_custkey") % 1000).alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .groupBy("user_id")
+        .agg(F.min("segment").alias("segment"))
+    )
+    out = _drain(stream_static_enrich(stream, dim, "user_id"), "append")
+    return (
+        out.groupBy("segment")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("segment")
+    )
