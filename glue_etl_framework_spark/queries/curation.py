@@ -305,3 +305,115 @@ def quality_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+CONTAM_TAU_FP = 500_000  # drop when >= 50% of shingles exist in the reference
+
+
+def _incremental_ingest_sql() -> str:
+    from glue_etl_framework_spark.queries.dedup import bloom_ctes_sql
+
+    return f"""
+    WITH incoming_docs AS (
+      SELECT doc_id, text,
+             CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE source <> 'src0'
+        AND length(string_split(text, ' ')) BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+        AND CAST(length(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / length(string_split(text, ' ')) > {MIN_DIVERSITY}
+    ),
+    {bloom_ctes_sql("incoming_docs")},
+    doc_bloom AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(bloom_hit) AS BIGINT) AS nb
+      FROM per_shingle GROUP BY doc_id
+    ),
+    doc_truth AS (
+      SELECT t.doc_id, CAST(SUM(t.true_hit) AS BIGINT) AS nt
+      FROM truth t JOIN doc_bloom b ON t.doc_id = b.doc_id AND b.nb > 0
+      GROUP BY t.doc_id
+    )
+    SELECT i.doc_id, i.n_tokens,
+           CASE WHEN COALESCE(b.nb, 0) > 0 THEN 1 ELSE 0 END AS bloom_flagged,
+           CAST(COALESCE(round(CAST(dt.nt AS DOUBLE) * 1000000 / b.n_shingles), 0)
+                AS BIGINT) AS overlap_fp,
+           CASE WHEN COALESCE(round(CAST(dt.nt AS DOUBLE) * 1000000 / b.n_shingles), 0)
+                     < {CONTAM_TAU_FP}
+                THEN 1 ELSE 0 END AS admitted
+    FROM incoming_docs i
+    LEFT JOIN doc_bloom b ON i.doc_id = b.doc_id
+    LEFT JOIN doc_truth dt ON i.doc_id = dt.doc_id
+    """
+
+
+@register(
+    "pipeline_incremental_ingest",
+    oracle=_incremental_ingest_sql(),
+    category="curation",
+)
+def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest curation composite — the production shape for
+    admitting NEW data against an already-curated 100 TB reference corpus,
+    wired so the expensive stage only runs where the cheap stage says it
+    must:
+
+    1. quality gate — token bounds + lexical diversity, fused into the
+       scan (only passing docs ever materialize);
+    2. bloom prefilter — every surviving doc probes the reference-shingle
+       bloom (a BOUNDED {"{:,}".format(8192)}-bit broadcast, zero
+       reference-side work at query time);
+    3. exact contamination check — ONLY bloom-flagged docs pay the
+       shingle join against the reference (the no-false-negative
+       guarantee makes this gating sound: an unflagged doc provably has
+       zero reference overlap, so its overlap is 0 without joining);
+    4. verdict — docs with >= 50% reference-shingle overlap are rejected;
+       everything else is admitted with its audit trail (flag + overlap).
+
+    Economics at scale: stage 3's join volume is proportional to the
+    bloom hit rate (~ true contamination + FP rate), not to ingest
+    volume — the whole point of the prefilter. Every stage is the
+    individually-oracle-checked primitive (quality gates, bloom frames,
+    exact shingle truth), and the composite hash-matches DuckDB
+    end-to-end."""
+    from glue_etl_framework_spark.queries.dedup import bloom_shingle_frames
+
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words)
+    diversity = F.size(F.array_distinct(words)).cast("double") / n_tokens
+    incoming = (
+        d.filter(F.col("source") != "src0")
+        .filter(n_tokens.between(MIN_TOKENS, MAX_TOKENS) & (diversity > MIN_DIVERSITY))
+        .select("doc_id", "text", n_tokens.cast("long").alias("n_tokens"))
+    )
+    per_shingle, truth = bloom_shingle_frames(
+        incoming.select("doc_id", "text"),
+        d.filter(F.col("source") == "src0").select("text"),
+    )
+    doc_bloom = per_shingle.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"), F.sum("bloom_hit").alias("nb")
+    )
+    flagged = doc_bloom.filter(F.col("nb") > 0).select("doc_id", "n_shingles")
+    doc_truth = (
+        truth.join(flagged.select("doc_id"), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum("true_hit").alias("nt"))
+    )
+    overlap = F.coalesce(
+        F.round(F.col("nt").cast("double") * 1_000_000 / F.col("n_shingles")),
+        F.lit(0.0),
+    ).cast("long")
+    return (
+        incoming.join(doc_bloom, "doc_id", "left")
+        .join(doc_truth, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(F.coalesce(F.col("nb"), F.lit(0)) > 0, 1).otherwise(0).alias(
+                "bloom_flagged"
+            ),
+            overlap.alias("overlap_fp"),
+            F.when(overlap < CONTAM_TAU_FP, 1).otherwise(0).alias("admitted"),
+        )
+    )

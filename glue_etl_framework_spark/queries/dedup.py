@@ -597,20 +597,26 @@ def _bloom_pos_sql(j: int, h: str = "h") -> str:
     )
 
 
-@register(
-    "dedup_bloom_prefilter",
-    oracle=f"""
-    WITH sh AS ({_SHINGLE_SQL}),
-    src AS (SELECT doc_id, source FROM documents),
-    ref AS (
-      SELECT DISTINCT md5(shingle) AS h
-      FROM sh JOIN src ON sh.doc_id = src.doc_id WHERE src.source = 'src0'
+def bloom_ctes_sql(incoming_cte: str) -> str:
+    """Shared DuckDB CTE chain for the bloom prefilter: builds the
+    reference-shingle filter (ref/rpos/words) and probes it with the
+    shingles of `incoming_cte` (must provide doc_id, text), ending in
+    per_shingle (bloom verdict per (doc_id, shingle-hash)) and truth
+    (exact-join verdict). Composable: dedup_bloom_prefilter uses it on all
+    non-reference docs; pipeline_incremental_ingest on its quality-passed
+    subset."""
+    return f"""
+    ref_sh AS (
+      SELECT DISTINCT md5(unnest(list_transform(range(1, length(w) - 1),
+                                 i -> array_to_string(w[i:i+2], ' ')))) AS h
+      FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE source = 'src0')
+      WHERE length(w) >= 3
     ),
     rpos AS (
-      SELECT DISTINCT {_bloom_pos_sql(0)} AS p FROM ref
-      UNION SELECT {_bloom_pos_sql(1)} FROM ref
-      UNION SELECT {_bloom_pos_sql(2)} FROM ref
-      UNION SELECT {_bloom_pos_sql(3)} FROM ref
+      SELECT DISTINCT {_bloom_pos_sql(0)} AS p FROM ref_sh
+      UNION SELECT {_bloom_pos_sql(1)} FROM ref_sh
+      UNION SELECT {_bloom_pos_sql(2)} FROM ref_sh
+      UNION SELECT {_bloom_pos_sql(3)} FROM ref_sh
     ),
     words AS (
       SELECT p // {_BLOOM_WORD} AS w,
@@ -618,8 +624,11 @@ def _bloom_pos_sql(j: int, h: str = "h") -> str:
       FROM rpos GROUP BY p // {_BLOOM_WORD}
     ),
     new_sh AS (
-      SELECT sh.doc_id, md5(sh.shingle) AS h
-      FROM sh JOIN src ON sh.doc_id = src.doc_id WHERE src.source <> 'src0'
+      SELECT DISTINCT doc_id,
+             md5(unnest(list_transform(range(1, length(w) - 1),
+                        i -> array_to_string(w[i:i+2], ' ')))) AS h
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {incoming_cte})
+      WHERE length(w) >= 3
     ),
     probes AS (
       SELECT doc_id, h, {_bloom_pos_sql(0)} AS p FROM new_sh
@@ -641,49 +650,25 @@ def _bloom_pos_sql(j: int, h: str = "h") -> str:
     ),
     truth AS (
       SELECT n.doc_id, n.h, CASE WHEN r.h IS NULL THEN 0 ELSE 1 END AS true_hit
-      FROM new_sh n LEFT JOIN ref r ON n.h = r.h
-    )
-    SELECT p.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_shingles,
-           CAST(SUM(p.bloom_hit) AS BIGINT) AS n_bloom_hits,
-           CAST(SUM(t.true_hit) AS BIGINT) AS n_true_hits,
-           CASE WHEN SUM(p.bloom_hit) > 0 THEN 1 ELSE 0 END AS flagged
-    FROM per_shingle p JOIN truth t ON p.doc_id = t.doc_id AND p.h = t.h
-    GROUP BY p.doc_id
-    """,
-    category="dedup",
-)
-def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-filter contamination prefilter — the cheap first pass of
-    incremental corpus-vs-reference dedup at 100 TB: the reference
-    corpus's distinct shingle set is compressed into a {BLOOM_HASHES}-probe
-    bit array ({BLOOM_BITS} bits packed into {BLOOM_BITS // _BLOOM_WORD}
-    BIGINT words — a BOUNDED broadcast sized by target false-positive
-    rate, never carrying per-row payloads the way data-sized broadcasts
-    do; at a billion reference shingles you'd size ~10 bits/key and shard
-    the array by key range, plan shape unchanged). Incoming documents
-    probe the broadcast words map-side — no-false-negative pruning with
-    ZERO shuffle against the reference at query time — and only flagged
-    docs would pay the exact shingle join in a production pipeline.
-    Fully portable construction (md5 byte-slice bit positions, bit_or
-    word aggregate — deterministic in both engines), so the entire
-    filter, not just the verdict, is oracle-checked. Returns per incoming
-    doc: shingle count, bloom-positive count, exact-truth count (from the
-    real join, for audit), and the flag. bloom >= truth everywhere (no
-    false negatives) and the gap IS the measured FP rate at this m/n —
-    both pinned by tests/test_bloom_properties.py."""
-    d = t(spark, sf_dir, "documents")
-    sh = (
-        d.select("doc_id", "source", F.explode(F.expr(SHINGLE_REGEX)).alias("shingle"))
-        .distinct()
-    )
+      FROM new_sh n LEFT JOIN ref_sh r ON n.h = r.h
+    )"""
+
+
+def bloom_shingle_frames(incoming: DataFrame, ref_docs: DataFrame):
+    """Spark twin of bloom_ctes_sql: (per_shingle, truth) frames keyed
+    (doc_id, h). `incoming` must provide (doc_id, text); `ref_docs` just
+    text. The words frame (the filter itself) is a bounded broadcast —
+    {BLOOM_BITS} bits in {BLOOM_BITS // 32} BIGINT words — at ANY
+    reference size; probes check it map-side."""
     ref = (
-        sh.filter(F.col("source") == "src0")
+        ref_docs.select(F.explode(F.expr(SHINGLE_REGEX)).alias("shingle"))
         .select(F.md5("shingle").alias("h"))
         .distinct()
     )
-    new_sh = sh.filter(F.col("source") != "src0").select(
-        "doc_id", F.md5("shingle").alias("h")
+    new_sh = (
+        incoming.select("doc_id", F.explode(F.expr(SHINGLE_REGEX)).alias("shingle"))
+        .select("doc_id", F.md5("shingle").alias("h"))
+        .distinct()
     )
 
     def pos(j):
@@ -714,6 +699,51 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "h",
         F.when(F.col("rh").isNull(), 0).otherwise(1).alias("true_hit"),
+    )
+    return per_shingle, truth
+
+
+@register(
+    "dedup_bloom_prefilter",
+    oracle=f"""
+    WITH incoming_docs AS (
+      SELECT doc_id, text FROM documents WHERE source <> 'src0'
+    ),
+    {bloom_ctes_sql("incoming_docs")}
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(p.bloom_hit) AS BIGINT) AS n_bloom_hits,
+           CAST(SUM(t.true_hit) AS BIGINT) AS n_true_hits,
+           CASE WHEN SUM(p.bloom_hit) > 0 THEN 1 ELSE 0 END AS flagged
+    FROM per_shingle p JOIN truth t ON p.doc_id = t.doc_id AND p.h = t.h
+    GROUP BY p.doc_id
+    """,
+    category="dedup",
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination prefilter — the cheap first pass of
+    incremental corpus-vs-reference dedup at 100 TB: the reference
+    corpus's distinct shingle set is compressed into a {BLOOM_HASHES}-probe
+    bit array ({BLOOM_BITS} bits packed into {BLOOM_BITS // _BLOOM_WORD}
+    BIGINT words — a BOUNDED broadcast sized by target false-positive
+    rate, never carrying per-row payloads the way data-sized broadcasts
+    do; at a billion reference shingles you'd size ~10 bits/key and shard
+    the array by key range, plan shape unchanged). Incoming documents
+    probe the broadcast words map-side — no-false-negative pruning with
+    ZERO shuffle against the reference at query time — and only flagged
+    docs would pay the exact shingle join in a production pipeline (the
+    composite pipeline_incremental_ingest wires exactly that). Fully
+    portable construction (md5 byte-slice bit positions, bit_or word
+    aggregate — deterministic in both engines), so the entire filter, not
+    just the verdict, is oracle-checked. Returns per incoming doc:
+    shingle count, bloom-positive count, exact-truth count (from the real
+    join, for audit), and the flag. bloom >= truth everywhere (no false
+    negatives) and the gap IS the measured FP rate at this m/n — both
+    pinned by tests/test_bloom_properties.py."""
+    d = t(spark, sf_dir, "documents")
+    per_shingle, truth = bloom_shingle_frames(
+        d.filter(F.col("source") != "src0").select("doc_id", "text"),
+        d.filter(F.col("source") == "src0").select("text"),
     )
     return (
         per_shingle.join(truth, ["doc_id", "h"])
