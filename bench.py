@@ -70,6 +70,7 @@ HEADLINE = [
     "events_user_gini",               # 64-bin histogram Gini (bounded window)
     "dedup_semdedup",                 # semantic dedup: IVF cells + hyperplane bands
     "similarity_ivf_pq_topk",         # combined IVF cell pruning + PQ ADC scoring
+    "pipeline_incremental_ingest",    # quality -> bloom prefilter -> gated exact verify
     # graph_pagerank_transactions is deliberately NOT benched: at fixture
     # scale its 12 serial jobs are pure stage-scheduling latency (~9s for
     # ~1600 rank rows), which would read as operator cost; SCALING.md
