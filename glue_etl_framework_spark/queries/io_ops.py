@@ -639,3 +639,63 @@ def glue_verbs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("sum_cents"),
         F.sum(F.col("cust").cast("long")).alias("cust_sum"),
     )
+
+
+_STREAM_UPSERT_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "io_stream_upsert_sink_roundtrip",
+    oracle=_STREAM_UPSERT_ORACLE,
+    category="io",
+)
+def io_stream_upsert_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming -> batch-table bridge, driver-verified end to end: the
+    events fixture is streamed (file source, availableNow) THROUGH
+    foreachBatch into a key-upserted parquet table (streaming.upsert_sink
+    -> writers.upsert_by_key, staged atomic commit per micro-batch), then
+    read back and aggregated. The stream is poisoned with one DECOY row
+    per event (same event_id, value shifted by +1000, ts an hour earlier):
+    a sink that appends instead of merging doubles the counts, and a merge
+    whose order_by tie-break is broken keeps the decoy cents — either way
+    the hash vs the clean-fixture oracle mismatches. So the driver row
+    proves exactly-once-per-key delivery AND deterministic intra-batch
+    winner selection (greatest ts wins), not just that bytes landed. At
+    scale each micro-batch pays one anti-join against the table (AQE
+    strategy, no hints) — the documented production bridge when no
+    lakehouse format is available."""
+    from glue_etl_framework_spark.queries.streaming_live import (
+        EVENTS_SCHEMA,
+        _table_stream,
+    )
+    from glue_etl_framework_spark.streaming.joins import upsert_sink
+
+    d, fresh = _workdir("stream_upsert", sf_dir)
+    tbl, ckpt = f"{d}/tbl", f"{d}/ckpt"
+    if fresh:
+        stream = _table_stream(spark, sf_dir, "events", EVENTS_SCHEMA).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        decoys = stream.select(
+            "event_id",
+            (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("ts"),
+            "user_id",
+            "event_type",
+            (F.col("value") + 1000).alias("value"),
+        )
+        q = upsert_sink(
+            stream.unionByName(decoys), tbl, ["event_id"], ckpt, order_by="ts"
+        )
+        q.awaitTermination()
+    back = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).parquet(tbl)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+    )
