@@ -4910,3 +4910,148 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PQ_TOP_K)
         .select("query_id", "neighbor_id", "adc_dist")
     )
+
+
+L_DIVERSITY = 3  # distinct sensitive values a QI group needs to be safe
+
+
+@register(
+    "quality_l_diversity",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(round(c_acctbal / 1000) AS BIGINT) AS sens
+      FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT sens) AS BIGINT) AS n_sensitive,
+           CASE WHEN COUNT(DISTINCT sens) < {L_DIVERSITY} THEN 1 ELSE 0 END
+             AS homogeneous
+    FROM base GROUP BY c_nationkey, c_mktsegment
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+    category="quality",
+)
+def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the stronger privacy gate k-anonymity misses:
+    a quasi-identifier group can be large (k-anonymous) yet reveal the
+    sensitive attribute anyway if everyone in it shares the same value
+    (the homogeneity attack). Per (nation, segment) QI group: size,
+    distinct coarse account-balance buckets (the sensitive attribute),
+    and a flag when diversity < {L_DIVERSITY}. One hash aggregate with a
+    distinct count on the QI key; output bounded by QI cardinality at any
+    scale. Companion to quality_k_anonymity and text_pii_scrub in the
+    release-gate battery."""
+    c = t(spark, sf_dir, "customer")
+    sens = F.round(F.col("c_acctbal") / 1000).cast("long")
+    return (
+        c.select("c_nationkey", "c_mktsegment", sens.alias("sens"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.countDistinct("sens").alias("n_sensitive"),
+            F.when(F.countDistinct("sens") < L_DIVERSITY, 1)
+            .otherwise(0)
+            .alias("homogeneous"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+@register(
+    "graph_triangle_copurchase",
+    oracle="""
+    WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p
+    ),
+    deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS n FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY n
+    ),
+    oe AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+      FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n
+    ),
+    wedge AS (
+      SELECT x.src AS a, x.dst AS n1, y.dst AS n2
+      FROM oe x JOIN oe y ON x.src = y.src AND x.dst < y.dst
+    ),
+    tri AS (
+      SELECT w.a, w.n1, w.n2
+      FROM wedge w
+      JOIN e ON e.u = LEAST(w.n1, w.n2) AND e.v = GREATEST(w.n1, w.n2)
+    ),
+    member AS (
+      SELECT a AS p FROM tri
+      UNION ALL SELECT n1 FROM tri
+      UNION ALL SELECT n2 FROM tri
+    )
+    SELECT p AS partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM member GROUP BY p
+    """,
+    category="graph",
+)
+def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the co-purchase graph (parts
+    bought together in one order) — the clustering-structure primitive
+    behind community detection and recommendation audits, in the
+    SCALABLE join shape: edges are ORIENTED from the lower-(degree, id)
+    endpoint to the higher one, every triangle is generated from exactly
+    ONE wedge at its minimum-degree apex, and the wedge fan-out per node
+    is bounded by outdegree^2 with outdegree <= sqrt(2|E|) under this
+    orientation (Schank/Wagner; the MapReduce formulation is Suri &
+    Vassilvitskii, WWW'11) — so the join never explodes on hub nodes the
+    way a naive (a,b)x(b,c) self-join does. Three keyed shuffles: the
+    co-purchase edge distinct, the degree join, the apex-keyed wedge
+    self-join plus the closing-edge equi-join. Returns triangle
+    participation per part (bounded by |parts|)."""
+    l = t(spark, sf_dir, "lineitem")
+    lp = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")).distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    e = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oe = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    x, y = oe.alias("x"), oe.alias("y")
+    wedge = x.join(
+        y, (F.col("x.src") == F.col("y.src")) & (F.col("x.dst") < F.col("y.dst"))
+    ).select(
+        F.col("x.src").alias("a"), F.col("x.dst").alias("n1"), F.col("y.dst").alias("n2")
+    )
+    tri = wedge.join(
+        e,
+        (F.col("u") == F.least("n1", "n2")) & (F.col("v") == F.greatest("n1", "n2")),
+    ).select("a", "n1", "n2")
+    member = (
+        tri.select(F.col("a").alias("p"))
+        .unionAll(tri.select(F.col("n1").alias("p")))
+        .unionAll(tri.select(F.col("n2").alias("p")))
+    )
+    return member.groupBy(F.col("p").alias("partkey")).agg(
+        F.count("*").alias("n_triangles")
+    )
