@@ -71,6 +71,10 @@ HEADLINE = [
     "dedup_semdedup",                 # semantic dedup: IVF cells + hyperplane bands
     "similarity_ivf_pq_topk",         # combined IVF cell pruning + PQ ADC scoring
     "pipeline_incremental_ingest",    # quality -> bloom prefilter -> gated exact verify
+    # graph_triangle_copurchase is deliberately NOT benched: the wedge
+    # join is inherently Theta(sum outdeg^2) — ~25s at sf0.1 on this box —
+    # and its cost tracks graph density, not fixture scale (SCALING.md
+    # shows a 0.8 ratio at 10x because the co-purchase graph saturates).
     # graph_pagerank_transactions is deliberately NOT benched: at fixture
     # scale its 12 serial jobs are pure stage-scheduling latency (~9s for
     # ~1600 rank rows), which would read as operator cost; SCALING.md
