@@ -417,3 +417,156 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(overlap < CONTAM_TAU_FP, 1).otherwise(0).alias("admitted"),
         )
     )
+
+
+def _dedup_impact_sql() -> str:
+    from glue_etl_framework_spark.queries.dedup import (
+        BAND_SIZE,
+        N_MINHASH,
+        _minhash_sig_sql,
+    )
+
+    sigs = ",\n             ".join(_minhash_sig_sql())
+    bands = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(s{2*b} || s{2*b+1}) AS bh FROM sig"
+        for b in range(N_MINHASH // BAND_SIZE)
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, source,
+             CAST(length(string_split(text, ' ')) AS BIGINT) AS n_toks,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS nh,
+             text
+      FROM documents
+    ),
+    exact_keep AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY nh ORDER BY doc_id) AS rn
+        FROM docs
+      ) WHERE rn = 1
+    ),
+    sh AS (
+      SELECT DISTINCT d.doc_id,
+             unnest(list_transform(range(1, length(w) - 1),
+                                   i -> array_to_string(w[i:i+2], ' '))) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs
+            WHERE doc_id IN (SELECT doc_id FROM exact_keep)) d
+      WHERE length(w) >= 3
+    ),
+    sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
+    bands AS ({bands}),
+    losers AS (
+      SELECT DISTINCT a.doc_id AS drop_id
+      FROM bands b JOIN bands a ON a.band = b.band AND a.bh = b.bh
+                               AND b.doc_id < a.doc_id
+    ),
+    status AS (
+      SELECT d.source, d.n_toks,
+             CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END AS exact_kept,
+             CASE WHEN e.doc_id IS NOT NULL AND l.drop_id IS NULL
+                  THEN 1 ELSE 0 END AS final_kept
+      FROM docs d
+      LEFT JOIN exact_keep e ON d.doc_id = e.doc_id
+      LEFT JOIN losers l ON d.doc_id = l.drop_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS tokens_raw,
+           CAST(SUM(exact_kept * n_toks) AS BIGINT) AS tokens_after_exact,
+           CAST(SUM(final_kept * n_toks) AS BIGINT) AS tokens_after_neardup,
+           CAST(round((1 - CAST(SUM(final_kept * n_toks) AS DOUBLE) / SUM(n_toks))
+                      * 1000000) AS BIGINT) AS savings_fp
+    FROM status GROUP BY source
+    """
+
+
+@register(
+    "curation_dedup_impact_report",
+    oracle=_dedup_impact_sql(),
+    category="curation",
+)
+def curation_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup impact accounting — the observability artifact a
+    curation run ships next to the corpus: raw tokens, tokens surviving
+    exact (normalized-hash) dedup, tokens surviving MinHash near-dedup,
+    and the fractional savings, per source. Attribution is global (a doc
+    duplicated ACROSS sources counts against the source of the dropped
+    copy — the survivor keeps its own source's tokens), which is what a
+    mixture rebalance needs to see. Reuses the exact primitives of the
+    curation composite: one normalized-hash aggregate, the banded MinHash
+    self-join among exact survivors, two anti-join flags folded into one
+    per-source aggregate. All counts are exact integers; output is
+    bounded by |sources|."""
+    from pyspark.sql import Window as W
+
+    from glue_etl_framework_spark.queries.dedup import (
+        BAND_SIZE,
+        N_MINHASH,
+        SHINGLE_REGEX,
+        _minhash_sig_cols,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))).alias("nh"),
+        "text",
+    )
+    exact_keep = docs.groupBy("nh").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    sh = (
+        docs.join(exact_keep, "doc_id")
+        .select("doc_id", F.explode(F.expr(SHINGLE_REGEX)).alias("shingle"))
+        .distinct()
+    )
+    sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
+    band_rows = []
+    for b in range(N_MINHASH // BAND_SIZE):
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat(F.col(f"s{2*b}"), F.col(f"s{2*b+1}"))).alias("bh"),
+            )
+        )
+    bands = band_rows[0]
+    for br in band_rows[1:]:
+        bands = bands.unionAll(br)
+    a_side = bands.select(F.col("doc_id").alias("drop_id"), "band", "bh")
+    b_side = bands.select(F.col("doc_id").alias("keep_id"), "band", "bh")
+    losers = (
+        a_side.join(b_side, ["band", "bh"])
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .select("drop_id")
+        .distinct()
+    )
+    status = (
+        docs.join(exact_keep.withColumn("ek", F.lit(1)), "doc_id", "left")
+        .join(losers.withColumnRenamed("drop_id", "doc_id").withColumn("lz", F.lit(1)),
+              "doc_id", "left")
+        .select(
+            "source",
+            "n_toks",
+            F.coalesce(F.col("ek"), F.lit(0)).alias("exact_kept"),
+            F.when(F.col("ek").isNotNull() & F.col("lz").isNull(), 1)
+            .otherwise(0)
+            .alias("final_kept"),
+        )
+    )
+    return status.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("tokens_raw"),
+        F.sum(F.col("exact_kept") * F.col("n_toks")).alias("tokens_after_exact"),
+        F.sum(F.col("final_kept") * F.col("n_toks")).alias("tokens_after_neardup"),
+        F.round(
+            (
+                1
+                - F.sum(F.col("final_kept") * F.col("n_toks")).cast("double")
+                / F.sum("n_toks")
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("savings_fp"),
+    )

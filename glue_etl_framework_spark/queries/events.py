@@ -551,3 +551,80 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+ANOM_Z_FP = 3_000_000  # flag when |z| * 1e6 exceeds 3 sigma
+
+
+@register(
+    "events_anomaly_seasonal_zscore",
+    oracle=f"""
+    WITH cells AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY day, hr
+    ),
+    base AS (
+      SELECT hr,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM cells GROUP BY hr
+    ),
+    scored AS (
+      SELECT c.day, c.hr, c.c,
+             CAST(round((c.c - CAST(b.s AS DOUBLE) / b.n_days)
+                        / sqrt((b.s2 - CAST(b.s AS DOUBLE) * b.s / b.n_days)
+                               / b.n_days)
+                        * 1000000) AS BIGINT) AS z_fp
+      FROM cells c JOIN base b ON c.hr = b.hr
+      WHERE b.s2 * b.n_days > b.s * b.s
+    )
+    SELECT day, hr, c AS n_events, z_fp,
+           CASE WHEN abs(z_fp) > {ANOM_Z_FP} THEN 1 ELSE 0 END AS anomalous
+    FROM scored
+    """,
+    category="events",
+)
+def events_anomaly_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted volume anomaly detection: each (day, hour) cell
+    is z-scored against the baseline of the SAME hour-of-day across all
+    days — the detector that catches a 3am traffic spike a raw global
+    threshold would miss inside the diurnal cycle. Variance uses the
+    sum/sum-of-squares identity over exact integer counts, so the double
+    math is a fixed expression of exact sums (engine-deterministic), and
+    the verdict compares in 1e-6 fixed point. Plan: the volume collapses
+    in ONE (day, hour) count aggregate; the 24-row baseline derives from
+    it and broadcasts back. Cells grow with the time horizon (days x 24),
+    never with event rate. Degenerate zero-variance hours are excluded on
+    both engines (strict s2*n > s^2)."""
+    e = t(spark, sf_dir, "events")
+    cells = (
+        e.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            F.hour("ts").cast("long").alias("hr"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    base = cells.groupBy("hr").agg(
+        F.count("*").alias("n_days"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_days")
+    var = (F.col("s2") - F.col("s").cast("double") * F.col("s") / F.col("n_days")) / F.col(
+        "n_days"
+    )
+    z_fp = F.round((F.col("c") - mean) / F.sqrt(var) * 1_000_000).cast("long")
+    return (
+        cells.join(F.broadcast(base), "hr")
+        .filter(F.col("s2") * F.col("n_days") > F.col("s") * F.col("s"))
+        .select(
+            "day",
+            "hr",
+            F.col("c").alias("n_events"),
+            z_fp.alias("z_fp"),
+            F.when(F.abs(z_fp) > ANOM_Z_FP, 1).otherwise(0).alias("anomalous"),
+        )
+    )
