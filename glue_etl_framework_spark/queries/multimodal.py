@@ -240,3 +240,90 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hamming <= PHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", hamming.alias("hamming"))
     )
+
+
+CDC_WINDOW = 8    # rolling window (bytes) the boundary test hashes
+CDC_MASK = 16     # boundary when window-hash % MASK == 0 -> ~16-byte chunks
+
+
+@register(
+    "multimodal_cdc_chunks",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(length(text) - {CDC_WINDOW - 1}, 1) + 1)) AS i
+      FROM documents
+    ),
+    bounds AS (
+      SELECT doc_id, text, CAST(i AS BIGINT) AS b
+      FROM pos
+      WHERE i = 1
+         OR ('0x' || substr(md5(substr(text, i, {CDC_WINDOW})), 1, 8))::UBIGINT
+              % {CDC_MASK} = 0
+    ),
+    chunks AS (
+      SELECT doc_id, b,
+             COALESCE(LEAD(b) OVER (PARTITION BY doc_id ORDER BY b),
+                      CAST(length(text) + 1 AS BIGINT)) AS e,
+             text,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY b) AS chunk_idx
+      FROM bounds
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           b AS start_pos, CAST(e - b AS BIGINT) AS chunk_bytes,
+           md5(substr(text, CAST(b AS INTEGER), CAST(e - b AS INTEGER))) AS chunk_hash
+    FROM chunks WHERE e > b
+    """,
+    category="multimodal",
+)
+def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the LBFS rolling-hash family,
+    Muthitacharoen et al. SOSP'01) over binary payloads — the storage-
+    dedup primitive fixed-size chunking cannot match: boundaries are
+    declared wherever the hash of the local {CDC_WINDOW}-byte window
+    passes the mask test, so an insertion shifts at most the chunk it
+    lands in and every later chunk still re-aligns (with fixed chunks,
+    one inserted byte re-writes the whole tail). Emits the per-payload
+    chunk manifest (index, offset, size, content hash) — grouping by
+    chunk_hash across payloads gives the dedup/compression ratio a blob
+    store achieves. Work is inherently O(bytes) — the same asymptotics as
+    reading the payload — via a position explode + per-position hash; the
+    only window runs PARTITIONED per payload over its boundary rows
+    (~bytes/{CDC_MASK} per doc, bounded by payload size, never corpus
+    size). Deterministic throughout (md5 window test on both engines), so
+    the full manifest is oracle-checked. The text column stands in for
+    the payload bytes (same portability note as the rest of this
+    module)."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.posexplode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - (CDC_WINDOW - 1), F.lit(1)))
+        ).alias("_junk", "i"),
+    ).drop("_junk")
+    win_hash = F.conv(
+        F.substring(F.md5(F.expr(f"substring(text, i, {CDC_WINDOW})")), 1, 8), 16, 10
+    ).cast("long")
+    bounds = pos.filter((F.col("i") == 1) | (win_hash % CDC_MASK == 0)).select(
+        "doc_id", "text", F.col("i").cast("long").alias("b")
+    )
+    w = W.partitionBy("doc_id").orderBy("b")
+    chunks = bounds.select(
+        "doc_id",
+        "b",
+        F.coalesce(F.lead("b").over(w), (F.length("text") + 1).cast("long")).alias("e"),
+        "text",
+        F.row_number().over(w).cast("long").alias("chunk_idx"),
+    )
+    return chunks.filter(F.col("e") > F.col("b")).select(
+        "doc_id",
+        "chunk_idx",
+        F.col("b").alias("start_pos"),
+        (F.col("e") - F.col("b")).alias("chunk_bytes"),
+        F.md5(F.expr("substring(text, CAST(b AS INT), CAST(e - b AS INT))")).alias(
+            "chunk_hash"
+        ),
+    )
