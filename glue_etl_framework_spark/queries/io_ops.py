@@ -699,3 +699,72 @@ def io_stream_upsert_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         F.count("*").alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
     )
+
+
+_SCHEMA_EVO_ORACLE = """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_balance,
+           CAST(SUM(CASE WHEN c_custkey % 2 = 1
+                         THEN CAST(round(c_acctbal * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS balance_cents
+    FROM customer GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "io_schema_evolution_roundtrip",
+    oracle=_SCHEMA_EVO_ORACLE,
+    category="io",
+)
+def io_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift round-trip — the messy-ingestion tolerance SURVEY §7.4
+    flags (DynamicFrame's raison d'etre in the reference): a table written
+    in TWO generations — v1 rows without, v2 rows WITH a later-added
+    column — read back through the engine reader with mergeSchema, where
+    v1 rows surface the new column as NULL instead of failing or being
+    silently dropped. The driver oracle reconstructs the expected merged
+    result from the fixture alone (even custkeys = v1, odd = v2), so a
+    reader that drops a generation, mis-aligns columns by position, or
+    defaults the missing column to anything but NULL hash-mismatches.
+    recursiveFileLookup is overridden off: Spark's recursive listing and
+    per-file schema merging interact per partition-directory, and the
+    reference's recurse default is a scan option, not a merge semantic.
+    At scale this is the standard additive-column evolution path on plain
+    parquet (renames/retypes need the resolve verb or a table format)."""
+    from glue_etl_framework_spark.io.readers import read_table
+    from glue_etl_framework_spark.io.writers import write_table
+
+    d, fresh = _workdir("schema_evo", sf_dir)
+    tbl = f"{d}/tbl"
+    c = t(spark, sf_dir, "customer")
+    if fresh:
+        v1 = c.filter(F.col("c_custkey") % 2 == 0).select(
+            "c_custkey", "c_name", "c_mktsegment"
+        )
+        v2 = c.filter(F.col("c_custkey") % 2 == 1).select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("balance_cents"),
+        )
+        write_table(v1, {"target": "file", "location": tbl, "refresh": "full"})
+        write_table(v2, {"target": "file", "location": tbl, "refresh": "incremental"})
+    back = read_table(
+        spark,
+        {
+            "name": "evolved",
+            "source": "file",
+            "location": tbl,
+            "format": "parquet",
+            "format_options": {"mergeSchema": True, "recursiveFileLookup": False},
+        },
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("balance_cents").isNotNull(), 1).otherwise(0)).alias(
+            "n_with_balance"
+        ),
+        F.sum(F.coalesce(F.col("balance_cents"), F.lit(0))).alias("balance_cents"),
+    )
