@@ -768,3 +768,73 @@ def io_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         F.sum(F.coalesce(F.col("balance_cents"), F.lit(0))).alias("balance_cents"),
     )
+
+
+_CSV_BADROWS_ORACLE = """
+    SELECT CAST(SUM(CASE WHEN c_custkey % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_good,
+           CAST(SUM(CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(SUM(CASE WHEN c_custkey % 5 <> 0 THEN c_custkey ELSE 0 END) AS BIGINT)
+             AS good_key_sum
+    FROM customer
+"""
+
+
+@register(
+    "io_csv_permissive_badrecords",
+    oracle=_CSV_BADROWS_ORACLE,
+    category="io",
+)
+def io_csv_permissive_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Messy-CSV ingestion tolerance (SURVEY §7.4's DynamicFrame
+    choice-type concern, driver-verified): a CSV is materialized with
+    every 5th row deliberately CORRUPTED (non-numeric key), then read
+    back through the engine reader in PERMISSIVE mode with a
+    columnNameOfCorruptRecord — corrupt rows must surface as quarantined
+    raw lines (not crash the job, not silently vanish, not coerce to
+    nulls that masquerade as data). The oracle reconstructs good/corrupt
+    counts and the good-row key sum from the fixture, so a reader that
+    drops, double-counts, or mis-quarantines rows hash-mismatches. This
+    is the land-everything-then-quarantine posture a 100 TB ingest needs:
+    FAILFAST on petabyte feeds turns one vendor typo into a dead
+    pipeline, while DROPMALFORMED silently loses data — PERMISSIVE +
+    quarantine column is the auditable middle."""
+    from glue_etl_framework_spark.io.readers import read_table
+
+    d, fresh = _workdir("csv_bad", sf_dir)
+    loc = f"{d}/raw"
+    c = t(spark, sf_dir, "customer")
+    if fresh:
+        line = F.when(
+            F.col("c_custkey") % 5 == 0,
+            F.concat(F.lit("K"), F.col("c_custkey").cast("string"), F.lit(","),
+                     F.col("c_mktsegment")),
+        ).otherwise(
+            F.concat(F.col("c_custkey").cast("string"), F.lit(","),
+                     F.col("c_mktsegment"))
+        )
+        c.select(line.alias("value")).write.mode("overwrite").text(loc)
+    back = read_table(
+        spark,
+        {
+            "name": "quarantined",
+            "source": "file",
+            "location": loc,
+            "format": "csv",
+            "schema": "c_custkey long, c_mktsegment string, _bad string",
+            "format_options": {
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": "_bad",
+            },
+        },
+    )
+    # In permissive CSV parsing a row is quarantined (raw line in _bad)
+    # when a field violates the declared type; otherwise _bad is NULL.
+    return back.agg(
+        F.sum(F.when(F.col("_bad").isNull(), 1).otherwise(0)).alias("n_good"),
+        F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0)).alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_bad").isNull(), F.col("c_custkey")).otherwise(0)
+        ).alias("good_key_sum"),
+    )
