@@ -5055,3 +5055,146 @@ def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return member.groupBy(F.col("p").alias("partkey")).agg(
         F.count("*").alias("n_triangles")
     )
+
+
+BOOT_B = 32  # bootstrap replicates; Poisson(1) multiplicities per row
+
+
+def _pois_case_sql(u: str) -> str:
+    """Inverse Poisson(1) CDF lookup: deterministic multiplicity 0..6."""
+    return f"""CASE
+      WHEN {u} < 0.3678794411714423 THEN 0
+      WHEN {u} < 0.7357588823428846 THEN 1
+      WHEN {u} < 0.9196986029286058 THEN 2
+      WHEN {u} < 0.9810118431238462 THEN 3
+      WHEN {u} < 0.9963401531726563 THEN 4
+      WHEN {u} < 0.9994058151824183 THEN 5
+      ELSE 6 END"""
+
+
+@register(
+    "stats_bootstrap_se_mean",
+    oracle=f"""
+    WITH rows_v AS (
+      SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    rep AS (
+      SELECT r.k, r.cents, b.b,
+             ('0x' || substr(md5(CAST(r.k AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)),
+                             1, 8))::UBIGINT / 4294967296.0 AS u
+      FROM rows_v r CROSS JOIN (SELECT unnest(range({BOOT_B})) AS b) b
+    ),
+    weighted AS (
+      SELECT b, CAST({_pois_case_sql('u')} AS BIGINT) AS m, cents FROM rep
+    ),
+    per_rep AS (
+      SELECT b, CAST(SUM(m) AS BIGINT) AS cnt, CAST(SUM(m * cents) AS BIGINT) AS s
+      FROM weighted GROUP BY b HAVING SUM(m) > 0
+    ),
+    means AS (
+      SELECT b, CAST(round(CAST(s AS DOUBLE) * 1000000 / cnt) AS BIGINT) AS mean_fp
+      FROM per_rep
+    ),
+    summary AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+             CAST(SUM(mean_fp) AS BIGINT) AS sm,
+             CAST(SUM(CAST(mean_fp AS HUGEINT) * mean_fp) AS HUGEINT) AS sm2
+      FROM means
+    ),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(round(CAST(SUM(cents) AS DOUBLE) * 1000000 / COUNT(*)) AS BIGINT)
+               AS mean_fp
+      FROM rows_v
+    )
+    SELECT base.n, base.mean_fp, summary.n_reps,
+           CAST(round(sqrt((CAST(summary.sm2 AS DOUBLE)
+                            - CAST(summary.sm AS DOUBLE) * summary.sm / summary.n_reps)
+                           / (summary.n_reps - 1))) AS BIGINT) AS boot_se_fp
+    FROM base CROSS JOIN summary
+    """,
+    category="sampling",
+)
+def stats_bootstrap_se_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Poisson bootstrap (Chamandy et al., Google 2012) for
+    the standard error of a mean — THE way to get uncertainty estimates
+    at 100 TB, where classical resampling (draw n rows with replacement,
+    B times) is impossible because no node ever sees all n rows: each row
+    independently contributes multiplicity ~ Poisson(1) to each of
+    {BOOT_B} replicates, so one scan emits (replicate, weighted
+    contribution) pairs and a map-side-combining aggregate leaves only
+    {BOOT_B} rows crossing the shuffle. Fully deterministic here:
+    the Poisson draw is an inverse-CDF lookup on an md5-derived uniform
+    (exact integer / 2^32 — identical doubles in both engines), so even
+    the bootstrap randomness is oracle-checked. Output: the point
+    estimate of mean order value and its bootstrap SE in 1e-6 fixed
+    point. The x{BOOT_B} row expansion is the honest cost of bootstrap;
+    it rides the same scan and never materializes (explode feeds the
+    aggregate directly)."""
+    o = t(spark, sf_dir, "orders")
+    rows_v = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    rep = rows_v.select(
+        "k",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("k").cast("string"), F.lit(":"), F.col("b").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / 4294967296.0,
+    )
+    m = (
+        F.when(F.col("u") < 0.3678794411714423, 0)
+        .when(F.col("u") < 0.7357588823428846, 1)
+        .when(F.col("u") < 0.9196986029286058, 2)
+        .when(F.col("u") < 0.9810118431238462, 3)
+        .when(F.col("u") < 0.9963401531726563, 4)
+        .when(F.col("u") < 0.9994058151824183, 5)
+        .otherwise(6)
+        .cast("long")
+    )
+    per_rep = (
+        rep.select("b", m.alias("m"), "cents")
+        .groupBy("b")
+        .agg(F.sum("m").alias("cnt"), F.sum(F.col("m") * F.col("cents")).alias("s"))
+        .filter(F.col("cnt") > 0)
+    )
+    means = per_rep.select(
+        F.round(F.col("s").cast("double") * 1_000_000 / F.col("cnt"))
+        .cast("long")
+        .alias("mean_fp")
+    )
+    summary = means.agg(
+        F.count("*").alias("n_reps"),
+        F.sum("mean_fp").alias("sm"),
+        F.sum(F.col("mean_fp").cast("decimal(38,0)") * F.col("mean_fp")).alias("sm2"),
+    )
+    base = rows_v.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("cents").cast("double") * 1_000_000 / F.count("*"))
+        .cast("long")
+        .alias("mean_fp"),
+    )
+    se = F.round(
+        F.sqrt(
+            (
+                F.col("sm2").cast("double")
+                - F.col("sm").cast("double") * F.col("sm") / F.col("n_reps")
+            )
+            / (F.col("n_reps") - 1)
+        )
+    ).cast("long")
+    return base.crossJoin(F.broadcast(summary)).select(
+        "n", "mean_fp", "n_reps", se.alias("boot_se_fp")
+    )
