@@ -5198,3 +5198,90 @@ def stats_bootstrap_se_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.crossJoin(F.broadcast(summary)).select(
         "n", "mean_fp", "n_reps", se.alias("boot_se_fp")
     )
+
+
+def _ivfpq_recall_oracle() -> str:
+    ivfpq = _REGISTRY["similarity_ivf_pq_topk"].oracle
+    return f"""
+    WITH gt AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_sum(list_transform(range(1, 65),
+                                   i -> (a.q[i]-b.q[i]) * (a.q[i]-b.q[i]))),
+                          b.vec_id) AS rn
+        FROM (SELECT vec_id, list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * {Q_SCALE}) AS BIGINT)) AS q
+              FROM embeddings) a
+        JOIN (SELECT vec_id, list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * {Q_SCALE}) AS BIGINT)) AS q
+              FROM embeddings) b
+          ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {PQ_N_QUERIES}
+      ) WHERE rn <= {PQ_TOP_K}
+    ),
+    ap AS (SELECT query_id, neighbor_id FROM ({ivfpq}))
+    SELECT g.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+    FROM gt g LEFT JOIN ap a
+      ON g.query_id = a.query_id AND g.neighbor_id = a.neighbor_id
+    GROUP BY g.query_id
+    """
+
+
+@register(
+    "similarity_ivfpq_recall", oracle=_ivfpq_recall_oracle(), category="similarity"
+)
+def similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the combined IVF+PQ index against EXACT L2 ground truth
+    (the metric FAISS users tune nprobe and code size against), computed
+    in-engine like similarity_ann_recall: brute-force exact quantized-L2
+    top-k for the query set (broadcast queries x corpus scan — ground
+    truth generation is the expensive half and is itself linear), then
+    one (query, neighbor) equi-join against the index results. Losses
+    here combine BOTH approximation layers — cell pruning (query's true
+    neighbor lives in an unprobed cell) and code granularity (ADC
+    misranks within a probed cell) — which is exactly the production
+    trade being monitored."""
+    from pyspark.sql import Window as W
+
+    from glue_etl_framework_spark.queries.similarity import _quantized
+
+    v = _quantized(spark, sf_dir)
+    queries = v.filter(F.col("vec_id") < PQ_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa")
+    )
+    corpus = v.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    gt = (
+        F.broadcast(queries)
+        .join(corpus, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    ap = similarity_ivf_pq_topk(spark, sf_dir).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    return (
+        gt.join(
+            ap,
+            (gt.query_id == F.col("a_qid")) & (gt.neighbor_id == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_nid").alias("n_hits"),
+            F.count("*").alias("k"),
+            (F.count("a_nid").cast("double") / F.count("*")).alias("recall_at_k"),
+        )
+    )

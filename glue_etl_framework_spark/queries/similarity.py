@@ -879,8 +879,11 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM normed
     )
     SELECT tot.n AS n_vectors,
-           CAST(tot.sum_self AS BIGINT) AS sum_self_dot,
-           CAST(gram.s2 - tot.sum_self AS BIGINT) AS sum_pair_dot,
+           CAST(round(CAST(tot.sum_self AS DOUBLE) / tot.n) AS BIGINT)
+             AS mean_self_dot,
+           CAST(round(CAST(gram.s2 - tot.sum_self AS DOUBLE)
+                      / (CAST(tot.n AS DOUBLE) * (tot.n - 1))) AS BIGINT)
+             AS mean_pair_dot,
            round((CAST(gram.s2 - tot.sum_self AS DOUBLE)
                   / (CAST(tot.n AS DOUBLE) * (tot.n - 1)))
                  / (CAST(tot.sum_self AS DOUBLE) / tot.n), 9) AS anisotropy
@@ -897,16 +900,17 @@ def embedding_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce the 64-row frame, subtract the self-dot total. High anisotropy
     (mean pair dot comparable to mean self dot) means embeddings share a
     dominant direction — retrieval and clustering quality degrade and the
-    corpus needs centering before ANN indexing. All sums are exact
-    integers; the squared per-dim sums are computed in DECIMAL(38,0)
-    (HUGEINT in the oracle) because ||sum v||^2 grows with n^2 and clears
-    BIGINT around a billion vectors — the final columns are cast back for
-    the contract (exact at any test scale; at extreme scale emit the
-    double ratio only). The reported `anisotropy` is the dot-domain ratio
-    mean_pair_dot / mean_self_dot — exactly the mean pairwise cosine when
-    norms are equal, a documented proxy otherwise (no per-row normalize:
-    rounding a normalized re-quantization inside the aggregate would make
-    the result ULP-fragile across engines)."""
+    corpus needs centering before ANN indexing. Internally every sum runs
+    in DECIMAL(38,0) (HUGEINT in the oracle) because ||sum v||^2 grows
+    with n^2 under a nonzero mean — the 100x probe caught the first
+    version emitting the RAW pair-dot sum as BIGINT, which overflows near
+    50k vectors; the outputs are therefore per-pair/per-vector MEANS
+    (bounded by per-vector magnitude at ANY n, exact-integer-derived,
+    rounded once half-away-from-zero in both engines). The reported
+    `anisotropy` is mean_pair_dot / mean_self_dot — exactly the mean
+    pairwise cosine when norms are equal, a documented proxy otherwise
+    (no per-row normalize: rounding a normalized re-quantization inside
+    the aggregate would make the result ULP-fragile across engines)."""
     v = _quantized(spark, sf_dir)
     ex = v.select(F.posexplode("q").alias("pos", "val"))
     dimsum = ex.groupBy("pos").agg(F.sum("val").cast("decimal(38,0)").alias("s"))
@@ -915,17 +919,16 @@ def embedding_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("nq").cast("decimal(38,0)").alias("sum_self"),
     )
-    pair = (F.col("s2") - F.col("sum_self")).cast("decimal(38,0)")
+    pair_mean = (F.col("s2") - F.col("sum_self")).cast("double") / (
+        F.col("n").cast("double") * (F.col("n") - 1)
+    )
+    self_mean = F.col("sum_self").cast("double") / F.col("n")
     return (
         gram.crossJoin(F.broadcast(tot))
         .select(
             F.col("n").alias("n_vectors"),
-            F.col("sum_self").cast("long").alias("sum_self_dot"),
-            pair.cast("long").alias("sum_pair_dot"),
-            F.round(
-                (pair.cast("double") / (F.col("n").cast("double") * (F.col("n") - 1)))
-                / (F.col("sum_self").cast("double") / F.col("n")),
-                9,
-            ).alias("anisotropy"),
+            F.round(self_mean).cast("long").alias("mean_self_dot"),
+            F.round(pair_mean).cast("long").alias("mean_pair_dot"),
+            F.round(pair_mean / self_mean, 9).alias("anisotropy"),
         )
     )

@@ -67,5 +67,12 @@ def test_anisotropy_matches_bruteforce(spark):
     s = q.sum(axis=0)
     gram = int(sum(x * x for x in s))
     self_dot = int(sum(int(sum(x * x for x in row_)) for row_ in q))
-    assert row.sum_self_dot == self_dot
-    assert row.sum_pair_dot == gram - self_dot
+    n = len(q)
+
+    def round_ha(x):
+        import math
+
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    assert row.mean_self_dot == round_ha(self_dot / n)
+    assert row.mean_pair_dot == round_ha((gram - self_dot) / (n * (n - 1)))
