@@ -486,3 +486,67 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(qty).alias("total_qty"),
         (F.sum(qty * cents) / F.sum(qty) / 100.0).alias("wavg_price"),
     )
+
+
+HLL_TOL = 0.05  # sketch estimate must sit within 5% of exact (lgK default 12)
+
+
+@register(
+    "agg_hll_mergeable_sketches",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY day
+    ),
+    total AS (
+      SELECT CAST(NULL AS TIMESTAMP) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events
+    )
+    SELECT day, n_exact, 1 AS hll_ok FROM daily
+    UNION ALL
+    SELECT day, n_exact, 1 AS hll_ok FROM total
+    """,
+    category="aggregate",
+)
+def agg_hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL via
+    Spark's hll_sketch_agg / hll_union_agg) — the production pattern a
+    plain approx_count_distinct cannot express: build one small sketch
+    per day partition, then answer ANY coarser rollup (here: the whole
+    corpus) by unioning sketches WITHOUT rescanning the raw data — the
+    foundation of pre-aggregated distinct-count serving at 100 TB (store
+    per-partition sketches, merge at query time). The driver-checked
+    output carries the exact counts (oracle-reproducible) plus a flag
+    asserting the sketch estimate landed within {HLL_TOL:.0%} of exact at
+    BOTH levels — the oracle pins the flag to 1, so estimator drift or a
+    broken merge hash-mismatches. Per-day sketch state is a few KB
+    regardless of row count; the merge is a single 1-row aggregate over
+    #days sketches."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    ok = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+        <= F.col("n_exact") * HLL_TOL
+    )
+    per_day = daily.select(
+        "day", "n_exact", F.when(ok, 1).otherwise(0).alias("hll_ok")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    ).crossJoin(
+        F.broadcast(e.agg(F.countDistinct("user_id").alias("n_exact")))
+    )
+    total_ok = (
+        F.abs(F.col("est") - F.col("n_exact")) <= F.col("n_exact") * HLL_TOL
+    )
+    total = merged.select(
+        F.lit(None).cast("timestamp").alias("day"),
+        "n_exact",
+        F.when(total_ok, 1).otherwise(0).alias("hll_ok"),
+    )
+    return per_day.unionByName(total)
