@@ -541,8 +541,11 @@ def agg_hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(
         F.broadcast(e.agg(F.countDistinct("user_id").alias("n_exact")))
     )
+    # coalesce: a union over ZERO sketches yields a null estimate, which
+    # must read as 0 so the empty-corpus flag still pins to 1 (|0-0| <= 0)
     total_ok = (
-        F.abs(F.col("est") - F.col("n_exact")) <= F.col("n_exact") * HLL_TOL
+        F.abs(F.coalesce(F.col("est"), F.lit(0)) - F.col("n_exact"))
+        <= F.col("n_exact") * HLL_TOL
     )
     total = merged.select(
         F.lit(None).cast("timestamp").alias("day"),
