@@ -5285,3 +5285,83 @@ def similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("a_nid").cast("double") / F.count("*")).alias("recall_at_k"),
         )
     )
+
+
+KN_DISCOUNT = 0.75   # standard absolute discount
+KN_MIN_COUNT = 5     # emit rows only for bigrams seen >= this many times
+KN_SCALE = 1_000_000_000
+
+
+@register(
+    "text_kneser_ney_bigram",
+    oracle=f"""
+    WITH bg AS ({_BIGRAM_SQL}),
+    split AS (
+      SELECT string_split(bigram, ' ')[1] AS w1,
+             string_split(bigram, ' ')[2] AS w2
+      FROM bg
+    ),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM split GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw1,
+                  CAST(COUNT(*) AS BIGINT) AS n_follow
+           FROM c2 GROUP BY w1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_prec FROM c2 GROUP BY w2),
+    tot AS (SELECT CAST(SUM(n_prec) AS BIGINT) AS t FROM cont)
+    SELECT c2.w1, c2.w2, c2.c,
+           CAST(round((GREATEST(c2.c - {KN_DISCOUNT}, 0) / c1.cw1
+                       + ({KN_DISCOUNT} * c1.n_follow / c1.cw1)
+                         * (CAST(cont.n_prec AS DOUBLE) / tot.t))
+                      * {KN_SCALE}) AS BIGINT) AS pkn_fp
+    FROM c2
+    JOIN c1 ON c2.w1 = c1.w1
+    JOIN cont ON c2.w2 = cont.w2
+    CROSS JOIN tot
+    WHERE c2.c >= {KN_MIN_COUNT}
+    """,
+    category="text",
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    Chen & Goodman 1998) — the smoothing every serious count-based LM
+    ships with, and a step up from the MLE text_bigram_logprob: mass is
+    absolutely discounted (D={KN_DISCOUNT}) from observed bigrams and
+    redistributed via the CONTINUATION distribution (how many distinct
+    contexts a word follows — which is why "Francisco" scores low despite
+    high frequency: it follows almost nothing but "San"). Every term is a
+    ratio of exact integer counts, so the fixed-point result is
+    engine-identical. Plan: one corpus-wide (w1, w2) count carries the
+    volume; the per-context totals and fan-out DERIVE from it (no
+    re-scan); the continuation table joins keyed on w2 — both sides are
+    vocabulary-sized, so the join is unhinted (AQE decides; same
+    discipline as text_source_drift_kl's vocab join); only the 1-row
+    grand total broadcasts. The c >= {KN_MIN_COUNT} emission filter
+    bounds the DRIVER-facing artifact, not the model math (all counts
+    participate in smoothing)."""
+    d = t(spark, sf_dir, "documents")
+    split_col = F.split(F.col("bigram"), " ")
+    bg = d.select(F.explode(F.expr(BIGRAM_REGEX)).alias("bigram")).select(
+        split_col.getItem(0).alias("w1"), split_col.getItem(1).alias("w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c").alias("cw1"), F.count("*").alias("n_follow")
+    )
+    cont = c2.groupBy("w2").agg(F.count("*").alias("n_prec"))
+    tot = cont.agg(F.sum("n_prec").alias("t"))
+    pkn = (
+        F.greatest(F.col("c") - KN_DISCOUNT, F.lit(0.0)) / F.col("cw1")
+        + (KN_DISCOUNT * F.col("n_follow") / F.col("cw1"))
+        * (F.col("n_prec").cast("double") / F.col("t"))
+    )
+    return (
+        c2.filter(F.col("c") >= KN_MIN_COUNT)
+        .join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.round(pkn * KN_SCALE).cast("long").alias("pkn_fp"),
+        )
+    )
