@@ -5365,3 +5365,209 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pkn * KN_SCALE).cast("long").alias("pkn_fp"),
         )
     )
+
+
+OLS_SCALE = 1_000_000
+
+
+@register(
+    "agg_group_ols_regression",
+    oracle=f"""
+    WITH pts AS (
+      SELECT p_brand AS brand, CAST(p_size AS BIGINT) AS x,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS y
+      FROM part
+    ),
+    sums AS (
+      SELECT brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM pts GROUP BY brand
+    )
+    SELECT brand, n,
+           CAST(round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                      / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                      * {OLS_SCALE}) AS BIGINT) AS slope_fp,
+           CAST(round((CAST(sy AS DOUBLE)
+                       - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                          / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx))
+                         * sx)
+                      / n) AS BIGINT) AS intercept_cents
+    FROM sums
+    WHERE n * CAST(sxx AS DOUBLE) > CAST(sx AS DOUBLE) * sx
+    """,
+    category="aggregate",
+)
+def agg_group_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form per-group OLS regression (price-vs-size slope per
+    brand) — the pattern that makes "fit a model per key" scale: no
+    iterative solver, no per-group collect; the normal equations collapse
+    to SIX sufficient statistics (n, Sx, Sy, Sxx, Sxy) accumulated in one
+    map-side-combining aggregate, and slope/intercept are closed-form
+    ratios computed on the reduced frame. Sufficient statistics are exact
+    integer sums held in DECIMAL(38,0)/HUGEINT (the products clear BIGINT
+    on large groups — same overflow discipline the 100x probe forced on
+    the anisotropy audit); the final division is one deterministic double
+    expression, fixed-point rounded. Degenerate groups (zero variance in
+    x) are excluded identically in both engines. At any scale the shuffle
+    carries one row per group."""
+    p = t(spark, sf_dir, "part")
+    pts = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").cast("long").alias("x"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("y"),
+    )
+    sums = pts.groupBy("brand").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")) / (
+        nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / nd
+    return (
+        sums.filter(
+            nd * F.col("sxx").cast("double")
+            > F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        .select(
+            "brand",
+            "n",
+            F.round(slope * OLS_SCALE).cast("long").alias("slope_fp"),
+            F.round(intercept).cast("long").alias("intercept_cents"),
+        )
+    )
+
+
+@register(
+    "orders_forecast_seasonal_naive",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', CAST(o_orderdate AS TIMESTAMP)) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY day
+    )
+    SELECT a.day,
+           a.cents AS actual_cents,
+           f.cents AS forecast_cents,
+           CAST(abs(a.cents - f.cents) AS BIGINT) AS abs_err_cents,
+           CAST(round(CAST(abs(a.cents - f.cents) AS DOUBLE) * 1000000 / a.cents)
+                AS BIGINT) AS ape_fp
+    FROM daily a JOIN daily f ON f.day = a.day - INTERVAL 7 DAY
+    WHERE a.cents > 0
+    """,
+    category="events",
+)
+def orders_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every demand
+    forecast must beat (forecast(d) = actual(d - 7), the weekly cycle):
+    per-day revenue joined to itself at a 7-day lag, emitting actuals,
+    forecasts, absolute and percentage errors. The volume collapses in
+    ONE day-keyed aggregate; the lag join runs on the days-sized frame
+    (grows with the horizon, never with order rate). Integer-cent
+    arithmetic end to end; APE in 1e-6 fixed point."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate").cast("timestamp")).alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    a = daily.alias("a")
+    f_ = daily.select(
+        (F.col("day") + F.expr("INTERVAL 7 DAYS")).alias("day"),
+        F.col("cents").alias("fcents"),
+    ).alias("f")
+    ape = F.round(
+        F.abs(F.col("a.cents") - F.col("fcents")).cast("double")
+        * 1_000_000
+        / F.col("a.cents")
+    ).cast("long")
+    return (
+        a.join(f_, "day")
+        .filter(F.col("a.cents") > 0)
+        .select(
+            "day",
+            F.col("a.cents").alias("actual_cents"),
+            F.col("fcents").alias("forecast_cents"),
+            F.abs(F.col("a.cents") - F.col("fcents")).alias("abs_err_cents"),
+            ape.alias("ape_fp"),
+        )
+    )
+
+
+@register(
+    "events_user_activity_trend",
+    oracle=f"""
+    WITH uw AS (
+      SELECT user_id,
+             (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS w,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, w
+    ),
+    sums AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_weeks,
+             CAST(SUM(c) AS BIGINT) AS total_events,
+             CAST(SUM(w) AS HUGEINT) AS sx, CAST(SUM(c) AS HUGEINT) AS sy,
+             CAST(SUM(w * w) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(w AS HUGEINT) * c) AS HUGEINT) AS sxy
+      FROM uw GROUP BY user_id
+    )
+    SELECT user_id, n_weeks, total_events,
+           CAST(round((n_weeks * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                      / (n_weeks * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                      * {OLS_SCALE}) AS BIGINT) AS trend_fp
+    FROM sums
+    WHERE n_weeks * CAST(sxx AS DOUBLE) > CAST(sx AS DOUBLE) * sx
+    """,
+    category="events",
+)
+def events_user_activity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity trend (events/week OLS slope) — the churn-signal
+    feature engineering pass: a negative slope flags disengaging users
+    before they go silent. Same closed-form sufficient-statistics OLS as
+    agg_group_ols_regression, grouped by user over absolute epoch weeks:
+    two keyed aggregates — (user, week) counts, then one row of six sums
+    per user — and the slope is a deterministic double of exact integers.
+    Users grow with the corpus; rows per user are bounded by the time
+    horizon. Single-week users (zero x-variance) are excluded identically
+    in both engines."""
+    e = t(spark, sf_dir, "events")
+    uw = e.groupBy(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")) / 7
+        ).alias("w"),
+    ).agg(F.count("*").alias("c"))
+    sums = uw.groupBy("user_id").agg(
+        F.count("*").alias("n_weeks"),
+        F.sum("c").alias("total_events"),
+        F.sum("w").cast("decimal(38,0)").alias("sx"),
+        F.sum("c").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("w") * F.col("w")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("c")).alias("sxy"),
+    )
+    nd = F.col("n_weeks").cast("double")
+    slope = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return (
+        sums.filter(
+            nd * F.col("sxx").cast("double")
+            > F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        .select(
+            "user_id",
+            "n_weeks",
+            "total_events",
+            F.round(slope * OLS_SCALE).cast("long").alias("trend_fp"),
+        )
+    )
