@@ -568,8 +568,8 @@ ANOM_Z_FP = 3_000_000  # flag when |z| * 1e6 exceeds 3 sigma
     base AS (
       SELECT hr,
              CAST(COUNT(*) AS BIGINT) AS n_days,
-             CAST(SUM(c) AS BIGINT) AS s,
-             CAST(SUM(c * c) AS BIGINT) AS s2
+             CAST(SUM(c) AS HUGEINT) AS s,
+             CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
       FROM cells GROUP BY hr
     ),
     scored AS (
@@ -579,7 +579,7 @@ ANOM_Z_FP = 3_000_000  # flag when |z| * 1e6 exceeds 3 sigma
                                / b.n_days)
                         * 1000000) AS BIGINT) AS z_fp
       FROM cells c JOIN base b ON c.hr = b.hr
-      WHERE b.s2 * b.n_days > b.s * b.s
+      WHERE b.s2 * b.n_days > b.s * b.s  -- HUGEINT: exact at any volume
     )
     SELECT day, hr, c AS n_events, z_fp,
            CASE WHEN abs(z_fp) > {ANOM_Z_FP} THEN 1 ELSE 0 END AS anomalous
@@ -609,8 +609,8 @@ def events_anomaly_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFram
     )
     base = cells.groupBy("hr").agg(
         F.count("*").alias("n_days"),
-        F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
     )
     mean = F.col("s").cast("double") / F.col("n_days")
     var = (F.col("s2") - F.col("s").cast("double") * F.col("s") / F.col("n_days")) / F.col(
@@ -619,7 +619,10 @@ def events_anomaly_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFram
     z_fp = F.round((F.col("c") - mean) / F.sqrt(var) * 1_000_000).cast("long")
     return (
         cells.join(F.broadcast(base), "hr")
-        .filter(F.col("s2") * F.col("n_days") > F.col("s") * F.col("s"))
+        .filter(
+            F.col("s2") * F.col("n_days")
+            > F.col("s") * F.col("s")  # decimal(38,0): exact at any volume
+        )
         .select(
             "day",
             "hr",

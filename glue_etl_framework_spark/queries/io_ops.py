@@ -669,39 +669,44 @@ def io_stream_upsert_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     scale each micro-batch pays one anti-join against the table (AQE
     strategy, no hints) — the documented production bridge when no
     lakehouse format is available."""
-    from glue_etl_framework_spark.queries.streaming_live import (
-        EVENTS_SCHEMA,
-        _table_stream,
-    )
+    from glue_etl_framework_spark.streaming import read_file_stream
     from glue_etl_framework_spark.streaming.joins import upsert_sink
 
     d, fresh = _workdir("stream_upsert", sf_dir)
-    tbl, ckpt = f"{d}/tbl", f"{d}/ckpt"
+    src, tbl, ckpt = f"{d}/src", f"{d}/tbl", f"{d}/ckpt"
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
     if fresh:
-        stream = _table_stream(spark, sf_dir, "events", EVENTS_SCHEMA).select(
+        base = t(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "event_type", "value"
         )
-        decoys = stream.select(
+        decoys = base.select(
             "event_id",
             (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("ts"),
             "user_id",
             "event_type",
             (F.col("value") + 1000).alias("value"),
         )
-        q = upsert_sink(
-            stream.unionByName(decoys), tbl, ["event_id"], ckpt, order_by="ts"
-        )
+        # materialize real+decoy into ONE source dir, repartitioned by
+        # event_id so each event's pair shares a FILE: order_by resolves
+        # duplicate keys only WITHIN a micro-batch, and file-stream
+        # batching is file-granular — co-located rows can never be split
+        # across batches, so the greatest-ts guarantee holds under ANY
+        # maxFilesPerTrigger setting, not just the single-batch drain
+        base.unionByName(decoys).repartition(4, "event_id").write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = read_file_stream(spark, src, schema)
+        q = upsert_sink(stream, tbl, ["event_id"], ckpt, order_by="ts")
         q.awaitTermination()
-    back_schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
     import os as _os
 
     if _os.path.exists(tbl):
-        back = spark.read.schema(back_schema).parquet(tbl)
+        back = spark.read.schema(schema).parquet(tbl)
     else:
         # zero-row source: foreachBatch saw only empty batches, so the
         # upsert sink (correctly) never materialized a table — aggregate
         # over an empty frame with the declared schema instead of failing
-        back = spark.createDataFrame([], back_schema)
+        back = spark.createDataFrame([], schema)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),

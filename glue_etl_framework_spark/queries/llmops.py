@@ -4854,26 +4854,14 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from glue_etl_framework_spark.queries.similarity import (
-        N_CENTROIDS,
         N_PROBE,
-        _dot,
         _quantized,
+        coarse_cells,
     )
 
     sub, csub, assign_pq = _pq_frames(spark, sf_dir)
     v = _quantized(spark, sf_dir)
-    ccent = F.broadcast(
-        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(N_CENTROIDS)
-        .select(F.col("vec_id").alias("ccid"), F.col("q").alias("cq"), F.col("nq").alias("cnq"))
-    )
-    cos_to_cent = _dot(F.col("q"), F.col("cq")) / (
-        F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("cnq").cast("double"))
-    )
-    scored = v.join(ccent, how="cross").select("vec_id", "ccid", cos_to_cent.alias("cos"))
-    cassign = scored.groupBy("vec_id").agg(
-        F.max_by("ccid", F.struct(F.col("cos"), (-F.col("ccid")).alias("nc"))).alias("ccid")
-    )
+    _, scored, cassign = coarse_cells(v, "ccid")
     rn_w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("ccid"))
     probes = (
         scored.filter(F.col("vec_id") < PQ_N_QUERIES)
@@ -5047,11 +5035,9 @@ def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         (F.col("u") == F.least("n1", "n2")) & (F.col("v") == F.greatest("n1", "n2")),
     ).select("a", "n1", "n2")
-    member = (
-        tri.select(F.col("a").alias("p"))
-        .unionAll(tri.select(F.col("n1").alias("p")))
-        .unionAll(tri.select(F.col("n2").alias("p")))
-    )
+    # one explode over tri instead of three unionAll branches: the union
+    # formulation re-executes the wedge-closing join once per branch
+    member = tri.select(F.explode(F.array("a", "n1", "n2")).alias("p"))
     return member.groupBy(F.col("p").alias("partkey")).agg(
         F.count("*").alias("n_triangles")
     )
@@ -5421,9 +5407,9 @@ def agg_group_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sums = pts.groupBy("brand").agg(
         F.count("*").alias("n"),
-        F.sum("x").cast("decimal(38,0)").alias("sx"),
-        F.sum("y").cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
     )
     nd = F.col("n").cast("double")
@@ -5546,9 +5532,9 @@ def events_user_activity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = uw.groupBy("user_id").agg(
         F.count("*").alias("n_weeks"),
         F.sum("c").alias("total_events"),
-        F.sum("w").cast("decimal(38,0)").alias("sx"),
-        F.sum("c").cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("w") * F.col("w")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("w").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("w")).alias("sxx"),
         F.sum(F.col("w").cast("decimal(38,0)") * F.col("c")).alias("sxy"),
     )
     nd = F.col("n_weeks").cast("double")

@@ -59,6 +59,39 @@ def _dot(qa, qb):
     )
 
 
+def coarse_cells(v: DataFrame, cell_col: str = "cid"):
+    """Shared IVF coarse quantizer used by similarity_ann_ivf,
+    dedup_semdedup, and llmops.similarity_ivf_pq_topk: FIXED-size
+    deterministic centroid sample (bottom-N_CENTROIDS vec_ids by md5 — a
+    TakeOrdered, O(K) broadcast at any corpus size), exact quantized
+    cosine scoring (n x K, map-side), and nearest-cell assignment via
+    max_by over (cos, -cell) — one row per vector reaches the shuffle,
+    ties to the lowest cell id, matching _kmeans_assign_sql exactly.
+    Returns (cent, scored, assign); ``scored`` is exposed for callers
+    that also need per-query probe lists (row_number over it)."""
+    cent = F.broadcast(
+        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias(cell_col),
+            F.col("q").alias("cq"),
+            F.col("nq").alias("cnq"),
+        )
+    )
+    cos_to_cent = _dot(F.col("q"), F.col("cq")) / (
+        F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("cnq").cast("double"))
+    )
+    scored = v.join(cent, how="cross").select(
+        "vec_id", cell_col, cos_to_cent.alias("cos")
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(
+            cell_col, F.struct(F.col("cos"), (-F.col(cell_col)).alias("nc"))
+        ).alias(cell_col)
+    )
+    return cent, scored, assign
+
+
 @register(
     "similarity_topk_bruteforce",
     oracle=f"""
@@ -217,23 +250,8 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole pipeline is oracle-checkable; recall vs brute force is
     property-tested in tests/test_ext.py."""
     v = _quantized(spark, sf_dir)
-    cent = F.broadcast(
-        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(N_CENTROIDS)
-        .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("nq").alias("cnq"))
-    )
-    cos_to_cent = _dot(F.col("q"), F.col("cq")) / (
-        F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("cnq").cast("double"))
-    )
     rn_w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
-    scored = v.join(cent, how="cross").select("vec_id", "cid", cos_to_cent.alias("cos"))
-    # Nearest centroid via max_by over (cos, -cid): a partial+final hash
-    # aggregate that combines map-side, so only ONE row per vector reaches
-    # the shuffle — the row_number window formulation shuffles and sorts all
-    # n x K scored rows. Same winner (cos desc, ties to lowest cid).
-    assign = scored.groupBy("vec_id").agg(
-        F.max_by("cid", F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))).alias("cid")
-    )
+    _, scored, assign = coarse_cells(v, "cid")
     probes = (
         scored.filter(F.col("vec_id") < N_QUERIES)
         .withColumn("rn", F.row_number().over(rn_w))
@@ -737,14 +755,6 @@ def similarity_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame
 
 SEMDEDUP_TAU = 0.35  # within-cluster cosine above which the higher id drops
 
-_SIG_SQL = f"""
-      SELECT vec_id, q, nq,
-             {{b0}} AS band0,
-             {{b1}} AS band1
-      FROM normed
-"""
-
-
 @register(
     "dedup_semdedup",
     oracle=f"""
@@ -803,18 +813,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same way the MinHash LSH path does. Returns one row per vector with
     its cell and kept/dropped verdict."""
     v = _quantized(spark, sf_dir)
-    cent = F.broadcast(
-        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(N_CENTROIDS)
-        .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("nq").alias("cnq"))
-    )
-    cos_to_cent = _dot(F.col("q"), F.col("cq")) / (
-        F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("cnq").cast("double"))
-    )
-    scored = v.join(cent, how="cross").select("vec_id", "cid", cos_to_cent.alias("cos"))
-    assign = scored.groupBy("vec_id").agg(
-        F.max_by("cid", F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))).alias("cid")
-    )
+    _, _, assign = coarse_cells(v, "cid")
     band_cols = []
     for b in range(N_HYPERPLANES // _BAND_BITS):
         bits = []

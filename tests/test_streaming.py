@@ -506,11 +506,7 @@ def test_stateful_fold_twins_agree():
             self._v = v
             self.exists = True
 
-    nested = ST.running_user_stats.__wrapped__ if hasattr(
-        ST.running_user_stats, "__wrapped__"
-    ) else None
-    # extract the nested fold by building the operator closure indirectly:
-    # call the factory's code object constants for a function named 'fold'
+    # extract the nested fold from the factory's code-object constants
     import types
 
     codes = [
