@@ -5557,3 +5557,119 @@ def events_user_activity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(slope * OLS_SCALE).cast("long").alias("trend_fp"),
         )
     )
+
+
+ZTEST_SCALE = 1_000_000
+
+
+@register(
+    "events_abtest_proportions_ztest",
+    oracle=f"""
+    WITH assign AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::UBIGINT % 2
+                  AS BIGINT) AS variant
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    conv AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND value >= 150
+    ),
+    cells AS (
+      SELECT a.variant,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS x
+      FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+      GROUP BY a.variant
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+             MAX(CASE WHEN variant = 0 THEN x END) AS x_a,
+             MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+             MAX(CASE WHEN variant = 1 THEN x END) AS x_b
+      FROM cells
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           CAST(round(CAST(x_a AS DOUBLE) * {ZTEST_SCALE} / n_a) AS BIGINT) AS cvr_a_fp,
+           CAST(round(CAST(x_b AS DOUBLE) * {ZTEST_SCALE} / n_b) AS BIGINT) AS cvr_b_fp,
+           CAST(round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                      / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                             * (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                             * (1.0 / n_a + 1.0 / n_b))
+                      * {ZTEST_SCALE}) AS BIGINT) AS z_fp,
+           CASE WHEN abs((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                         / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                                * (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                                * (1.0 / n_a + 1.0 / n_b))) > 1.959963985
+                THEN 1 ELSE 0 END AS significant
+    FROM wide
+    WHERE n_a > 0 AND n_b > 0 AND x_a + x_b > 0 AND x_a + x_b < n_a + n_b
+    """,
+    category="events",
+)
+def events_abtest_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment — the analysis every
+    experimentation platform runs continuously: users are bucketed by an
+    md5 hash of their id (the REAL production assignment mechanism —
+    deterministic, uniform, no coordination — and portable, so even the
+    randomization is oracle-checked), conversion = a purchase of at least 150 (a mid-funnel
+    threshold that keeps both converted and unconverted arms populated at
+    fixture scale),
+    and the pooled-variance z statistic decides significance at the
+    two-sided 5% level. All inputs are exact integer counts from two
+    keyed aggregates (distinct users, distinct converters — each one
+    shuffle with map-side combine); the z expression is one deterministic
+    double over those integers, fixed-point rounded. Degenerate designs
+    (empty arm, zero or unanimous conversion) are excluded identically in
+    both engines. Output is ONE row regardless of scale."""
+    e = t(spark, sf_dir, "events")
+    variant = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
+        .cast("long")
+        % 2
+    )
+    assign = e.select("user_id").distinct().select("user_id", variant.alias("variant"))
+    conv = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") >= 150))
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    cells = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce(F.col("converted"), F.lit(0))).alias("x"),
+        )
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("x"))).alias("x_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("x"))).alias("x_b"),
+    )
+    p_a = F.col("x_a").cast("double") / F.col("n_a")
+    p_b = F.col("x_b").cast("double") / F.col("n_b")
+    p_pool = (F.col("x_a") + F.col("x_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    z = (p_a - p_b) / F.sqrt(
+        p_pool * (1 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return (
+        wide.filter(
+            (F.col("n_a") > 0)
+            & (F.col("n_b") > 0)
+            & (F.col("x_a") + F.col("x_b") > 0)
+            & (F.col("x_a") + F.col("x_b") < F.col("n_a") + F.col("n_b"))
+        )
+        .select(
+            "n_a",
+            "x_a",
+            "n_b",
+            "x_b",
+            F.round(p_a * ZTEST_SCALE).cast("long").alias("cvr_a_fp"),
+            F.round(p_b * ZTEST_SCALE).cast("long").alias("cvr_b_fp"),
+            F.round(z * ZTEST_SCALE).cast("long").alias("z_fp"),
+            F.when(F.abs(z) > 1.959963985, 1).otherwise(0).alias("significant"),
+        )
+    )
