@@ -5673,3 +5673,140 @@ def events_abtest_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFra
             F.when(F.abs(z) > 1.959963985, 1).otherwise(0).alias("significant"),
         )
     )
+
+
+HEALTH_SCALE = 1_000_000
+
+
+def _health_report_oracle() -> str:
+    gopher = _REGISTRY["quality_gopher_filters"].oracle
+    pii = _REGISTRY["text_pii_scrub"].oracle
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             CAST(length(string_split(text, ' ')) AS BIGINT) AS n_toks,
+             md5(text) AS h
+      FROM documents
+    ),
+    core AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct
+      FROM base
+    ),
+    langs AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY lang),
+    lent AS (
+      SELECT CAST(SUM(CAST(round(-(CAST(c AS DOUBLE) / t)
+                                 * ln(CAST(c AS DOUBLE) / t)
+                                 * {HEALTH_SCALE}) AS BIGINT)) AS BIGINT) AS ent_fp
+      FROM (SELECT c, CAST(SUM(c) OVER () AS BIGINT) AS t FROM langs)
+    ),
+    gph AS (
+      SELECT CAST(SUM(passes_gopher) AS BIGINT) AS n_pass,
+             CAST(COUNT(*) AS BIGINT) AS n FROM ({gopher})
+    ),
+    pii AS (
+      SELECT CAST(SUM(CASE WHEN n_emails + n_ips + n_phones > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_pii
+      FROM ({pii})
+    )
+    SELECT 'n_docs' AS metric, CAST(core.n_docs AS BIGINT) AS value_fp FROM core
+    UNION ALL SELECT 'n_tokens', core.n_tokens FROM core
+    UNION ALL SELECT 'mean_doc_tokens_fp',
+      CAST(round(CAST(core.n_tokens AS DOUBLE) * {HEALTH_SCALE} / core.n_docs)
+           AS BIGINT) FROM core
+    UNION ALL SELECT 'exact_dup_rate_fp',
+      CAST(round((1 - CAST(core.n_distinct AS DOUBLE) / core.n_docs)
+                 * {HEALTH_SCALE}) AS BIGINT) FROM core
+    UNION ALL SELECT 'lang_entropy_fp', lent.ent_fp FROM lent
+    UNION ALL SELECT 'gopher_pass_rate_fp',
+      CAST(round(CAST(gph.n_pass AS DOUBLE) * {HEALTH_SCALE} / gph.n) AS BIGINT)
+      FROM gph
+    UNION ALL SELECT 'pii_doc_rate_fp',
+      CAST(round(CAST(pii.n_pii AS DOUBLE) * {HEALTH_SCALE} / core.n_docs)
+           AS BIGINT) FROM pii CROSS JOIN core
+    """
+
+
+@register(
+    "pipeline_corpus_health_report",
+    oracle=_health_report_oracle(),
+    category="curation",
+)
+def pipeline_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus health report — the scorecard a curation run emits
+    before anyone trains on the data: volume (docs, tokens, mean length),
+    exact-duplicate rate, language-mix entropy, Gopher-gate pass rate,
+    and PII incidence, as a (metric, value) frame. Every metric reuses
+    the individually-oracle-checked primitive expressions
+    (gopher_audit_cols, pii_audit_cols, the md5 content hash), and the
+    plan is ONE documents scan feeding parallel aggregates (the language
+    entropy derives from a bounded per-lang count frame; nothing rescans
+    the text). Output is a fixed handful of rows at any corpus size —
+    the shape that lands in a metrics store per run."""
+    d = t(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+        F.md5("text").alias("h"),
+        *gopher_audit_cols("text"),
+        *pii_audit_cols("text"),
+    )
+    core = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.countDistinct("h").alias("n_distinct"),
+        F.sum("passes_gopher").alias("n_pass"),
+        F.sum(
+            F.when(F.col("n_emails") + F.col("n_ips") + F.col("n_phones") > 0, 1)
+            .otherwise(0)
+        ).alias("n_pii"),
+    )
+    langs = base.groupBy("lang").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window as W
+
+    lent = (
+        langs.withColumn("t", F.sum("c").over(W.partitionBy()))
+        .select(
+            F.round(
+                -(F.col("c").cast("double") / F.col("t"))
+                * F.log(F.col("c").cast("double") / F.col("t"))
+                * HEALTH_SCALE
+            )
+            .cast("long")
+            .alias("term")
+        )
+        .agg(F.sum("term").alias("ent_fp"))
+    )
+    c = core.crossJoin(F.broadcast(lent))
+
+    def row(name, expr):
+        return c.select(F.lit(name).alias("metric"), expr.cast("long").alias("value_fp"))
+
+    rows = [
+        row("n_docs", F.col("n_docs")),
+        row("n_tokens", F.col("n_tokens")),
+        row(
+            "mean_doc_tokens_fp",
+            F.round(F.col("n_tokens").cast("double") * HEALTH_SCALE / F.col("n_docs")),
+        ),
+        row(
+            "exact_dup_rate_fp",
+            F.round(
+                (1 - F.col("n_distinct").cast("double") / F.col("n_docs")) * HEALTH_SCALE
+            ),
+        ),
+        row("lang_entropy_fp", F.col("ent_fp")),
+        row(
+            "gopher_pass_rate_fp",
+            F.round(F.col("n_pass").cast("double") * HEALTH_SCALE / F.col("n_docs")),
+        ),
+        row(
+            "pii_doc_rate_fp",
+            F.round(F.col("n_pii").cast("double") * HEALTH_SCALE / F.col("n_docs")),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -476,6 +476,7 @@ _GLOBAL_WINDOW_OK = {
     "similarity_pq_adc_topk": "codebook index (fixed K x M rows)",
     "similarity_ivf_pq_topk": "codebook index (fixed K x M rows)",
     "similarity_ivfpq_recall": "codebook index (fixed K x M rows)",
+    "pipeline_corpus_health_report": "per-language counts (bounded by the language-code vocabulary)",
     "text_zipf_slope": "rank over TakeOrdered top-R tokens (fixed R)",
     "events_cumulative_uniques": "running sum over calendar days (time-bounded)",
     "orders_open_backlog_curve": "running sum over calendar days (time-bounded)",
