@@ -755,3 +755,99 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.sum("bloom_hit") > 0, 1).otherwise(0).alias("flagged"),
         )
     )
+
+
+PREFIX_TAU_NUM, PREFIX_TAU_DEN = 1, 2  # Jaccard threshold τ = 0.5, exact rational
+
+
+@register(
+    "dedup_prefix_filter_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE {PREFIX_TAU_DEN} * i.n_common >= {PREFIX_TAU_NUM} * (sa.n + sb.n - i.n_common)
+    """,
+    category="dedup",
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join via PREFIX FILTERING (Chaudhuri et al.
+    SSJoin / Bayardo et al. All-Pairs; same family as PPJoin): order each
+    document's shingles by ascending global document frequency (rarest
+    first, shingle text as the deterministic tie-break) and probe with
+    only the first |S| - ceil(τ·|S|) + 1 of them. Two documents with
+    Jaccard >= τ MUST share a prefix shingle under a common global order,
+    so the filter is LOSSLESS — which the oracle proves end-to-end: it is
+    the plain exact all-pairs Jaccard-τ query with no prefix logic at all,
+    and the driver hash-match certifies the filtered plan returns the
+    identical pair set (the threshold compare is exact rational
+    {PREFIX_TAU_DEN}·|A∩B| >= {PREFIX_TAU_NUM}·|A∪B|, no float
+    boundary).
+
+    100 TB design vs the raw shingle join (dedup_ngram_jaccard): the
+    candidate join touches only prefix shingles — by construction the
+    RAREST shingles of each doc — so the hot keys that force a DF cap on
+    the raw join (stop-phrase trigrams shared by k docs → k² pairs) are
+    structurally excluded from the probe side; no recall trade needed.
+    Candidate verification is O(candidates): each candidate pair joins
+    doc-keyed to per-doc sorted shingle arrays and the overlap is an
+    array_intersect — no second shingle-keyed shuffle. Shuffles: DF count
+    + prefix window share the shingle key; the verify joins are keyed on
+    doc id. τ is a compile-time rational so prefix lengths use integer
+    arithmetic ((n·(den-num) + den - 1) div den + ... simplified below)
+    identically in both engines."""
+    from pyspark.sql import Window as W
+
+    sh = _shingles(spark, sf_dir)
+    # Global document frequency per shingle: the ordering key of the
+    # canonical prefix order (shingle-keyed agg; same key as the probe join).
+    df_ct = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sized = sh.join(df_ct, "shingle")
+    rn = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    )
+    n_doc = F.count("*").over(W.partitionBy("doc_id"))
+    # prefix length p = n - ceil(τ·n) + 1, all integer arithmetic:
+    # ceil(num·n/den) = (num·n + den - 1) div den.
+    ceil_tau_n = F.expr(
+        f"({PREFIX_TAU_NUM} * n + {PREFIX_TAU_DEN} - 1) div {PREFIX_TAU_DEN}"
+    )
+    prefix = (
+        sized.select("doc_id", "shingle", rn.alias("rn"), n_doc.alias("n"))
+        .filter(F.col("rn") <= F.col("n") - ceil_tau_n + 1)
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # O(candidates) verify: doc-keyed joins to sorted shingle arrays, overlap
+    # via array_intersect (shingle sets are distinct, so size == |A∩B|).
+    arrs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("arr"), F.count("*").alias("n")
+    )
+    av = arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"), F.col("n").alias("na"))
+    bv = arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"), F.col("n").alias("nb"))
+    n_common = F.size(F.array_intersect("arr_a", "arr_b"))
+    union_n = F.col("na") + F.col("nb") - n_common
+    return (
+        cand.join(av, "doc_a")
+        .join(bv, "doc_b")
+        .filter(F.lit(PREFIX_TAU_DEN) * n_common >= F.lit(PREFIX_TAU_NUM) * union_n)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(n_common.cast("double") / union_n.cast("double"), 6).alias("jaccard"),
+        )
+    )

@@ -880,3 +880,52 @@ def join_merge_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c.hint("MERGE"), o.o_custkey == c.c_custkey)
         .select("o_orderkey", "o_totalprice", "c_name")
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, nullif(c_nationkey % 5, 0) AS seg FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey, nullif(s_nationkey % 5, 0) AS seg FROM supplier
+    )
+    SELECT c.seg AS seg,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers
+    FROM c JOIN s ON c.seg IS NOT DISTINCT FROM s.seg
+    GROUP BY c.seg
+    """,
+    category="join",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (Spark `<=>` / eqNullSafe, SQL IS NOT DISTINCT
+    FROM): NULL keys MATCH each other instead of vanishing, the semantics
+    ETL needs when a segment/bucket column is legitimately absent on both
+    sides (a plain equi-join silently drops every NULL-keyed row — a
+    classic silent-data-loss bug this operator exists to make visible).
+    The NULL segment is derived with nullif so the fixture exercises the
+    null=null path deterministically. Physically `<=>` still plans as a
+    hash-equi join on the key (NULL hashes like any value under null-safe
+    equality), so the 100 TB shape is the ordinary shuffled/broadcast hash
+    join — no nested-loop penalty. One caveat at scale, stated because it
+    bites: ALL null-keyed rows land on ONE reducer key, so a mostly-null
+    key column needs the salted pattern (join_salted_skew) on the NULL
+    bucket; here NULL is 1/5 of keys by construction."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("seg")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("cseg")
+    )
+    return (
+        c.join(s, F.col("seg").eqNullSafe(F.col("cseg")))
+        .groupBy("seg")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count_distinct("c_custkey").alias("n_customers"),
+            F.count_distinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
