@@ -553,3 +553,94 @@ def agg_hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(total_ok, 1).otherwise(0).alias("hll_ok"),
     )
     return per_day.unionByName(total)
+
+
+CM_DEPTH = 4     # d: independent hash rows
+CM_WIDTH = 256   # w: counters per row -> 1024 cells total, ~8 KiB sketch
+CM_PROBES = 16   # audit probe set: top-k tokens by true frequency
+
+
+def _cm_col_sql(r: str, tok: str) -> str:
+    """DuckDB: row-r count-min column for a token (md5 byte-slice)."""
+    return (
+        f"CAST(('0x' || substr(md5('cm' || CAST({r} AS VARCHAR) || ':' || {tok}), 1, 8))"
+        f"::UBIGINT % {CM_WIDTH} AS BIGINT)"
+    )
+
+
+@register(
+    "agg_countmin_sketch",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    rs AS (SELECT unnest(range({CM_DEPTH})) AS r),
+    cells AS (
+      SELECT rs.r AS r, {_cm_col_sql("rs.r", "tok")} AS c, COUNT(*) AS cell
+      FROM toks CROSS JOIN rs GROUP BY 1, 2
+    ),
+    counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+    probes AS (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT {CM_PROBES}),
+    lookups AS (
+      SELECT p.tok, p.n, ce.cell
+      FROM probes p CROSS JOIN rs
+      JOIN cells ce ON ce.r = rs.r AND ce.c = {_cm_col_sql("rs.r", "p.tok")}
+    )
+    SELECT tok, CAST(n AS BIGINT) AS true_n,
+           CAST(MIN(cell) AS BIGINT) AS cm_est,
+           CAST(MIN(cell) - n AS BIGINT) AS overshoot
+    FROM lookups GROUP BY tok, n
+    """,
+    category="agg",
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan) built distributed, then
+    audited against exact counts: every token occurrence increments one
+    counter in each of {CM_DEPTH} hash rows of width {CM_WIDTH}; a point
+    query reads the MIN across rows, which can only OVERestimate (each
+    cell holds the token's count plus non-negative collision mass) — the
+    driver hash-match pins the estimates AND the overshoot column, and
+    overshoot >= 0 everywhere is the sketch's defining one-sided
+    guarantee (property-pinned in tests/test_sketch_properties.py).
+
+    100 TB design: the sketch is the scale path for frequency queries —
+    the groupBy key space is the FIXED (row, column) grid, so map-side
+    partial aggregation reduces every partition to <= {CM_DEPTH * CM_WIDTH}
+    cells before the shuffle; the shuffle carries O(partitions x cells),
+    never O(distinct tokens). Sketches are mergeable by cell-wise sum
+    (exactly what the partial->final aggregate does), so per-day or
+    per-shard sketches union for free — same pattern as the HLL operator
+    (agg_hll_mergeable_sketches). The exact `counts` branch exists only to
+    measure sketch error at test scale; a production frequency service
+    ships the 8 KiB cell table alone. All hashing is md5 byte-slices, so
+    the full sketch — not just the verdict — is cross-engine identical."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+
+    def cm_col(r, tok_col):
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"cm{r}:"), tok_col)), 1, 8), 16, 10)
+            .cast("long") % CM_WIDTH
+        )
+
+    rc = F.array(
+        *[F.struct(F.lit(r).alias("r"), cm_col(r, F.col("tok")).alias("c")) for r in range(CM_DEPTH)]
+    )
+    cells = (
+        toks.select(F.explode(rc).alias("rc"))
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.count("*").alias("cell"))
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    probes = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(CM_PROBES)
+    lookups = probes.select(
+        "tok", "n", F.explode(rc).alias("rc")
+    ).join(F.broadcast(cells), (F.col("rc.r") == F.col("r")) & (F.col("rc.c") == F.col("c")))
+    return lookups.groupBy("tok", "n").agg(F.min("cell").alias("cm_est")).select(
+        "tok",
+        F.col("n").alias("true_n"),
+        "cm_est",
+        (F.col("cm_est") - F.col("n")).alias("overshoot"),
+    )

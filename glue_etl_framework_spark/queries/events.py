@@ -631,3 +631,53 @@ def events_anomaly_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFram
             F.when(F.abs(z_fp) > ANOM_Z_FP, 1).otherwise(0).alias("anomalous"),
         )
     )
+
+
+TRAILING_DAYS = 7  # trailing-window width for the rolling distinct-user gauge
+
+
+@register(
+    "events_trailing_distinct_users",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS u7
+    FROM days JOIN du
+      ON du.d BETWEEN days.d - INTERVAL {TRAILING_DAYS - 1} DAY AND days.d
+    GROUP BY days.d
+    """,
+    category="events",
+)
+def events_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {TRAILING_DAYS}-day distinct active users per day (the "WAU
+    curve") — the metric a naive engine computes with a per-day COUNT
+    DISTINCT over a {TRAILING_DAYS}-day self-join of raw events, O(days x
+    events) with unbounded distinct state. Scale-correct reformulation:
+    collapse to DISTINCT (user, day) first (the only corpus-sized
+    shuffle, keyed and combinable), then fan each pair out to the
+    <= {TRAILING_DAYS} target days it makes active (a FIXED x{TRAILING_DAYS}
+    sequence-explode, not a join), re-distinct on (user, target_day), and
+    count. Every stage is keyed; per-day state never exceeds the distinct
+    (user, day) pairs of one window — this is also exactly the shape a
+    streaming version maintains incrementally. The oracle keeps the
+    textbook range-join COUNT DISTINCT formulation, so the hash-match
+    proves the fan-out rewrite equivalent. Days with no activity emit no
+    row (both engines; densify via window_days_densify if needed)."""
+    e = t(spark, sf_dir, "events")
+    du = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    fanned = du.select(
+        "user_id",
+        F.explode(
+            F.expr(f"sequence(d, date_add(d, {TRAILING_DAYS - 1}), interval 1 day)")
+        ).alias("tday"),
+    ).distinct()
+    present = du.select(F.col("d").alias("tday")).distinct()
+    return (
+        fanned.join(present, "tday")
+        .groupBy("tday")
+        .agg(F.count("*").alias("u7"))  # fanned is distinct (user, tday)
+        .select(F.date_format("tday", "yyyy-MM-dd").alias("day"), "u7")
+    )

@@ -5783,30 +5783,103 @@ def pipeline_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame
     def row(name, expr):
         return c.select(F.lit(name).alias("metric"), expr.cast("long").alias("value_fp"))
 
+    # try_divide, not /: a zero-doc corpus must yield NULL rates (DuckDB's
+    # x/0 semantics), not an ANSI DIVIDE_BY_ZERO — pinned by the
+    # empty-input sweep (tests/test_empty_inputs.py).
     rows = [
         row("n_docs", F.col("n_docs")),
         row("n_tokens", F.col("n_tokens")),
         row(
             "mean_doc_tokens_fp",
-            F.round(F.col("n_tokens").cast("double") * HEALTH_SCALE / F.col("n_docs")),
+            F.round(
+                F.try_divide(F.col("n_tokens").cast("double") * HEALTH_SCALE, F.col("n_docs"))
+            ),
         ),
         row(
             "exact_dup_rate_fp",
             F.round(
-                (1 - F.col("n_distinct").cast("double") / F.col("n_docs")) * HEALTH_SCALE
+                (1 - F.try_divide(F.col("n_distinct").cast("double"), F.col("n_docs")))
+                * HEALTH_SCALE
             ),
         ),
         row("lang_entropy_fp", F.col("ent_fp")),
         row(
             "gopher_pass_rate_fp",
-            F.round(F.col("n_pass").cast("double") * HEALTH_SCALE / F.col("n_docs")),
+            F.round(
+                F.try_divide(F.col("n_pass").cast("double") * HEALTH_SCALE, F.col("n_docs"))
+            ),
         ),
         row(
             "pii_doc_rate_fp",
-            F.round(F.col("n_pii").cast("double") * HEALTH_SCALE / F.col("n_docs")),
+            F.round(
+                F.try_divide(F.col("n_pii").cast("double") * HEALTH_SCALE, F.col("n_docs"))
+            ),
         ),
     ]
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+HRW_SHARDS = 8  # fixed shard ring for the rendezvous assignment
+
+
+@register(
+    "layout_rendezvous_sharding",
+    oracle=f"""
+    WITH shards AS (SELECT unnest(range({HRW_SHARDS})) AS shard),
+    assign AS (
+      SELECT d.doc_id, d.source, length(d.text) AS nbytes,
+             arg_max(s.shard, md5(CAST(s.shard AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))) AS shard
+      FROM documents d CROSS JOIN shards s
+      GROUP BY d.doc_id, d.source, length(d.text)
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM assign GROUP BY shard
+    """,
+    category="layout",
+)
+def layout_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous / highest-random-weight (HRW) sharding (Thaler &
+    Ravishankar): each document goes to argmax over shards of
+    md5(shard ':' doc_id) — the consistent-hashing scheme whose defining
+    property is MINIMAL RESHUFFLE: removing one shard remaps ONLY the
+    documents that lived on it (each survivor's argmax over the remaining
+    shards is unchanged), so growing or draining a 100 TB corpus's shard
+    ring moves 1/N of the data instead of rehash-everything. That
+    property is pinned exactly in tests/test_sketch_properties.py — the
+    oracle here certifies the full assignment via per-shard doc counts,
+    byte totals, and source spread.
+
+    Scale shape: the argmax is a per-row expression over a FIXED
+    {HRW_SHARDS}-element literal array (array_max over (hash, shard)
+    structs — no join, no shuffle for the assignment itself), then one
+    bounded groupBy on shard. Contrast with mod-hashing
+    (curation shard packing): same balance, but mod remaps ~100% of keys
+    when N changes. The md5 ranking makes the assignment portable and
+    engine-checkable, unlike JVM-seeded hash functions."""
+    d = t(spark, sf_dir, "documents")
+    ranked = F.array(
+        *[
+            F.struct(
+                F.md5(F.concat(F.lit(f"{s}:"), F.col("doc_id").cast("string"))).alias("h"),
+                F.lit(s).alias("shard"),
+            )
+            for s in range(HRW_SHARDS)
+        ]
+    )
+    assigned = d.select(
+        "doc_id",
+        "source",
+        F.length("text").alias("nbytes"),
+        F.array_max(ranked).getField("shard").alias("shard"),
+    )
+    return assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nbytes").alias("total_bytes"),
+        F.count_distinct("source").alias("n_sources"),
+    )

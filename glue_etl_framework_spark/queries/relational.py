@@ -929,3 +929,83 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("s_suppkey").alias("n_suppliers"),
         )
     )
+
+
+SJR_BITS = 8192   # bloom size in bits for the runtime join filter
+SJR_WORD = 32     # bits packed per BIGINT word
+SJR_HASHES = 2    # probe positions per key (md5 byte-slices)
+
+
+@register(
+    "join_bloom_semijoin_reduction",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 450000
+    GROUP BY o.o_orderpriority
+    """,
+    category="join",
+)
+def join_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction with a runtime bloom filter — the distributed-DB
+    classic (Bernstein & Chiu 1981; Trino/Snowflake runtime filters; Spark
+    3.3's spark.sql.optimizer.runtime.bloomFilter): the selective side
+    (orders with totalprice > 450k, ~a few % of orders) builds an 8 KiB
+    bit-array over its join keys; the fact scan (lineitem) probes the
+    broadcast words MAP-SIDE and drops rows whose key can't possibly
+    match BEFORE the shuffle — so shuffle volume tracks the dimension's
+    selectivity, not the fact's size. Bloom filters never produce false
+    negatives, so the result is EXACTLY the plain join: the oracle is
+    that plain join with no bloom anywhere, and the driver hash-match
+    certifies losslessness (false positives cost only wasted shuffle
+    rows; the exact join drops them).
+
+    Plan shape: bit-array build = two bounded aggregates (positions ->
+    <= 256 BIGINT words); the probe is SJR_HASHES broadcast hash joins
+    on word index + a scan-side bit test — no extra shuffle, no per-row
+    Python. At 100 TB you'd size m from the build side's NDV (~10
+    bits/key for 1% FP) exactly as dedup's bloom prefilter documents."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+
+    def pos(j, key_col):
+        return (
+            F.conv(F.substring(F.md5(key_col.cast("string")), 1 + 8 * j, 8), 16, 10)
+            .cast("long") % SJR_BITS
+        )
+
+    build_pos = orders.select(
+        F.explode(F.array(*[pos(j, F.col("o_orderkey")) for j in range(SJR_HASHES)])).alias("p")
+    ).distinct()
+    words = build_pos.groupBy((F.col("p") / SJR_WORD).cast("long").alias("w")).agg(
+        F.expr(f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % {SJR_WORD} AS INT)))").alias("bits")
+    )
+    probed = li
+    for j in range(SJR_HASHES):
+        wj = words.select(F.col("w").alias(f"w{j}"), F.col("bits").alias(f"bits{j}"))
+        pj = pos(j, F.col("l_orderkey"))
+        probed = (
+            probed.withColumn(f"p{j}", pj)
+            .join(F.broadcast(wj), (F.col(f"p{j}") / SJR_WORD).cast("long") == F.col(f"w{j}"), "left")
+            .filter(
+                F.col(f"bits{j}").isNotNull()
+                & (
+                    F.col(f"bits{j}").bitwiseAND(
+                        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p{j} % {SJR_WORD} AS INT))")
+                    )
+                    != 0
+                )
+            )
+            .drop(f"p{j}", f"w{j}", f"bits{j}")
+        )
+    return (
+        probed.join(orders, probed.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue_cents"),
+        )
+    )
