@@ -71,6 +71,9 @@ HEADLINE = [
     "dedup_semdedup",                 # semantic dedup: IVF cells + hyperplane bands
     "similarity_ivf_pq_topk",         # combined IVF cell pruning + PQ ADC scoring
     "pipeline_incremental_ingest",    # quality -> bloom prefilter -> gated exact verify
+    "dedup_prefix_filter_jaccard",    # PPJoin-style prefix-filtered similarity join
+    "agg_countmin_sketch",            # fixed-grid mergeable frequency sketch
+    "join_bloom_semijoin_reduction",  # runtime bloom filter before the fact shuffle
     # graph_triangle_copurchase is deliberately NOT benched: the wedge
     # join is inherently Theta(sum outdeg^2) — ~25s at sf0.1 on this box —
     # and its cost tracks graph density, not fixture scale (SCALING.md

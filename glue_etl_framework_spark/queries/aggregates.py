@@ -591,12 +591,12 @@ def _cm_col_sql(r: str, tok: str) -> str:
            CAST(MIN(cell) - n AS BIGINT) AS overshoot
     FROM lookups GROUP BY tok, n
     """,
-    category="agg",
+    category="aggregate",
 )
 def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan) built distributed, then
     audited against exact counts: every token occurrence increments one
-    counter in each of {CM_DEPTH} hash rows of width {CM_WIDTH}; a point
+    counter in each of 4 (CM_DEPTH) hash rows of width 256 (CM_WIDTH); a point
     query reads the MIN across rows, which can only OVERestimate (each
     cell holds the token's count plus non-negative collision mass) — the
     driver hash-match pins the estimates AND the overshoot column, and
@@ -605,7 +605,7 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB design: the sketch is the scale path for frequency queries —
     the groupBy key space is the FIXED (row, column) grid, so map-side
-    partial aggregation reduces every partition to <= {CM_DEPTH * CM_WIDTH}
+    partial aggregation reduces every partition to <= 1024
     cells before the shuffle; the shuffle carries O(partitions x cells),
     never O(distinct tokens). Sketches are mergeable by cell-wise sum
     (exactly what the partial->final aggregate does), so per-day or

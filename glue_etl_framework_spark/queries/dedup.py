@@ -790,7 +790,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plain exact all-pairs Jaccard-τ query with no prefix logic at all,
     and the driver hash-match certifies the filtered plan returns the
     identical pair set (the threshold compare is exact rational
-    {PREFIX_TAU_DEN}·|A∩B| >= {PREFIX_TAU_NUM}·|A∪B|, no float
+    den·|A∩B| >= num·|A∪B| with τ = num/den = 1/2, no float
     boundary).
 
     100 TB design vs the raw shingle join (dedup_ngram_jaccard): the

@@ -652,13 +652,13 @@ TRAILING_DAYS = 7  # trailing-window width for the rolling distinct-user gauge
     category="events",
 )
 def events_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling {TRAILING_DAYS}-day distinct active users per day (the "WAU
+    """Rolling 7-day (TRAILING_DAYS) distinct active users per day (the "WAU
     curve") — the metric a naive engine computes with a per-day COUNT
-    DISTINCT over a {TRAILING_DAYS}-day self-join of raw events, O(days x
+    DISTINCT over a 7-day self-join of raw events, O(days x
     events) with unbounded distinct state. Scale-correct reformulation:
     collapse to DISTINCT (user, day) first (the only corpus-sized
     shuffle, keyed and combinable), then fan each pair out to the
-    <= {TRAILING_DAYS} target days it makes active (a FIXED x{TRAILING_DAYS}
+    <= 7 target days it makes active (a FIXED x7
     sequence-explode, not a join), re-distinct on (user, target_day), and
     count. Every stage is keyed; per-day state never exceeds the distinct
     (user, day) pairs of one window — this is also exactly the shape a

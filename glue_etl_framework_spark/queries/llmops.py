@@ -5856,7 +5856,7 @@ def layout_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte totals, and source spread.
 
     Scale shape: the argmax is a per-row expression over a FIXED
-    {HRW_SHARDS}-element literal array (array_max over (hash, shard)
+    HRW_SHARDS(=8)-element literal array (array_max over (hash, shard)
     structs — no join, no shuffle for the assignment itself), then one
     bounded groupBy on shard. Contrast with mod-hashing
     (curation shard packing): same balance, but mod remaps ~100% of keys
