@@ -644,3 +644,99 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cm_est",
         (F.col("cm_est") - F.col("n")).alias("overshoot"),
     )
+
+
+MEDIAN_BINS = 4096  # pass-1 histogram resolution for the two-pass quantile
+
+
+def _quantile_pass2(vals, cum, kname):
+    """Second pass for one quantile rank column `kname` (carried through
+    the histogram): locate the target bin in the bounded cumulative
+    histogram, then resolve the exact rank within that single bin.
+    Always returns a 1-row frame (NULL on empty input)."""
+    from pyspark.sql import Window as W
+
+    target = (
+        cum.filter(F.col("cum") >= F.col(kname))
+        .orderBy("bin")
+        .limit(1)
+        .select(
+            F.col("bin").alias("tbin"),
+            (F.col("cum") - F.col("n_bin")).alias("cum_before"),
+            F.col("width").alias("twidth"),
+            F.col(kname).alias("tk"),
+        )
+    )
+    within = (
+        vals.crossJoin(F.broadcast(target))
+        .filter(F.expr("c div twidth") == F.col("tbin"))
+        .groupBy("c", "cum_before", "tk")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("cumv", F.sum("cnt").over(W.orderBy("c")))
+    )
+    return within.filter(
+        F.col("cumv") >= F.col("tk") - F.col("cum_before")
+    ).agg(F.min("c").alias("q"))
+
+
+@register(
+    "agg_exact_median_twopass",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(quantile_disc(c, 0.5) AS BIGINT) AS median_cents,
+           CAST(quantile_disc(c, 0.9) AS BIGINT) AS p90_cents
+    FROM v
+    """,
+    category="aggregate",
+)
+def agg_exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed median + p90 with NO global sort — the two-pass
+    histogram selection method: pass 1 bins every value into a fixed
+    4096-cell histogram (map-side partial agg -> <= 4096 rows cross the
+    shuffle) and a bounded cumulative sum locates the bin holding rank
+    k = ceil(q*n); pass 2 re-scans ONLY that bin's values and resolves
+    the exact rank among its distinct values. Contrast the two standard
+    alternatives at 100 TB: a global sort-by-value (orderBy +
+    row_number) is a full-data range shuffle, and approx_percentile
+    gives no exactness guarantee — this plan's shuffles are O(bins) and
+    O(one bin's distinct values), both bounded, and the answer is exact
+    (hash-matched against DuckDB's quantile_disc, whose discrete rank
+    ceil(q*n) both k columns reproduce in pure integer arithmetic:
+    kmed = (n+1) div 2, k90 = (9n+9) div 10). A pathological bin (all
+    mass in one cell) degrades pass 2 to that bin's distinct-value
+    count; the production hardening is recursing the same two passes on
+    the bin. Rank within the bin is order-independent (per-value counts,
+    not row_number), so partitioning never changes the result.
+    NULL/empty input yields (0, NULL, NULL) — same as the oracle. The
+    unpartitioned windows run over the 4096-bin histogram and one bin's
+    distinct values — both bounded (plan-audit allowlisted)."""
+    li = t(spark, sf_dir, "lineitem")
+    vals = li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"))
+    s = (
+        vals.agg(F.count("*").alias("n"), F.max("c").alias("maxc"))
+        .withColumn("kmed", F.expr("(n + 1) div 2"))
+        .withColumn("k90", F.expr("(9 * n + 9) div 10"))
+    )
+    binned = (
+        vals.crossJoin(F.broadcast(s))
+        .withColumn("width", F.expr(f"maxc div {MEDIAN_BINS} + 1"))
+        .withColumn("bin", F.expr("c div width"))
+    )
+    hist = binned.groupBy("bin").agg(
+        F.count("*").alias("n_bin"),
+        F.max("width").alias("width"),
+        F.max("kmed").alias("kmed"),
+        F.max("k90").alias("k90"),
+    )
+    cum = hist.withColumn("cum", F.sum("n_bin").over(W.orderBy("bin")))
+    med = _quantile_pass2(vals, cum, "kmed").select(F.col("q").alias("median_cents"))
+    p90 = _quantile_pass2(vals, cum, "k90").select(F.col("q").alias("p90_cents"))
+    return (
+        s.select("n")
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(p90))
+        .select("n", "median_cents", "p90_cents")
+    )
