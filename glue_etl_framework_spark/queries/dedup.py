@@ -851,3 +851,104 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(n_common.cast("double") / union_n.cast("double"), 6).alias("jaccard"),
         )
     )
+
+
+SN_WINDOW = 4   # sorted-neighborhood comparison window (w)
+SN_BUCKET = 4   # blocking-bucket key length (chars)
+SN_KEY = 24     # sort-key length (chars)
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    ranked AS (
+      SELECT doc_id, substr(text, 1, {SN_BUCKET}) AS bucket,
+             row_number() OVER (PARTITION BY substr(text, 1, {SN_BUCKET})
+                                ORDER BY substr(text, 1, {SN_KEY}), doc_id) AS rn
+      FROM documents
+    ),
+    cand AS (
+      SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+             GREATEST(a.doc_id, b.doc_id) AS doc_b
+      FROM ranked a JOIN ranked b
+        ON a.bucket = b.bucket AND b.rn - a.rn BETWEEN 1 AND {SN_WINDOW - 1}
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM cand c
+    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5
+    """,
+    category="dedup",
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo's merge/purge —
+    the third classic candidate-generation family next to LSH banding
+    and prefix filtering): sort documents by a cheap key (first 24 chars
+    of the text), compare each doc only with its w-1 = 3 successors in
+    sort order, verify candidates with exact shingle Jaccard. Candidate
+    volume is EXACTLY (w-1) x n — linear by construction, no DF caps or
+    band tuning needed — at the cost of RECALL tied to the key: only
+    near-dups that sort near each other are found (here near-dups share
+    long prefixes, so the window catches them; production runs multiple
+    passes with different keys — suffix, token-sort — and unions pairs).
+
+    100 TB shape: ranks are computed per BUCKET (first 4 chars), so the
+    sort is many partitioned windows, not one global order — the
+    documented trade is pairs straddling a bucket boundary (the fraction
+    lost is w/bucket-size; the oracle mirrors the same bucketing so the
+    check is exact). The neighbor join is an equi-join on (bucket, rank)
+    via a fixed x3 offset explode — no range join, no skew (ranks are
+    unique within a bucket). Verification joins candidates doc-keyed to
+    sorted shingle arrays: O(candidates) = O(n), never a shingle-keyed
+    pair blowup."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    ranked = d.select(
+        "doc_id",
+        F.substring("text", 1, SN_BUCKET).alias("bucket"),
+        F.substring("text", 1, SN_KEY).alias("k"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("bucket").orderBy("k", "doc_id")),
+    )
+    a = ranked.select(
+        "bucket",
+        F.col("doc_id").alias("id_a"),
+        "rn",
+        F.explode(F.array(*[F.lit(i) for i in range(1, SN_WINDOW)])).alias("off"),
+    ).select("bucket", "id_a", (F.col("rn") + F.col("off")).alias("target"))
+    b = ranked.select("bucket", F.col("doc_id").alias("id_b"), F.col("rn").alias("target"))
+    cand = (
+        a.join(b, ["bucket", "target"])
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh = _shingles(spark, sf_dir)
+    arrs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("arr"), F.count("*").alias("n")
+    )
+    av = arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"), F.col("n").alias("na"))
+    bv = arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"), F.col("n").alias("nb"))
+    n_common = F.size(F.array_intersect("arr_a", "arr_b"))
+    union_n = F.col("na") + F.col("nb") - n_common
+    jac = n_common.cast("double") / union_n.cast("double")
+    return (
+        cand.join(av, "doc_a")
+        .join(bv, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

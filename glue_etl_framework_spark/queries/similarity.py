@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from glue_etl_framework_spark.queries import register, t
+from glue_etl_framework_spark.queries.dedup import SHINGLE_DF_CAP
 
 SCALE = 1 << 20
 N_QUERIES = 10  # vec_id < 10 are the query vectors for top-k
@@ -931,3 +932,208 @@ def embedding_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pair_mean / self_mean, 9).alias("anisotropy"),
         )
     )
+
+
+TFIDF_SCALE = 1_000_000  # fixed-point idf weights: round(ln(N/df) * 1e6)
+TFIDF_COS_MIN = 500_000  # emit pairs with weighted cosine >= 0.5
+
+
+@register(
+    "similarity_tfidf_shingle_cosine",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, length(w) - 1),
+                                   i -> array_to_string(w[i:i+2], ' '))) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      WHERE length(w) >= 3
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM sh),
+    wts AS (
+      SELECT s.doc_id, s.shingle,
+             CAST(round(ln(CAST(nd.n AS DOUBLE) / df.df) * {TFIDF_SCALE}) AS BIGINT) AS w
+      FROM sh s
+      JOIN (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+            HAVING COUNT(*) <= {SHINGLE_DF_CAP}) df USING (shingle)
+      CROSS JOIN nd
+    ),
+    norms AS (SELECT doc_id, SUM(w * w) AS ss FROM wts GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+      FROM wts a JOIN wts b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.doc_a, d.doc_b,
+           CAST(round(CAST(d.dot AS DOUBLE)
+                      / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE)))
+                      * {TFIDF_SCALE}) AS BIGINT) AS cos_fp
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+    WHERE CAST(round(CAST(d.dot AS DOUBLE)
+                     / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE)))
+                     * {TFIDF_SCALE}) AS BIGINT) >= {TFIDF_COS_MIN}
+    """,
+    category="similarity",
+)
+def similarity_tfidf_shingle_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sparse-vector similarity join — TF-IDF cosine over the
+    shingle inverted index (the IR-classic document-pair scorer; Salton's
+    vector space model): each doc is a sparse vector of idf weights
+    round(ln(N/df) * 1e6) over its distinct shingles, pairs meet through
+    the shingle-keyed index join, and cosine = dot / (|a||b|). Where
+    Jaccard (dedup_ngram_jaccard) counts shared shingles equally, idf
+    weighting makes RARE shared shingles dominate — boilerplate overlap
+    scores near zero, so the same candidate join yields a
+    precision-ranked pair list. All weights and dot products are exact
+    BIGINT fixed-point (order-independent sums); only the final
+    normalize touches doubles (sqrt is IEEE-correctly-rounded in both
+    engines), and the emitted score is fixed-point — bit-identical
+    cross-engine, like the KL/PMI/logprob family.
+
+    100 TB shape: identical to the Jaccard join — DF-capped
+    (SHINGLE_DF_CAP) shingle-keyed self-join (the idf of a capped-out shingle would be
+    ~0 anyway: the cap and the weighting agree), per-doc norms keyed on
+    doc_id, no data-sized broadcast (the N scalar is a 1-row cross
+    join). Candidate volume bounds and the hot-key rationale are
+    SHINGLE_DF_CAP's comment in dedup.py."""
+    from glue_etl_framework_spark.queries.dedup import _shingles
+
+    sh = _shingles(spark, sf_dir)
+    nd = sh.agg(F.count_distinct("doc_id").alias("n"))
+    dfs = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+    )
+    wts = (
+        sh.join(dfs, "shingle")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "shingle",
+            F.round(F.log(F.col("n").cast("double") / F.col("df")) * TFIDF_SCALE)
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    norms = wts.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("ss"))
+    a = wts.alias("a")
+    b = wts.alias("b")
+    dots = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ssa"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ssb"))
+    cos_fp = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("ssa").cast("double")) * F.sqrt(F.col("ssb").cast("double")))
+        * TFIDF_SCALE
+    ).cast("long")
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cos_fp.alias("cos_fp"))
+        .filter(F.col("cos_fp") >= TFIDF_COS_MIN)
+    )
+
+
+K_CENTERS = 4  # greedy farthest-point rounds (the coreset size)
+
+
+def _kc_dist_sql(a: str, b: str) -> str:
+    """DuckDB: exact integer squared L2 between two quantized vectors."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+
+
+def _kcenter_oracle() -> str:
+    stages = [f"c1 AS (SELECT vec_id AS cid, q AS cq FROM quant ORDER BY vec_id LIMIT 1)",
+              f"d1 AS (SELECT p.vec_id, p.q, {_kc_dist_sql('p.q', 'c.cq')} AS mind FROM quant p CROSS JOIN c1 c)"]
+    for i in range(2, K_CENTERS + 1):
+        stages.append(
+            f"n{i} AS (SELECT vec_id, q, mind FROM d{i-1} ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        if i < K_CENTERS:
+            stages.append(
+                f"d{i} AS (SELECT d.vec_id, d.q, LEAST(d.mind, {_kc_dist_sql('d.q', 'n.q')}) AS mind "
+                f"FROM d{i-1} d CROSS JOIN n{i} n)"
+            )
+    selects = ["SELECT CAST(1 AS INT) AS sel_order, cid AS vec_id, CAST(0 AS BIGINT) AS dist_fp FROM c1"]
+    for i in range(2, K_CENTERS + 1):
+        selects.append(f"SELECT CAST({i} AS INT), vec_id, CAST(mind AS BIGINT) FROM n{i}")
+    return (
+        "    WITH quant AS (" + _QUANT_SQL + "),\n    "
+        + ",\n    ".join(stages)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+    )
+
+
+@register("curation_kcenter_coreset", oracle=_kcenter_oracle(), category="curation")
+def curation_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center / farthest-point coreset selection (Gonzalez 1985
+    — the 2-approximation for the k-center objective, and the standard
+    diversity-sampling baseline for training-data curation: pick the
+    next example FARTHEST from everything already selected). K_CENTERS
+    rounds; each round is one full-corpus pass computing min squared-L2
+    to the current centers (a crossJoin against a BROADCAST frame of
+    <= K single rows — O(n*K) work, zero shuffle for the distances)
+    followed by a TakeOrdered argmax (deterministic tie-break on
+    vec_id). Distances are exact BIGINT on the shared 2^20 quantization
+    grid, so every selection — and therefore the whole greedy trajectory
+    — is bit-identical cross-engine; the oracle unrolls the same K
+    rounds as chained CTEs. Returns (sel_order, vec_id, dist_fp): the
+    dist_fp column is the coverage radius at each step, the curve that
+    tells you when adding coreset points stops buying diversity.
+
+    100 TB: K passes over the corpus, each embarrassingly parallel; the
+    driver never sees a vector (argmax via limit(1), centers stay in
+    DataFrames). For k in the thousands, the production variant batches
+    rounds (over-sample per pass, re-verify) — same plan per pass."""
+    pts = _quantized(spark, sf_dir).select("vec_id", "q")
+
+    def dist(qa, qb):
+        return F.aggregate(
+            F.zip_with(qa, qb, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    c1 = pts.orderBy("vec_id").limit(1)
+    centers = c1.select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"))
+    sel = [
+        c1.select(
+            F.lit(1).cast("int").alias("sel_order"),
+            "vec_id",
+            F.lit(0).cast("long").alias("dist_fp"),
+        )
+    ]
+    for i in range(2, K_CENTERS + 1):
+        mind = (
+            pts.crossJoin(F.broadcast(centers))
+            .select("vec_id", dist(F.col("q"), F.col("cq")).alias("dd"))
+            .groupBy("vec_id")
+            .agg(F.min("dd").alias("mind"))
+        )
+        nxt = mind.orderBy(F.col("mind").desc(), F.col("vec_id").asc()).limit(1)
+        sel.append(
+            nxt.select(
+                F.lit(i).cast("int").alias("sel_order"),
+                "vec_id",
+                F.col("mind").alias("dist_fp"),
+            )
+        )
+        centers = centers.unionByName(
+            nxt.join(pts, "vec_id").select(
+                F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+            )
+        )
+    out = sel[0]
+    for s in sel[1:]:
+        out = out.unionByName(s)
+    return out
