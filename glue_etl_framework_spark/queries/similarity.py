@@ -313,6 +313,29 @@ def _band_exprs_sql() -> list[str]:
     return bands
 
 
+def _hyperplane_sig(v: DataFrame) -> DataFrame:
+    """(vec_id, bidx, bv): the 8-bit band values of the 16-bit hyperplane
+    signature, one row per vector per band — the LSH index frame shared by
+    the pairs join and the multi-probe query path."""
+    band_cols = []
+    for b in range(N_HYPERPLANES // _BAND_BITS):
+        bits = []
+        for k in range(_BAND_BITS):
+            j = b * _BAND_BITS + k
+            signs = F.array(*[F.lit(s) for s in _hyperplane_signs(j)])
+            proj = F.aggregate(
+                F.zip_with(F.col("q"), signs, lambda x, s: x * s.cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0)))
+        band_cols.append(sum(bits[1:], bits[0]).alias(f"band{b}"))
+    return v.select(
+        "vec_id",
+        F.posexplode(F.array(*band_cols)).alias("bidx", "bv"),
+    )
+
+
 @register(
     "similarity_lsh_hyperplane_pairs",
     oracle=f"""
@@ -349,28 +372,12 @@ def similarity_lsh_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     Raising bands/bits trades recall vs candidate volume; recall against
     the label-blocked exact pairs is property-tested in tests/."""
     v = _quantized(spark, sf_dir)
-    band_cols = []
-    for b in range(N_HYPERPLANES // _BAND_BITS):
-        bits = []
-        for k in range(_BAND_BITS):
-            j = b * _BAND_BITS + k
-            signs = F.array(*[F.lit(s) for s in _hyperplane_signs(j)])
-            proj = F.aggregate(
-                F.zip_with(F.col("q"), signs, lambda x, s: x * s.cast("long")),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0)))
-        band_cols.append(sum(bits[1:], bits[0]).alias(f"band{b}"))
     # One (band_idx, band_value) row per vector per band, then ONE self-join
     # keyed on both — the same banded shape as MinHash LSH. The per-band
     # union-of-self-joins formulation re-derives the signature lineage
     # (quantize + 16 hyperplane projections) once per band per side; this
     # computes it once and shuffles only (vec_id, bidx, bv) triples.
-    sig = v.select(
-        "vec_id",
-        F.posexplode(F.array(*band_cols)).alias("bidx", "bv"),
-    )
+    sig = _hyperplane_sig(v)
     a_side = sig.select(F.col("vec_id").alias("vec_a"), "bidx", "bv")
     b_side = sig.select(F.col("vec_id").alias("vec_b"), "bidx", "bv")
     cand = (
@@ -1137,3 +1144,131 @@ def curation_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in sel[1:]:
         out = out.unionByName(s)
     return out
+
+
+MP_MASKS = [0] + [1 << k for k in range(_BAND_BITS)]  # exact probe + 8 Hamming-1 flips
+
+
+def _multiprobe_oracle() -> str:
+    b0, b1 = _band_exprs_sql()
+    masks = ", ".join(str(m) for m in MP_MASKS)
+    return f"""
+    WITH quant AS ({_QUANT_SQL}),
+    normed AS ({_NORM_SQL}),
+    sig AS (
+      SELECT vec_id, {b0} AS band0, {b1} AS band1 FROM quant
+    ),
+    sigl AS (
+      SELECT vec_id, 0 AS bidx, band0 AS bv FROM sig
+      UNION ALL SELECT vec_id, 1, band1 FROM sig
+    ),
+    probes AS (
+      SELECT s.vec_id AS query_id, s.bidx, xor(s.bv, m.m) AS bv,
+             CASE WHEN m.m = 0 THEN 1 ELSE 0 END AS is_exact
+      FROM sigl s CROSS JOIN (SELECT unnest([{masks}]) AS m) m
+      WHERE s.vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id, MAX(p.is_exact) AS via_exact
+      FROM probes p JOIN sigl c ON c.bidx = p.bidx AND c.bv = p.bv
+      WHERE c.vec_id <> p.query_id
+      GROUP BY 1, 2
+    ),
+    counts AS (
+      SELECT query_id,
+             CAST(SUM(via_exact) AS BIGINT) AS n_cand_plain,
+             CAST(COUNT(*) AS BIGINT) AS n_cand_multi
+      FROM cand GROUP BY query_id
+    ),
+    truth AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_COSINE_SQL.format(a='q', b='c')} DESC, c.vec_id) AS rn
+      FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    hits AS (
+      SELECT t.query_id,
+             CAST(SUM(CASE WHEN c.via_exact = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_plain,
+             CAST(SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_multi
+      FROM truth t LEFT JOIN cand c
+        ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+      WHERE t.rn <= {TOP_K}
+      GROUP BY t.query_id
+    )
+    SELECT co.query_id, co.n_cand_plain, co.n_cand_multi, h.hits_plain, h.hits_multi
+    FROM counts co JOIN hits h USING (query_id)
+    """
+
+
+@register("similarity_lsh_multiprobe_recall", oracle=_multiprobe_oracle(), category="similarity")
+def similarity_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (Lv et al. 2007): instead of paying more memory for
+    more hash tables, each query ALSO probes the buckets whose band value
+    differs by one bit (the 8 Hamming-1 neighbors per 8-bit band) — near
+    neighbors that landed one hyperplane-sign away become reachable with
+    the SAME index. This operator measures the trade in-engine for the 10
+    fixture queries: candidate volume and top-5 recall for plain probing
+    vs multi-probe, against exact brute-force cosine ground truth.
+    hits_multi >= hits_plain and n_cand_multi >= n_cand_plain hold by
+    construction (probe sets nest); both columns are driver-hash-pinned.
+
+    100 TB shape: the index frame is the SAME (vec_id, band, value)
+    frame the pairs join uses (one corpus pass, reused); multi-probing
+    multiplies only the QUERY side by 9 bounded rows per band — the
+    candidate join stays keyed on (band_idx, band_value), and the exact
+    re-rank touches only candidates. The production knob sequence probes
+    buckets in increasing expected distance; the Hamming-1 ring is the
+    first step of that sequence."""
+    v = _quantized(spark, sf_dir)
+    sigl = _hyperplane_sig(v)
+    probes = (
+        sigl.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "bidx",
+            "bv",
+            F.explode(F.array(*[F.lit(m) for m in MP_MASKS])).alias("m"),
+        )
+        .select(
+            "query_id",
+            "bidx",
+            F.expr("int(bv ^ m)").alias("bv"),
+            F.when(F.col("m") == 0, 1).otherwise(0).alias("is_exact"),
+        )
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(sigl.select(F.col("vec_id").alias("neighbor_id"), "bidx", "bv"), ["bidx", "bv"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("is_exact").alias("via_exact"))
+    )
+    counts = cand.groupBy("query_id").agg(
+        F.sum("via_exact").alias("n_cand_plain"),
+        F.count("*").alias("n_cand_multi"),
+    )
+    qv = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), F.col("nq").alias("na")
+    )
+    nv = v.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"), F.col("nq").alias("nb"))
+    cosine = _dot(F.col("qa"), F.col("qb")) / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    truth_w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    truth = (
+        F.broadcast(qv)
+        .join(nv, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rn", F.row_number().over(truth_w))
+        .filter(F.col("rn") <= TOP_K)
+    )
+    hits = (
+        truth.join(cand, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("via_exact") == 1, 1).otherwise(0)).alias("hits_plain"),
+            F.sum(F.when(F.col("via_exact").isNotNull(), 1).otherwise(0)).alias("hits_multi"),
+        )
+    )
+    return counts.join(hits, "query_id")

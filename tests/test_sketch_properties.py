@@ -121,3 +121,17 @@ def test_rendezvous_minimal_reshuffle(spark):
     assert moved_without_cause == 0
     # and the drained shard's docs all land somewhere in the remaining ring
     assert both.filter(F.col("reduced") == HRW_SHARDS - 1).count() == 0
+
+
+def test_multiprobe_candidates_nest(spark):
+    """Multi-probe LSH probes a superset of the plain buckets, so candidate
+    sets and hits nest per query."""
+    from glue_etl_framework_spark.queries.similarity import (
+        similarity_lsh_multiprobe_recall,
+    )
+
+    out = similarity_lsh_multiprobe_recall(spark, SF_SMOKE).collect()
+    assert out, "no query rows"
+    for r in out:
+        assert r.n_cand_multi >= r.n_cand_plain
+        assert r.hits_multi >= r.hits_plain
