@@ -334,3 +334,115 @@ def map_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").alias("k"),
         F.concat(s.getField("et"), F.lit("#"), s.getField("uid").cast("string")).alias("composite_key"),
     )
+
+
+CHUNK_TOKENS = 10  # UDTF demo: tokens per emitted chunk
+
+
+@register(
+    "udf_python_udtf_chunks",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, length(string_split(text, ' ')) AS n_toks FROM documents
+    )
+    SELECT doc_id,
+           CAST((n_toks + {CHUNK_TOKENS} - 1) // {CHUNK_TOKENS} AS BIGINT) AS n_chunks,
+           CAST(n_toks - {CHUNK_TOKENS} * ((n_toks + {CHUNK_TOKENS} - 1) // {CHUNK_TOKENS} - 1) AS BIGINT)
+             AS last_chunk_tokens
+    FROM n WHERE n_toks > 0
+    """,
+    category="udf",
+)
+def udf_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (SURVEY §2.10 UDTF row — the real Spark-4 @udtf API,
+    not an explode stand-in): a table function that yields one row per
+    10-token chunk of each document, consumed through a LATERAL join and
+    re-aggregated to per-doc chunk stats the DuckDB oracle reproduces
+    arithmetically — so the UDTF's full fan-out executes and is
+    value-checked, while the driver result stays one row per doc.
+
+    The honest scale note: a Python UDTF is the SLOW PATH (per-row
+    Python evaluation, pickled rows across the JVM/Python boundary —
+    unlike Arrow-batched pandas UDFs) and text_chunk_windows does this
+    same chunking at scan speed with built-ins; this entry exists
+    because the reference's python-script surface exposes arbitrary
+    user table functions (glue_etl_framework.py:305) and the engine
+    must run them: partition-parallel, no driver involvement. The class
+    is defined inside this function so it pickles BY VALUE — a vanilla
+    driver session whose workers lack repo paths still executes it
+    (the lesson test_stateful_fold_twins_agree pins for streaming)."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="chunk_idx: int, n_tokens: int")
+    class ChunkSplitter:
+        def eval(self, text: str):
+            toks = text.split(" ") if text else []
+            for i in range(0, len(toks), CHUNK_TOKENS):
+                yield i // CHUNK_TOKENS, len(toks[i : i + CHUNK_TOKENS])
+
+    d = t(spark, sf_dir, "documents")
+    chunks = d.lateralJoin(
+        ChunkSplitter(F.col("text").outer()).alias("c")
+    ).select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.n_tokens").alias("n_toks"))
+    return (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.max(F.struct("chunk_idx", "n_toks")).getField("n_toks").alias("last_chunk_tokens"),
+        )
+        .filter(F.col("n_chunks") > 0)
+    )
+
+
+@register(
+    "udf_pandas_grouped_agg_trimmed_mean",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(round(CAST(SUM(cents) - MIN(cents) - MAX(cents) AS DOUBLE)
+                      / (COUNT(*) - 2)) AS BIGINT) AS trimmed_mean_cents
+    FROM v GROUP BY l_returnflag
+    """,
+    category="udf",
+)
+def udf_pandas_grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas GROUPED_AGG UDAF (SURVEY §2.10 UDAF row — a real
+    @pandas_udf aggregate, Arrow-batched, usable inside groupBy().agg
+    alongside built-ins): min/max-trimmed mean of line-item cents per
+    return flag. The UDAF computes sum-min-max over the exact BIGINT
+    cents series and divides once, so the oracle reproduces it with
+    plain SQL aggregates — the Python path is value-checked, not just
+    smoke-tested. Defined nested for by-value pickling (vanilla-session
+    workers). Scale: Arrow transfer is per (group x column) batch and
+    partial aggregation does NOT apply to pandas UDAFs — each group's
+    values gather on one executor, so keep groups high-cardinality or
+    use the built-in formulation (as here, where sum/min/max/count
+    compose the same answer shuffle-free; the UDAF exists to prove the
+    extension surface)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: this module uses
+    # `from __future__ import annotations`, which stringizes type hints,
+    # and pyspark's hint-based dispatch can't resolve them.
+    @pandas_udf("double", functionType=PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(v):
+        return float(v.sum() - v.min() - v.max()) / (len(v) - 2)
+
+    li = t(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_returnflag", F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with non-pandas
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT) — the count
+    # comes from a second tiny aggregate joined on the group key.
+    trimmed = v.groupBy("l_returnflag").agg(
+        F.round(trimmed_mean("cents")).cast("long").alias("trimmed_mean_cents")
+    )
+    counts = v.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    return counts.join(trimmed, "l_returnflag").select(
+        "l_returnflag", "n", "trimmed_mean_cents"
+    )

@@ -5883,3 +5883,60 @@ def layout_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nbytes").alias("total_bytes"),
         F.count_distinct("source").alias("n_sources"),
     )
+
+
+BENFORD_SCALE = 1_000_000
+
+
+@register(
+    "quality_benford_audit",
+    oracle=f"""
+    WITH v AS (
+      SELECT substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (SELECT digit, COUNT(*) AS n_obs FROM v GROUP BY digit),
+    tot AS (SELECT SUM(n_obs) AS n FROM obs)
+    SELECT CAST(o.digit AS INT) AS digit,
+           CAST(o.n_obs AS BIGINT) AS n_obs,
+           CAST(round(CAST(o.n_obs AS DOUBLE) / t.n * {BENFORD_SCALE}) AS BIGINT) AS share_fp,
+           CAST(round(ln(1.0 + 1.0 / CAST(o.digit AS INT)) / ln(10.0) * {BENFORD_SCALE}) AS BIGINT) AS benford_fp,
+           CAST(round((CAST(o.n_obs AS DOUBLE) / t.n
+                       - ln(1.0 + 1.0 / CAST(o.digit AS INT)) / ln(10.0))
+                      * {BENFORD_SCALE}) AS BIGINT) AS diff_fp
+    FROM obs o CROSS JOIN tot t
+    """,
+    category="quality",
+)
+def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals — the classic
+    forensic/data-quality screen: naturally-occurring monetary amounts
+    follow P(d) = log10(1 + 1/d); synthetic, truncated, or fabricated
+    data shows up as a flat or spiked digit histogram (the fixture's
+    uniform generator is exactly such a deviation, and diff_fp makes it
+    visible). One scan -> 9-row digit histogram (map-side partials
+    carry the volume), a 1-row total cross-joined back — no windows, no
+    data-sized broadcast; per-digit observed share, Benford expectation,
+    and deviation all as fixed-point integers so the driver hash-check
+    pins every digit. At 100 TB the same audit runs per source/segment
+    by adding the key to both group-bys."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    v = o.select(
+        F.substring(F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    obs = v.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    benford = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    share = F.col("n_obs").cast("double") / F.col("n")
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(share * BENFORD_SCALE).cast("long").alias("share_fp"),
+            F.round(benford * BENFORD_SCALE).cast("long").alias("benford_fp"),
+            F.round((share - benford) * BENFORD_SCALE).cast("long").alias("diff_fp"),
+        )
+    )
