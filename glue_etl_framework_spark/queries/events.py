@@ -681,3 +681,99 @@ def events_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count("*").alias("u7"))  # fanned is distinct (user, tday)
         .select(F.date_format("tday", "yyyy-MM-dd").alias("day"), "u7")
     )
+
+
+CPT_SCALE = 1_000_000  # fixed-point scale for the changepoint gap statistic
+
+
+@register(
+    "events_changepoint_binseg",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    pre AS (
+      SELECT event_type, day, n,
+             SUM(n) OVER w AS cum_n,
+             CAST(row_number() OVER w AS BIGINT) AS i,
+             SUM(n) OVER (PARTITION BY event_type) AS tot_n,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS days
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    gaps AS (
+      SELECT event_type, day, i, days,
+             CAST(round(abs(CAST(cum_n AS DOUBLE) / i
+                            - CAST(tot_n - cum_n AS DOUBLE) / (days - i))
+                        * {CPT_SCALE}) AS BIGINT) AS gap_fp
+      FROM pre WHERE i < days
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS split_day,
+           CAST(i AS BIGINT) AS days_before, CAST(days - i AS BIGINT) AS days_after,
+           gap_fp
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY gap_fp DESC, day) AS rk
+      FROM gaps
+    ) WHERE rk = 1
+    """,
+    category="events",
+)
+def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection per event type (the first step of
+    binary segmentation, Scott & Knott / CUSUM-family): for every
+    candidate split day, the gap statistic |mean(before) - mean(after)|
+    of daily event counts — computed from PREFIX SUMS, so the whole scan
+    over candidate splits is ONE ordered window per type, not a per-split
+    re-aggregation (the naive formulation is O(days^2) per type; this is
+    O(days)). The argmax day per type is the detected changepoint.
+    Recursive CUSUM (S_t = max(0, S_t-1 + ...)) is NOT window-expressible
+    — binary segmentation's split-scan form is the declarative-engine-
+    native changepoint method, and applying it recursively to each half
+    yields the full segmentation. Gap emitted as fixed point (exact
+    integer counts feed one double division), deterministic tie-break on
+    day. Scale: the daily rollup collapses the corpus to (types x days)
+    rows first; all three windows share the event_type partitioning —
+    one shuffle."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    wp = W.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.sum("n").over(w).alias("cum_n"),
+        F.row_number().over(w).cast("long").alias("i"),
+        F.sum("n").over(wp).alias("tot_n"),
+        F.count("*").over(wp).cast("long").alias("days"),
+    )
+    gap = F.round(
+        F.abs(
+            F.col("cum_n").cast("double") / F.col("i")
+            - (F.col("tot_n") - F.col("cum_n")).cast("double") / (F.col("days") - F.col("i"))
+        )
+        * CPT_SCALE
+    ).cast("long")
+    gaps = pre.filter(F.col("i") < F.col("days")).select(
+        "event_type", "day", "i", "days", gap.alias("gap_fp")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(F.col("gap_fp").desc(), F.col("day"))
+    )
+    return (
+        gaps.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+            F.col("i").alias("days_before"),
+            (F.col("days") - F.col("i")).alias("days_after"),
+            "gap_fp",
+        )
+    )

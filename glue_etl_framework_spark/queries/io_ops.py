@@ -850,3 +850,88 @@ def io_csv_permissive_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_bad").isNull(), F.col("c_custkey")).otherwise(0)
         ).alias("good_key_sum"),
     )
+
+
+# --- dynamic partition pruning through the file sink -----------------------
+
+DPP_QTY_CUT = 1000  # dim-side selective filter (far below any real flag total)
+
+_DPP_ORACLE = f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_returnflag IN (
+      SELECT l_returnflag FROM lineitem
+      GROUP BY l_returnflag
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > {DPP_QTY_CUT}
+    )
+    GROUP BY l_returnflag
+"""
+
+
+@register("io_dpp_partition_pruned_join", oracle=_DPP_ORACLE, category="io")
+def io_dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP) — the star-schema scale feature
+    static pruning can't give: the fact table is written hive-partitioned
+    on the join key (l_returnflag), the dimension side is filtered on a
+    DATA-derived column (per-flag quantity totals > cut) that Catalyst
+    cannot propagate statically, and Spark injects a
+    dynamicpruningexpression into the fact scan so pruned partitions are
+    never listed or read. At 100 TB this is the difference between
+    scanning a date-partitioned fact for 3 days vs 3 years when the
+    filter lives on the dimension. Two traps this operator pins down
+    (found while building it): a dim filter on the JOIN KEY itself is
+    constraint-propagated into a STATIC partition filter (no DPP needed
+    — don't mistake that for this feature), and the dim-side predicate
+    must be a real Filter node Spark's PartitionPruning rule considers
+    selective (a TakeOrdered/limit doesn't qualify). The plan is
+    asserted to contain the dynamic-pruning subquery in
+    tests/test_partitioning.py::test_dpp_plan_prunes_fact_scan; the
+    oracle reduces the dim semi-join to an IN-subquery over the fixture,
+    so the driver hash-check certifies the pruned read loses no rows."""
+    from glue_etl_framework_spark.io.readers import read_table
+    from glue_etl_framework_spark.io.writers import write_table
+
+    d, fresh = _workdir("dpp", sf_dir)
+    loc = f"{d}/lineitem_dpp"
+    if fresh:
+        li = t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_returnflag"
+        )
+        write_table(
+            li,
+            {
+                "target": "file",
+                "location": loc,
+                "format": "parquet",
+                "partition_keys": "l_returnflag",
+                "refresh": "full",
+            },
+        )
+    back = read_table(
+        spark,
+        {
+            "name": "li_dpp",
+            "source": "file",
+            "location": loc,
+            "format": "parquet",
+            "format_options": {"recursiveFileLookup": False},
+            "schema": "l_orderkey long, l_quantity double, l_returnflag string",
+        },
+    )
+    dim = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("tq"))
+        .filter(F.col("tq") > DPP_QTY_CUT)
+        .select("flag")
+    )
+    return (
+        back.join(dim, back.l_returnflag == dim.flag)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )

@@ -5940,3 +5940,86 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((share - benford) * BENFORD_SCALE).cast("long").alias("diff_fp"),
         )
     )
+
+
+MB_MIN_BOTH = 3     # min co-occurrence count for an emitted rule
+MB_TOP = 20         # rules returned (top by lift)
+MB_SCALE = 1_000_000
+
+
+@register(
+    "orders_market_basket_lift",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b),
+    ic AS (SELECT l_partkey, COUNT(*) AS c FROM b GROUP BY l_partkey),
+    pc AS (
+      SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b, COUNT(*) AS n_both
+      FROM b a JOIN b b2
+        ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_both, n_a, n_b, n_orders, lift_fp, conf_fp FROM (
+      SELECT p.part_a, p.part_b,
+             CAST(p.n_both AS BIGINT) AS n_both,
+             CAST(ca.c AS BIGINT) AS n_a, CAST(cb.c AS BIGINT) AS n_b,
+             CAST(n.n_orders AS BIGINT) AS n_orders,
+             CAST(round(CAST(p.n_both AS DOUBLE) * n.n_orders
+                        / (ca.c * cb.c) * {MB_SCALE}) AS BIGINT) AS lift_fp,
+             CAST(round(CAST(p.n_both AS DOUBLE) / ca.c * {MB_SCALE}) AS BIGINT) AS conf_fp
+      FROM pc p
+      JOIN ic ca ON ca.l_partkey = p.part_a
+      JOIN ic cb ON cb.l_partkey = p.part_b
+      CROSS JOIN n
+      WHERE p.n_both >= {MB_MIN_BOTH}
+    )
+    ORDER BY lift_fp DESC, part_a, part_b LIMIT {MB_TOP}
+    """,
+    category="events",
+)
+def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (Agrawal's support/confidence/lift
+    over co-purchase baskets): item pairs co-occurring in >= 3 orders,
+    scored by lift = N * P(a,b) / (P(a) * P(b)) and confidence, top-20 by
+    lift. The pair join is keyed on l_orderkey, so candidate fan-out per
+    order is (items-per-order choose 2) — bounded by basket size (<= 7
+    lines in this schema, 21 pairs), NEVER item-keyed (a popular item
+    would make an item-keyed self-join quadratic in its order count).
+    Item counts and the basket total broadcast onto the bounded pair
+    frame; exact integer counts feed one double division per rule
+    (fixed-point, cross-engine exact); final TakeOrdered top-20 with
+    full deterministic tie-break. Same sufficient-statistics shape as
+    events_cooccurrence_pmi but over the retail basket table — lift is
+    exp(PMI) normalized per rule, the form a recommender consumes."""
+    b = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n = b.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    ic = b.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a = b.alias("a")
+    b2 = b.alias("b2")
+    pc = (
+        a.join(
+            b2,
+            (F.col("a.l_orderkey") == F.col("b2.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b2.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("part_a"), F.col("b2.l_partkey").alias("part_b"))
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= MB_MIN_BOTH)
+    )
+    ca = ic.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("n_a"))
+    cb = ic.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("n_b"))
+    lift = F.round(
+        F.col("n_both").cast("double") * F.col("n_orders") / (F.col("n_a") * F.col("n_b")) * MB_SCALE
+    ).cast("long")
+    conf = F.round(F.col("n_both").cast("double") / F.col("n_a") * MB_SCALE).cast("long")
+    return (
+        pc.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "n_both", "n_a", "n_b", "n_orders",
+            lift.alias("lift_fp"), conf.alias("conf_fp"),
+        )
+        .orderBy(F.col("lift_fp").desc(), "part_a", "part_b")
+        .limit(MB_TOP)
+    )

@@ -65,3 +65,15 @@ def test_partition_pruning_reaches_scan(tmp_path, spark):
     seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "status" in seg, f"partition filter not pushed: {seg!r}"
     assert df.count() == 333
+
+
+def test_dpp_plan_prunes_fact_scan(spark):
+    """The DPP round-trip operator's fact scan must carry a
+    dynamicpruningexpression — runtime partition pruning driven by the
+    dimension's data-derived filter (static pruning can't see it)."""
+    from glue_etl_framework_spark.queries.io_ops import io_dpp_partition_pruned_join
+    from tests.conftest import SF_SMOKE
+
+    df = io_dpp_partition_pruned_join(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
