@@ -935,3 +935,122 @@ def io_dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
         )
     )
+
+
+# --- session-catalog sink round-trip ---------------------------------------
+
+_CATALOG_ORACLE = """
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
+           CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+    FROM supplier GROUP BY s_nationkey
+"""
+
+
+@register("io_catalog_table_roundtrip", oracle=_CATALOG_ORACLE, category="io")
+def io_catalog_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog sink + catalog scan round-trip (SURVEY §2.1 'Catalog scan' /
+    'Catalog sink' rows — the reference's Glue Data Catalog surface,
+    glue_etl_framework.py:105-116 and :233-258, mapped to the Spark
+    session catalog): supplier is written through write_table with
+    target=catalog (CREATE DATABASE IF NOT EXISTS + saveAsTable at an
+    explicit location, so a vanilla driver session needs no warehouse
+    config), read back through read_table's catalog source
+    (spark.table), and aggregated. Money columns round-trip as exact
+    cents, so any column-order, type, or metadata corruption in the
+    catalog path hash-mismatches against the fixture-side oracle."""
+    from glue_etl_framework_spark.io.readers import read_table
+    from glue_etl_framework_spark.io.writers import write_table
+
+    d, fresh = _workdir("cat", sf_dir)
+    db, tbl = "ioop_cat_db", "supplier_rt"
+    if fresh or not spark.catalog.tableExists(f"{db}.{tbl}"):
+        sup = t(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey", "s_acctbal"
+        )
+        write_table(
+            sup,
+            {
+                "target": "catalog",
+                "database": db,
+                "table_name": tbl,
+                "format": "parquet",
+                "location": f"{d}/supplier_rt",
+                "refresh": "full",
+            },
+        )
+    back = read_table(
+        spark, {"name": "sup", "source": "catalog", "database": db, "table_name": tbl}
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.round(F.col("s_acctbal") * 100).cast("long")).alias("acctbal_cents"),
+    )
+
+
+# --- compression-codec matrix round-trip -----------------------------------
+
+_CODECS = ["snappy", "zstd", "gzip"]
+
+_CODEC_ORACLE = f"""
+    WITH a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+      FROM part
+    )
+    SELECT codec, n_parts, price_cents
+    FROM (SELECT unnest(['{"', '".join(_CODECS)}']) AS codec) CROSS JOIN a
+"""
+
+
+@register("io_codec_roundtrip_matrix", oracle=_CODEC_ORACLE, category="io")
+def io_codec_roundtrip_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet compression-codec matrix (snappy — the splittable default;
+    zstd — the modern size/speed frontier Spark 3.2+ recommends for cold
+    data; gzip — the legacy ratio choice): the part table is written once
+    per codec through write_table's options passthrough and read back
+    through the standard reader, proving codec round-trip fidelity — the
+    per-codec aggregates must all equal the fixture-side truth, so a
+    codec-dependent corruption or a silently ignored option
+    hash-mismatches. Codec choice changes FILE layout only, never values
+    — exactly what the identical per-codec rows certify. At 100 TB codec
+    selection is a real lever (zstd ~30% smaller than snappy at similar
+    scan cost, decompression parallelism unchanged since parquet
+    compresses per-page); sizes are environment facts, not data, so they
+    stay out of the hashed result (the pytest side asserts
+    size(gzip|zstd) < size(snappy) on the same write)."""
+    from glue_etl_framework_spark.io.readers import read_table
+    from glue_etl_framework_spark.io.writers import write_table
+
+    d, fresh = _workdir("codec", sf_dir)
+    src = t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    out = None
+    for codec in _CODECS:
+        loc = f"{d}/part_{codec}"
+        if fresh:
+            write_table(
+                src,
+                {
+                    "target": "file",
+                    "location": loc,
+                    "format": "parquet",
+                    "refresh": "full",
+                    "options": {"compression": codec},
+                },
+            )
+        back = read_table(
+            spark,
+            {
+                "name": f"part_{codec}",
+                "source": "file",
+                "location": loc,
+                "format": "parquet",
+                "schema": "p_partkey long, p_retailprice double",
+            },
+        )
+        agg = back.agg(
+            F.count("*").alias("n_parts"),
+            F.sum(F.round(F.col("p_retailprice") * 100).cast("long")).alias("price_cents"),
+        ).select(F.lit(codec).alias("codec"), "n_parts", "price_cents")
+        out = agg if out is None else out.unionByName(agg)
+    return out

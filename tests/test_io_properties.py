@@ -44,3 +44,33 @@ def test_upsert_is_idempotent(spark, tmp_path):
     upsert_by_key(spark, df, loc, ["k"])
     second = sorted((r.k, r.v) for r in spark.read.parquet(loc).collect())
     assert first == second == [(1, "a"), (2, "b")]
+
+
+def test_codec_matrix_sizes_ordered(spark):
+    """The codec matrix writes real codec-compressed files: zstd and gzip
+    outputs must be smaller than snappy for the same data (sizes are
+    environment facts, so they live here rather than in the hashed
+    driver result)."""
+    import glob
+    import os
+
+    from glue_etl_framework_spark.queries.io_ops import (
+        _CODECS,
+        _WORKDIRS,
+        io_codec_roundtrip_matrix,
+    )
+    from tests.conftest import SF_ORACLE
+
+    io_codec_roundtrip_matrix(spark, SF_ORACLE).collect()
+    d = _WORKDIRS[("codec", SF_ORACLE)]
+
+    def size(codec):
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(f"{d}/part_{codec}/*.parquet")
+        )
+
+    sizes = {c: size(c) for c in _CODECS}
+    assert all(v > 0 for v in sizes.values()), sizes
+    assert sizes["zstd"] < sizes["snappy"], sizes
+    assert sizes["gzip"] < sizes["snappy"], sizes
