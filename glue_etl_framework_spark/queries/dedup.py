@@ -834,8 +834,20 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # O(candidates) verify: doc-keyed joins to sorted shingle arrays, overlap
     # via array_intersect (shingle sets are distinct, so size == |A∩B|).
-    arrs = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("shingle")).alias("arr"), F.count("*").alias("n")
+    # Arrays are built ONLY for docs that appear in a candidate pair (the
+    # semi-join below) — the collect_list cost tracks candidate volume, not
+    # corpus size, which is the point of prefix filtering. (Local wall time
+    # is flat: the fixture's near-dup density puts most docs in some
+    # candidate pair; on a real sparse corpus the semi-join is the win.)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    arrs = (
+        sh.join(cand_docs, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("shingle")).alias("arr"), F.count("*").alias("n"))
     )
     av = arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"), F.col("n").alias("na"))
     bv = arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"), F.col("n").alias("nb"))
