@@ -6023,3 +6023,112 @@ def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift_fp").desc(), "part_a", "part_b")
         .limit(MB_TOP)
     )
+
+
+BPE_MERGES = 4  # learned merge rounds (unrolled in both engines)
+
+
+def _bpe_oracle() -> str:
+    stages = ["""repr0 AS (
+      SELECT freq,
+             array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]), ' ')
+               || ' </w>' AS r
+      FROM (
+        SELECT tok AS word, COUNT(*) AS freq FROM (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ) GROUP BY tok
+      )
+    )"""]
+    for i in range(1, BPE_MERGES + 1):
+        stages.append(f"""pairs{i} AS (
+      SELECT p, CAST(SUM(freq) AS BIGINT) AS c FROM (
+        SELECT freq, toks[i] || ' ' || toks[i + 1] AS p
+        FROM (SELECT freq, string_split(r, ' ') AS toks FROM repr{i - 1}),
+             UNNEST(range(1, len(toks))) AS u(i)
+      ) GROUP BY p
+    )""")
+        stages.append(f"""best{i} AS (SELECT p, c FROM pairs{i} ORDER BY c DESC, p LIMIT 1)""")
+        if i < BPE_MERGES:
+            stages.append(f"""repr{i} AS (
+      SELECT freq,
+             trim(replace(' ' || r || ' ', ' ' || b.p || ' ',
+                          ' ' || replace(b.p, ' ', '') || ' ')) AS r
+      FROM repr{i - 1} CROSS JOIN best{i} b
+    )""")
+    selects = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS merge_order, p AS pair, replace(p, ' ', '') AS merged, c AS pair_count FROM best{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return "    WITH " + ",\n    ".join(stages) + "\n    " + selects
+
+
+@register("text_bpe_learn_merges", oracle=_bpe_oracle(), category="text")
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge LEARNING (Sennrich et al. 2016 — the subword-tokenizer
+    training loop, not just BPE-style counting): words become
+    space-separated character sequences with an </w> marker, weighted by
+    corpus frequency; each round counts adjacent symbol pairs
+    (frequency-weighted), merges the most frequent pair corpus-wide, and
+    re-derives the representation — 4 unrolled rounds, returning
+    (merge_order, pair, merged, pair_count): the head of the merge table
+    a tokenizer trainer would emit. Merge application is the
+    boundary-delimited leftmost-non-overlapping variant (' A B ' ->
+    ' AB ' on the padded symbol string — immune to the classic
+    false-substring bug where pair 'e r' would corrupt token 'te r';
+    consecutive overlapping occurrences of the same pair defer to a
+    later round). Both engines implement the IDENTICAL variant, so the
+    whole learned trajectory is driver-hash-pinned.
+
+    Scale shape: the corpus collapses to the distinct-WORD frame first
+    (the standard trainer trick — pair counts are frequency-weighted
+    word-level sums, so iteration cost tracks vocabulary, not corpus);
+    each round is one keyed pair-count aggregate + a TakeOrdered argmax
+    + a 1-row broadcast applied map-side. k rounds = k bounded passes
+    over the vocab frame; a production 32k-merge trainer batches merges
+    per pass (same plan per batch)."""
+    d = t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    chars = F.concat(
+        F.array_join(F.expr("transform(split(word, ''), c -> c)"), " "),
+        F.lit(" </w>"),
+    )
+    repr_df = words.select("freq", chars.alias("r"))
+    outs = []
+    for i in range(1, BPE_MERGES + 1):
+        toks = F.split("r", " ")
+        pair_arr = F.expr(
+            "transform(sequence(0, size(split(r, ' ')) - 2), i -> "
+            "concat(split(r, ' ')[i], ' ', split(r, ' ')[i + 1]))"
+        )
+        pairs = (
+            repr_df.filter(F.size(toks) >= 2)
+            .select("freq", F.explode(pair_arr).alias("p"))
+            .groupBy("p")
+            .agg(F.sum("freq").alias("c"))
+        )
+        best = pairs.orderBy(F.col("c").desc(), F.col("p")).limit(1)
+        outs.append(
+            best.select(
+                F.lit(i).cast("int").alias("merge_order"),
+                F.col("p").alias("pair"),
+                F.replace(F.col("p"), F.lit(" "), F.lit("")).alias("merged"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        if i < BPE_MERGES:
+            padded = F.concat(F.lit(" "), F.col("r"), F.lit(" "))
+            pattern = F.concat(F.lit(" "), F.col("p"), F.lit(" "))
+            merged = F.concat(
+                F.lit(" "), F.replace(F.col("p"), F.lit(" "), F.lit("")), F.lit(" ")
+            )
+            repr_df = repr_df.crossJoin(F.broadcast(best.select("p"))).select(
+                "freq", F.trim(F.replace(padded, pattern, merged)).alias("r")
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
