@@ -6132,3 +6132,85 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def _bpe_compression_oracle() -> str:
+    # Reuse the trainer's unrolled CTE chain; swap its final UNION of merge
+    # rows for one more merge application (best4 onto repr3) plus the
+    # corpus-level token counts.
+    base = _bpe_oracle()
+    head = base[: base.index("SELECT CAST(1 AS INT) AS merge_order")]
+    head = head.rstrip().rstrip(")") + "),"  # re-open the CTE list
+    return (
+        head
+        + f"""
+    rfin AS (
+      SELECT freq,
+             trim(replace(' ' || r || ' ', ' ' || b.p || ' ',
+                          ' ' || replace(b.p, ' ', '') || ' ')) AS r
+      FROM repr{BPE_MERGES - 1} CROSS JOIN best{BPE_MERGES} b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM repr0) AS BIGINT) AS vocab_words,
+           CAST((SELECT SUM(freq * len(string_split(r, ' '))) FROM repr0) AS BIGINT) AS tokens_before,
+           CAST((SELECT SUM(freq * len(string_split(r, ' '))) FROM rfin) AS BIGINT) AS tokens_after
+    """
+    )
+
+
+@register(
+    "text_bpe_apply_compression",
+    oracle=_bpe_compression_oracle(),
+    category="text",
+)
+def text_bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payoff measurement for the BPE trainer (text_bpe_learn_merges):
+    apply all 4 learned merges to the weighted vocabulary and report
+    corpus token volume before (pure character+</w> symbols) vs after —
+    the compression curve a tokenizer team tracks per merge budget.
+    Token totals are frequency-weighted symbol counts over the DISTINCT
+    word frame (never a corpus re-scan), exact BIGINTs. Same unrolled
+    deterministic chain as the trainer, so the measurement is
+    driver-hash-pinned end to end."""
+    d = t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    chars = F.concat(
+        F.array_join(F.expr("transform(split(word, ''), c -> c)"), " "),
+        F.lit(" </w>"),
+    )
+    repr_df = words.select("freq", chars.alias("r"))
+    base = repr_df
+    for i in range(1, BPE_MERGES + 1):
+        pair_arr = F.expr(
+            "transform(sequence(0, size(split(r, ' ')) - 2), i -> "
+            "concat(split(r, ' ')[i], ' ', split(r, ' ')[i + 1]))"
+        )
+        pairs = (
+            repr_df.filter(F.size(F.split("r", " ")) >= 2)
+            .select("freq", F.explode(pair_arr).alias("p"))
+            .groupBy("p")
+            .agg(F.sum("freq").alias("c"))
+        )
+        best = pairs.orderBy(F.col("c").desc(), F.col("p")).limit(1)
+        padded = F.concat(F.lit(" "), F.col("r"), F.lit(" "))
+        pattern = F.concat(F.lit(" "), F.col("p"), F.lit(" "))
+        merged = F.concat(
+            F.lit(" "), F.replace(F.col("p"), F.lit(" "), F.lit("")), F.lit(" ")
+        )
+        repr_df = repr_df.crossJoin(F.broadcast(best.select("p"))).select(
+            "freq", F.trim(F.replace(padded, pattern, merged)).alias("r")
+        )
+    def ntok(df):
+        return df.agg(F.sum(F.col("freq") * F.size(F.split("r", " "))).alias("n"))
+
+    before = ntok(base).select(F.col("n").alias("tokens_before"))
+    after = ntok(repr_df).select(F.col("n").alias("tokens_after"))
+    vocab = base.agg(F.count("*").alias("vocab_words"))
+    return (
+        vocab.crossJoin(F.broadcast(before))
+        .crossJoin(F.broadcast(after))
+        .select("vocab_words", "tokens_before", "tokens_after")
+    )
