@@ -740,3 +740,121 @@ def agg_exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(p90))
         .select("n", "median_cents", "p90_cents")
     )
+
+
+KMV_K = 64  # k-minimum-values sketch size
+
+
+@register(
+    "agg_kmv_sketch_setops",
+    oracle=f"""
+    WITH sh AS (
+      SELECT source,
+             md5(unnest(list_transform(range(1, length(w) - 1),
+                        i -> array_to_string(w[i:i+2], ' ')))) AS h
+      FROM (SELECT source, string_split(text, ' ') AS w FROM documents
+            WHERE source IN ('src0', 'src1'))
+      WHERE length(w) >= 3
+    ),
+    d AS (SELECT DISTINCT source, h FROM sh),
+    ka AS (SELECT h FROM d WHERE source = 'src0' ORDER BY h LIMIT {KMV_K}),
+    kb AS (SELECT h FROM d WHERE source = 'src1' ORDER BY h LIMIT {KMV_K}),
+    ku AS (
+      SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) u
+      ORDER BY h LIMIT {KMV_K}
+    ),
+    stats AS (
+      SELECT MAX(ku.h) AS t,
+             CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+      FROM ku
+      LEFT JOIN ka a ON a.h = ku.h
+      LEFT JOIN kb b ON b.h = ku.h
+    ),
+    exact AS (
+      SELECT CAST(COUNT(DISTINCT CASE WHEN source = 'src0' THEN h END) AS BIGINT) AS n_a,
+             CAST(COUNT(DISTINCT CASE WHEN source = 'src1' THEN h END) AS BIGINT) AS n_b,
+             CAST(COUNT(DISTINCT h) AS BIGINT) AS n_union
+      FROM d
+    ),
+    inter AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_inter FROM (
+        SELECT h FROM d WHERE source = 'src0'
+        INTERSECT SELECT h FROM d WHERE source = 'src1'
+      )
+    )
+    SELECT e.n_a, e.n_b, e.n_union, i.n_inter,
+           CAST(round(({KMV_K} - 1)
+                      / (CAST(('0x' || substr(s.t, 1, 8))::UBIGINT AS DOUBLE) / 4294967296.0))
+                AS BIGINT) AS union_est,
+           CAST(round(CAST(s.n_both AS DOUBLE) / {KMV_K}
+                      * (({KMV_K} - 1)
+                         / (CAST(('0x' || substr(s.t, 1, 8))::UBIGINT AS DOUBLE) / 4294967296.0)))
+                AS BIGINT) AS inter_est
+    FROM exact e CROSS JOIN inter i CROSS JOIN stats s
+    """,
+    category="aggregate",
+)
+def agg_kmv_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) sketch with INTERSECTION
+    estimation (Beyer et al. 2007) — the set-operation capability HLL
+    lacks (agg_hll_mergeable_sketches can only union): each set keeps
+    its 64 smallest md5 values; sketches merge by re-taking the bottom
+    k; the k-th smallest value t estimates |U| ~ (k-1)/t (t as a
+    fraction of hash space), and the fraction of merged-sketch members
+    present in BOTH input sketches scales that to an intersection
+    estimate. Compared against exact distinct counts in the same row,
+    so the driver hash-match pins the estimates AND their targets.
+
+    Scale shape: a bottom-k per set is a WindowGroupLimit (map-side
+    top-k, no full sort); the sketch is k hashes — bytes, mergeable,
+    composable across shards/days exactly like the HLL and count-min
+    entries (the three sketches cover distinct-count, frequency, and
+    set-overlap — the standard trio of a data-quality service). The
+    exact branch exists to measure estimator error at test scale; at
+    100 TB only the sketches ship. md5-ordered bottom-k is
+    engine-portable, so the full sketch contents are oracle-checked."""
+    d = t(spark, sf_dir, "documents")
+    from glue_etl_framework_spark.queries.dedup import SHINGLE_REGEX
+
+    sh = (
+        d.filter(F.col("source").isin("src0", "src1"))
+        .select("source", F.explode(F.expr(SHINGLE_REGEX)).alias("shingle"))
+        .select("source", F.md5("shingle").alias("h"))
+        .distinct()
+    )
+    ka = sh.filter(F.col("source") == "src0").select("h").orderBy("h").limit(KMV_K)
+    kb = sh.filter(F.col("source") == "src1").select("h").orderBy("h").limit(KMV_K)
+    ku = ka.union(kb).distinct().orderBy("h").limit(KMV_K)
+    stats = (
+        ku.join(ka.withColumnRenamed("h", "ha"), ku.h == F.col("ha"), "left")
+        .join(kb.withColumnRenamed("h", "hb"), ku.h == F.col("hb"), "left")
+        .agg(
+            F.max(ku.h).alias("t"),
+            F.sum(
+                F.when(F.col("ha").isNotNull() & F.col("hb").isNotNull(), 1).otherwise(0)
+            ).alias("n_both"),
+        )
+    )
+    exact = sh.agg(
+        F.count_distinct(F.when(F.col("source") == "src0", F.col("h"))).alias("n_a"),
+        F.count_distinct(F.when(F.col("source") == "src1", F.col("h"))).alias("n_b"),
+        F.count_distinct("h").alias("n_union"),
+    )
+    inter = (
+        sh.filter(F.col("source") == "src0")
+        .select("h")
+        .intersect(sh.filter(F.col("source") == "src1").select("h"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    frac = F.conv(F.substring("t", 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+    union_est = F.round((KMV_K - 1) / frac).cast("long")
+    inter_est = F.round(F.col("n_both").cast("double") / KMV_K * ((KMV_K - 1) / frac)).cast("long")
+    return (
+        exact.crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "n_a", "n_b", "n_union", "n_inter",
+            union_est.alias("union_est"),
+            inter_est.alias("inter_est"),
+        )
+    )

@@ -6214,3 +6214,64 @@ def text_bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(after))
         .select("vocab_words", "tokens_before", "tokens_after")
     )
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+    ("o_totalprice_cents", "CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)"),
+    ("o_orderpriority", "o_orderpriority"),
+]
+
+
+@register(
+    "quality_column_profile",
+    oracle="\n    UNION ALL ".join(
+        f"""SELECT '{name}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+           MIN({expr}) AS min_s, MAX({expr}) AS max_s
+    FROM orders"""
+        for name, expr in _PROFILE_COLS
+    ),
+    category="quality",
+)
+def quality_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile (the DESCRIBE/profiling pass every
+    ingestion pipeline runs before trusting a feed): one row per profiled
+    column with row count, null count, distinct cardinality, and
+    lexicographic min/max — over a canonical string projection per
+    column (integers via CAST, money via exact cents) so the values are
+    engine-portable and the whole profile is driver-hash-pinned. The
+    plan is ONE scan feeding per-column aggregates unioned into a
+    bounded (#columns) frame; distinct counts are the only shuffled
+    aggregates and they shuffle per column key-space, not per row pair.
+    At 100 TB you'd swap COUNT(DISTINCT) for approx_count_distinct
+    (HLL, one pass, no expand) and keep the schema — the audit row shape
+    is the contract; agg_hll_mergeable_sketches is that estimator,
+    oracle-checked."""
+    o = t(spark, sf_dir, "orders")
+    proj = {
+        "o_orderkey": F.col("o_orderkey").cast("string"),
+        "o_custkey": F.col("o_custkey").cast("string"),
+        "o_totalprice_cents": F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        "o_orderpriority": F.col("o_orderpriority"),
+    }
+    rows = []
+    for name, _ in _PROFILE_COLS:
+        c = proj[name]
+        rows.append(
+            o.agg(
+                F.lit(name).alias("col_name"),
+                F.count("*").alias("n_rows"),
+                F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("n_null"),
+                F.count_distinct(c).alias("n_distinct"),
+                F.min(c).alias("min_s"),
+                F.max(c).alias("max_s"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
