@@ -1054,3 +1054,146 @@ def io_codec_roundtrip_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(codec).alias("codec"), "n_parts", "price_cents")
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+# --- the YAML pipeline layer, driver-checked end to end --------------------
+
+_SQLJOB_ORACLE = """
+    SELECT c.c_mktsegment,
+           'segment ''BUILDING'' report' AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY c.c_mktsegment
+"""
+
+
+@register("pipeline_sql_file_job", oracle=_SQLJOB_ORACLE, category="io")
+def pipeline_sql_file_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's PRIMARY surface, driver-checked end to end: a YAML
+    config (input_tables -> temp views -> sql_file -> output_table,
+    glue_etl_framework.py:135-276) with {seg}/{sf}/{out} variable
+    interpolation in the locations AND inside the SQL text itself
+    (reference :178), the SELECT fetched from a separate .sql file
+    (:144-163), and the result written through the file sink, then read
+    back. The SQL deliberately contains an APOSTROPHE inside a string
+    literal — the reference's quote-rewrite corrupts exactly this
+    (:175, SURVEY §5 bug 4); our tokenizer-free design just runs it, and
+    the driver hash-match proves the literal survives the whole
+    config -> SQL -> sink -> scan cycle byte-exact."""
+    from glue_etl_framework_spark.io.readers import read_table
+    from glue_etl_framework_spark.pipeline import run_pipeline
+
+    d, fresh = _workdir("sqljob", sf_dir)
+    out_loc = f"{d}/seg_report"
+    if fresh:
+        with open(f"{d}/query.sql", "w") as f:
+            f.write(
+                "SELECT c.c_mktsegment,\n"
+                "       'segment ''{seg}'' report' AS label,\n"
+                "       COUNT(*) AS n_orders,\n"
+                "       SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS total_cents\n"
+                "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey\n"
+                "WHERE c.c_mktsegment = '{seg}'\n"
+                "GROUP BY c.c_mktsegment\n"
+            )
+        with open(f"{d}/config.yaml", "w") as f:
+            f.write(
+                "job:\n"
+                "  type: spark-sql\n"
+                "variables:\n"
+                "  demo:\n"
+                "    seg: BUILDING\n"
+                "input_tables:\n"
+                "  - name: orders\n"
+                "    source: file\n"
+                "    format: parquet\n"
+                "    location: '{sf}/orders.parquet'\n"
+                "  - name: customer\n"
+                "    source: file\n"
+                "    format: parquet\n"
+                "    location: '{sf}/customer.parquet'\n"
+                "sql_file: query.sql\n"
+                "output_table:\n"
+                "  name: seg_report\n"
+                "  target: file\n"
+                "  format: parquet\n"
+                "  location: '{out}'\n"
+                "  refresh: full\n"
+            )
+        run_pipeline(
+            spark,
+            f"{d}/config.yaml",
+            "demo",
+            variable_overrides={"sf": sf_dir, "out": out_loc},
+        )
+    back = read_table(
+        spark,
+        {
+            "name": "seg_report",
+            "source": "file",
+            "location": out_loc,
+            "format": "parquet",
+            "schema": "c_mktsegment string, label string, n_orders long, total_cents long",
+        },
+    )
+    return back
+
+
+_PYJOB_ORACLE = """
+    SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation GROUP BY n_regionkey
+"""
+
+
+@register("pipeline_python_script_job", oracle=_PYJOB_ORACLE, category="io")
+def pipeline_python_script_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's python-script job type, driver-checked: a user .py
+    file executed inside the live session (reference exec at
+    glue_etl_framework.py:305; here fenced runpy with an explicit
+    namespace — runner.py documents the trusted-code contract) with
+    `spark` and the pipeline `variables` in scope. The script reads a
+    fixture table, aggregates, and writes parquet through the session;
+    the operator reads that output back, so the driver verifies the
+    script actually RAN with a working session — not merely that the
+    file existed."""
+    from glue_etl_framework_spark.io.readers import read_table
+    from glue_etl_framework_spark.pipeline import run_pipeline
+
+    d, fresh = _workdir("pyjob", sf_dir)
+    out_loc = f"{d}/nation_agg"
+    if fresh:
+        with open(f"{d}/job.py", "w") as f:
+            f.write(
+                "df = spark.read.parquet(variables['sf'] + '/nation.parquet')\n"
+                "agg = df.groupBy('n_regionkey').count()"
+                ".withColumnRenamed('count', 'n_nations')\n"
+                "agg.write.mode('overwrite').parquet(variables['out'])\n"
+            )
+        with open(f"{d}/config.yaml", "w") as f:
+            f.write(
+                "job:\n"
+                "  type: python-script\n"
+                "variables:\n"
+                "  demo:\n"
+                "    unused: x\n"
+                "python_file: job.py\n"
+            )
+        run_pipeline(
+            spark,
+            f"{d}/config.yaml",
+            "demo",
+            variable_overrides={"sf": sf_dir, "out": out_loc},
+        )
+    back = read_table(
+        spark,
+        {
+            "name": "nation_agg",
+            "source": "file",
+            "location": out_loc,
+            "format": "parquet",
+            "schema": "n_regionkey long, n_nations long",
+        },
+    )
+    return back
