@@ -6275,3 +6275,236 @@ def quality_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+LP_SEEDS = 10      # link-prediction query nodes (smallest part ids in the graph)
+LP_TOP = 5         # predictions per seed
+LP_SCALE = 1_000_000
+
+
+@register(
+    "graph_link_prediction_jaccard",
+    oracle=f"""
+    WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p
+    ),
+    adj AS (SELECT u AS n, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY n),
+    seeds AS (SELECT n AS q FROM deg ORDER BY n LIMIT {LP_SEEDS}),
+    qadj AS (SELECT s.q, a.nbr AS w FROM seeds s JOIN adj a ON a.n = s.q),
+    cand AS (
+      SELECT qa.q, a.nbr AS b, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM qadj qa JOIN adj a ON a.n = qa.w
+      WHERE a.nbr <> qa.q
+      GROUP BY qa.q, a.nbr
+    ),
+    new_links AS (
+      SELECT c.q, c.b, c.cn FROM cand c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM adj x WHERE x.n = c.q AND x.nbr = c.b
+      )
+    )
+    SELECT q, b, cn, jaccard_fp FROM (
+      SELECT n.q, n.b, n.cn,
+             CAST(round(CAST(n.cn AS DOUBLE) / (dq.d + db.d - n.cn) * {LP_SCALE}) AS BIGINT)
+               AS jaccard_fp,
+             row_number() OVER (
+               PARTITION BY n.q
+               ORDER BY CAST(n.cn AS DOUBLE) / (dq.d + db.d - n.cn) DESC, n.b
+             ) AS rk
+      FROM new_links n
+      JOIN deg dq ON dq.n = n.q
+      JOIN deg db ON db.n = n.b
+    ) WHERE rk <= {LP_TOP}
+    """,
+    category="graph",
+)
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-based link prediction (Liben-Nowell & Kleinberg): for
+    10 seed parts, rank NON-adjacent parts by Jaccard of co-purchase
+    neighborhoods — common neighbors / union of neighborhoods — the
+    baseline every recommender link-predictor is measured against.
+    Candidates come from a two-hop walk restricted to the SEED side
+    (seeds -> their neighbors -> those neighbors' neighbors), so the
+    wedge volume is O(seeds x deg^2), bounded by the query batch — the
+    all-pairs variant on this deliberately dense co-purchase graph would
+    be sum(deg^2) ~ 28M wedges at sf0.01 (the triangle counter pays it
+    once with degree orientation; a per-pair scorer must not). Existing
+    edges are removed with an anti-join (predictions must be NEW links);
+    top-5 per seed via one partitioned rank window; scores are
+    fixed-point over exact integer counts.
+
+    100 TB: production link prediction is always seed-batched exactly
+    like this (score candidates for a user/session batch, not all
+    pairs); the shuffles are keyed on node ids and the only fan-out is
+    the seed frontier. Hub mitigation (cap/frequency-weight the w
+    expansion) composes the same way as SHINGLE_DF_CAP."""
+    l = t(spark, sf_dir, "lineitem")
+    lp = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")).distinct()
+    a0, b0 = lp.alias("a"), lp.alias("b")
+    e = (
+        a0.join(b0, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    adj = e.select(F.col("u").alias("n"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("n"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("n").agg(F.count("*").alias("d"))
+    seeds = deg.select(F.col("n").alias("q")).orderBy("q").limit(LP_SEEDS)
+    qadj = F.broadcast(seeds).join(adj, F.col("n") == F.col("q")).select("q", F.col("nbr").alias("w"))
+    hop2 = adj.select(F.col("n").alias("w"), F.col("nbr").alias("b"))
+    cand = (
+        qadj.join(hop2, "w")
+        .filter(F.col("b") != F.col("q"))
+        .groupBy("q", "b")
+        .agg(F.count("*").alias("cn"))
+    )
+    existing = adj.select(F.col("n").alias("q"), F.col("nbr").alias("b"))
+    new_links = cand.join(existing, ["q", "b"], "left_anti")
+    dq = deg.select(F.col("n").alias("q"), F.col("d").alias("dq"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    jac = F.col("cn").cast("double") / (F.col("dq") + F.col("db") - F.col("cn"))
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(W.partitionBy("q").orderBy(jac.desc(), F.col("b")))
+    return (
+        new_links.join(dq, "q")
+        .join(db, "b")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= LP_TOP)
+        .select("q", "b", "cn", F.round(jac * LP_SCALE).cast("long").alias("jaccard_fp"))
+    )
+
+
+KM_SCALE = 1_000_000
+
+
+@register(
+    "orders_survival_km_repeat_purchase",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MIN(o_orderdate) AS first_dt,
+             MIN(CASE WHEN rn = 2 THEN o_orderdate END) AS second_dt
+      FROM (
+        SELECT o_custkey, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+      ) GROUP BY o_custkey
+    ),
+    horizon AS (SELECT MAX(o_orderdate) AS max_dt FROM orders),
+    subjects AS (
+      SELECT p.o_custkey,
+             CASE WHEN p.second_dt IS NOT NULL
+                  THEN date_diff('day', p.first_dt, p.second_dt)
+                  ELSE date_diff('day', p.first_dt, h.max_dt) END AS dur,
+             CASE WHEN p.second_dt IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per_cust p CROSS JOIN horizon h
+    ),
+    tbl AS (
+      SELECT dur, CAST(SUM(ev) AS BIGINT) AS n_event,
+             CAST(COUNT(*) AS BIGINT) AS n_total
+      FROM subjects GROUP BY dur
+    ),
+    km1 AS (
+      SELECT dur, n_event,
+             CAST((SELECT COUNT(*) FROM subjects) AS BIGINT)
+               - (SUM(n_total) OVER (ORDER BY dur) - n_total) AS n_risk
+      FROM tbl
+    ),
+    km AS (
+      SELECT dur, n_event, n_risk,
+             SUM(CASE WHEN n_event > 0 AND n_event < n_risk
+                      THEN ln(1.0 - CAST(n_event AS DOUBLE) / n_risk)
+                      ELSE 0.0 END)
+               OVER (ORDER BY dur) AS log_s,
+             MAX(CASE WHEN n_event >= n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY dur) AS hit_zero
+      FROM km1
+    )
+    SELECT CAST(dur AS BIGINT) AS dur_days, n_risk, n_event,
+           CASE WHEN hit_zero = 1 THEN CAST(0 AS BIGINT)
+                ELSE CAST(round(exp(log_s) * {KM_SCALE}) AS BIGINT) END AS surv_fp
+    FROM km WHERE n_event > 0
+    """,
+    category="events",
+)
+def orders_survival_km_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate for time-to-repeat-purchase — the
+    right-censoring-aware answer to "how long until a customer orders
+    again" (naive mean-of-gaps is biased: one-order customers aren't
+    failures, they're CENSORED at the observation horizon). Subjects =
+    customers; event = second order (duration in days from the first);
+    censoring = horizon minus first order otherwise. S(t) =
+    prod_{{t_j <= t}} (1 - d_j / n_j) computed as exp of a cumulative
+    log-sum — a prefix-sum reformulation (like the changepoint scan) so
+    the whole curve is ONE ordered pass over the per-duration table, not
+    a per-time re-aggregation. At-risk counts come from the same prefix
+    sums. Scale: the per-customer reduction is one keyed window+agg;
+    the KM table is bounded by the observation range in DAYS
+    (time-bounded, like events_cumulative_uniques — allowlisted global
+    window); survival probabilities are fixed-point, exact integer
+    counts inside the log."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    rn = F.row_number().over(
+        W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    )
+    per_cust = (
+        o.select("o_custkey", "o_orderdate", rn.alias("rn"))
+        .groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_dt"),
+            F.min(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias("second_dt"),
+        )
+    )
+    horizon = o.agg(F.max("o_orderdate").alias("max_dt"))
+    subjects = per_cust.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("second_dt").isNotNull(),
+            F.datediff("second_dt", "first_dt"),
+        )
+        .otherwise(F.datediff("max_dt", "first_dt"))
+        .cast("long")
+        .alias("dur"),
+        F.when(F.col("second_dt").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    tbl = subjects.groupBy("dur").agg(
+        F.sum("ev").alias("n_event"), F.count("*").alias("n_total")
+    )
+    total = subjects.agg(F.count("*").alias("n_subj"))
+    wcum = W.orderBy("dur").rowsBetween(W.unboundedPreceding, 0)
+    km = (
+        tbl.crossJoin(F.broadcast(total))
+        .withColumn("cum_total", F.sum("n_total").over(wcum))
+        .withColumn("n_risk", F.col("n_subj") - (F.col("cum_total") - F.col("n_total")))
+        .withColumn(
+            "log_term",
+            F.when(
+                (F.col("n_event") > 0) & (F.col("n_event") < F.col("n_risk")),
+                F.log(1.0 - F.col("n_event").cast("double") / F.col("n_risk")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("log_s", F.sum("log_term").over(wcum))
+        # the final event time can take S exactly to 0 (d_j == n_j);
+        # ln(0) is undefined, so the zero is carried as a sticky flag
+        .withColumn(
+            "hit_zero",
+            F.max(
+                F.when(F.col("n_event") >= F.col("n_risk"), 1).otherwise(0)
+            ).over(wcum),
+        )
+    )
+    return km.filter(F.col("n_event") > 0).select(
+        F.col("dur").alias("dur_days"),
+        "n_risk",
+        "n_event",
+        F.when(F.col("hit_zero") == 1, F.lit(0).cast("long"))
+        .otherwise(F.round(F.exp("log_s") * KM_SCALE).cast("long"))
+        .alias("surv_fp"),
+    )
