@@ -568,6 +568,36 @@ def _cm_col_sql(r: str, tok: str) -> str:
     )
 
 
+def cm_col(r: int, tok_col):
+    """Spark twin of _cm_col_sql — the row-r count-min column. Shared with
+    tests/test_sketch_properties.py so operator and properties can never
+    validate different hash schemes."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"cm{r}:"), tok_col)), 1, 8), 16, 10)
+        .cast("long") % CM_WIDTH
+    )
+
+
+def cm_rc_array(tok_col):
+    """Array of (row, column) structs — one per hash row — for a token."""
+    return F.array(
+        *[
+            F.struct(F.lit(r).alias("r"), cm_col(r, tok_col).alias("c"))
+            for r in range(CM_DEPTH)
+        ]
+    )
+
+
+def cm_cells(toks: DataFrame) -> DataFrame:
+    """The count-min cell table for a (tok) frame: groupBy over the fixed
+    (row, column) grid with map-side partial aggregation."""
+    return (
+        toks.select(F.explode(cm_rc_array(F.col("tok"))).alias("rc"))
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.count("*").alias("cell"))
+    )
+
+
 @register(
     "agg_countmin_sketch",
     oracle=f"""
@@ -618,25 +648,11 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("tok"))
     )
-
-    def cm_col(r, tok_col):
-        return (
-            F.conv(F.substring(F.md5(F.concat(F.lit(f"cm{r}:"), tok_col)), 1, 8), 16, 10)
-            .cast("long") % CM_WIDTH
-        )
-
-    rc = F.array(
-        *[F.struct(F.lit(r).alias("r"), cm_col(r, F.col("tok")).alias("c")) for r in range(CM_DEPTH)]
-    )
-    cells = (
-        toks.select(F.explode(rc).alias("rc"))
-        .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
-        .agg(F.count("*").alias("cell"))
-    )
+    cells = cm_cells(toks)
     counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
     probes = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(CM_PROBES)
     lookups = probes.select(
-        "tok", "n", F.explode(rc).alias("rc")
+        "tok", "n", F.explode(cm_rc_array(F.col("tok"))).alias("rc")
     ).join(F.broadcast(cells), (F.col("rc.r") == F.col("r")) & (F.col("rc.c") == F.col("c")))
     return lookups.groupBy("tok", "n").agg(F.min("cell").alias("cm_est")).select(
         "tok",
@@ -765,6 +781,7 @@ KMV_K = 64  # k-minimum-values sketch size
     ),
     stats AS (
       SELECT MAX(ku.h) AS t,
+             CAST(COUNT(*) AS BIGINT) AS n_ku,
              CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both
       FROM ku
       LEFT JOIN ka a ON a.h = ku.h
@@ -783,13 +800,15 @@ KMV_K = 64  # k-minimum-values sketch size
       )
     )
     SELECT e.n_a, e.n_b, e.n_union, i.n_inter,
-           CAST(round(({KMV_K} - 1)
+           CASE WHEN s.n_ku < {KMV_K} THEN s.n_ku
+                ELSE CAST(round(({KMV_K} - 1)
                       / (CAST(('0x' || substr(s.t, 1, 8))::UBIGINT AS DOUBLE) / 4294967296.0))
-                AS BIGINT) AS union_est,
-           CAST(round(CAST(s.n_both AS DOUBLE) / {KMV_K}
+                AS BIGINT) END AS union_est,
+           CASE WHEN s.n_ku < {KMV_K} THEN s.n_both
+                ELSE CAST(round(CAST(s.n_both AS DOUBLE) / {KMV_K}
                       * (({KMV_K} - 1)
                          / (CAST(('0x' || substr(s.t, 1, 8))::UBIGINT AS DOUBLE) / 4294967296.0)))
-                AS BIGINT) AS inter_est
+                AS BIGINT) END AS inter_est
     FROM exact e CROSS JOIN inter i CROSS JOIN stats s
     """,
     category="aggregate",
@@ -830,6 +849,7 @@ def agg_kmv_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(kb.withColumnRenamed("h", "hb"), ku.h == F.col("hb"), "left")
         .agg(
             F.max(ku.h).alias("t"),
+            F.count("*").alias("n_ku"),
             F.sum(
                 F.when(F.col("ha").isNotNull() & F.col("hb").isNotNull(), 1).otherwise(0)
             ).alias("n_both"),
@@ -847,8 +867,16 @@ def agg_kmv_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_inter"))
     )
     frac = F.conv(F.substring("t", 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
-    union_est = F.round((KMV_K - 1) / frac).cast("long")
-    inter_est = F.round(F.col("n_both").cast("double") / KMV_K * ((KMV_K - 1) / frac)).cast("long")
+    # An UNSATURATED sketch (fewer than k values survived the merge) IS the
+    # exact union set — the (k-1)/t estimator is only defined at capacity.
+    saturated = F.col("n_ku") >= KMV_K
+    union_est = F.when(
+        saturated, F.round((KMV_K - 1) / frac).cast("long")
+    ).otherwise(F.col("n_ku"))
+    inter_est = F.when(
+        saturated,
+        F.round(F.col("n_both").cast("double") / KMV_K * ((KMV_K - 1) / frac)).cast("long"),
+    ).otherwise(F.col("n_both"))
     return (
         exact.crossJoin(F.broadcast(inter))
         .crossJoin(F.broadcast(stats))

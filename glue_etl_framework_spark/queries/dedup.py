@@ -757,6 +757,37 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _verify_jaccard_pairs(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """O(candidates) exact-Jaccard verification shared by the blocking
+    operators (prefix filter, sorted neighborhood): join candidate pairs
+    doc-keyed to sorted shingle arrays and compute the overlap with
+    array_intersect (shingle sets are distinct, so size == |A∩B|).
+    Arrays are built ONLY for docs appearing in some candidate pair (the
+    semi-join), so the collect_list cost tracks candidate volume, not
+    corpus size. Returns (doc_a, doc_b, n_common, na, nb). (Local wall
+    time is flat vs an unscoped build: the fixtures' near-dup density
+    puts most docs in a candidate pair; on a sparse corpus the semi-join
+    is the win.)"""
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    arrs = (
+        sh.join(cand_docs, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("shingle")).alias("arr"), F.count("*").alias("n"))
+    )
+    av = arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"), F.col("n").alias("na"))
+    bv = arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"), F.col("n").alias("nb"))
+    n_common = F.size(F.array_intersect("arr_a", "arr_b"))
+    return (
+        cand.join(av, "doc_a")
+        .join(bv, "doc_b")
+        .select("doc_a", "doc_b", n_common.alias("n_common"), "na", "nb")
+    )
+
+
 PREFIX_TAU_NUM, PREFIX_TAU_DEN = 1, 2  # Jaccard threshold τ = 0.5, exact rational
 
 
@@ -832,35 +863,14 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # O(candidates) verify: doc-keyed joins to sorted shingle arrays, overlap
-    # via array_intersect (shingle sets are distinct, so size == |A∩B|).
-    # Arrays are built ONLY for docs that appear in a candidate pair (the
-    # semi-join below) — the collect_list cost tracks candidate volume, not
-    # corpus size, which is the point of prefix filtering. (Local wall time
-    # is flat: the fixture's near-dup density puts most docs in some
-    # candidate pair; on a real sparse corpus the semi-join is the win.)
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    arrs = (
-        sh.join(cand_docs, "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("shingle")).alias("arr"), F.count("*").alias("n"))
-    )
-    av = arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"), F.col("n").alias("na"))
-    bv = arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"), F.col("n").alias("nb"))
-    n_common = F.size(F.array_intersect("arr_a", "arr_b"))
-    union_n = F.col("na") + F.col("nb") - n_common
+    union_n = F.col("na") + F.col("nb") - F.col("n_common")
     return (
-        cand.join(av, "doc_a")
-        .join(bv, "doc_b")
-        .filter(F.lit(PREFIX_TAU_DEN) * n_common >= F.lit(PREFIX_TAU_NUM) * union_n)
+        _verify_jaccard_pairs(sh, cand)
+        .filter(F.lit(PREFIX_TAU_DEN) * F.col("n_common") >= F.lit(PREFIX_TAU_NUM) * union_n)
         .select(
             "doc_a",
             "doc_b",
-            F.round(n_common.cast("double") / union_n.cast("double"), 6).alias("jaccard"),
+            F.round(F.col("n_common").cast("double") / union_n.cast("double"), 6).alias("jaccard"),
         )
     )
 
@@ -950,17 +960,10 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sh = _shingles(spark, sf_dir)
-    arrs = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("shingle")).alias("arr"), F.count("*").alias("n")
-    )
-    av = arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"), F.col("n").alias("na"))
-    bv = arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"), F.col("n").alias("nb"))
-    n_common = F.size(F.array_intersect("arr_a", "arr_b"))
-    union_n = F.col("na") + F.col("nb") - n_common
-    jac = n_common.cast("double") / union_n.cast("double")
+    union_n = F.col("na") + F.col("nb") - F.col("n_common")
+    jac = F.col("n_common").cast("double") / union_n.cast("double")
     return (
-        cand.join(av, "doc_a")
-        .join(bv, "doc_b")
+        _verify_jaccard_pairs(sh, cand)
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

@@ -376,7 +376,9 @@ def udf_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="chunk_idx: int, n_tokens: int")
     class ChunkSplitter:
         def eval(self, text: str):
-            toks = text.split(" ") if text else []
+            # '' splits to [''] (one empty token) to match the oracle's
+            # string_split semantics; only NULL yields no chunks.
+            toks = text.split(" ") if text is not None else []
             for i in range(0, len(toks), CHUNK_TOKENS):
                 yield i // CHUNK_TOKENS, len(toks[i : i + CHUNK_TOKENS])
 
@@ -384,13 +386,9 @@ def udf_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = d.lateralJoin(
         ChunkSplitter(F.col("text").outer()).alias("c")
     ).select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.n_tokens").alias("n_toks"))
-    return (
-        chunks.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_chunks"),
-            F.max(F.struct("chunk_idx", "n_toks")).getField("n_toks").alias("last_chunk_tokens"),
-        )
-        .filter(F.col("n_chunks") > 0)
+    return chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.max(F.struct("chunk_idx", "n_toks")).getField("n_toks").alias("last_chunk_tokens"),
     )
 
 

@@ -6062,6 +6062,51 @@ def _bpe_oracle() -> str:
     return "    WITH " + ",\n    ".join(stages) + "\n    " + selects
 
 
+def _bpe_repr0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(freq, r): corpus words as space-separated character symbols with an
+    </w> marker, weighted by frequency — the trainer's working frame."""
+    d = t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    chars = F.concat(
+        F.array_join(F.expr("transform(split(word, ''), c -> c)"), " "),
+        F.lit(" </w>"),
+    )
+    return words.select("freq", chars.alias("r"))
+
+
+def _bpe_best_pair(repr_df: DataFrame) -> DataFrame:
+    """1-row (p, c): the most frequent adjacent symbol pair, deterministic
+    tie-break on the pair itself."""
+    pair_arr = F.expr(
+        "transform(sequence(0, size(split(r, ' ')) - 2), i -> "
+        "concat(split(r, ' ')[i], ' ', split(r, ' ')[i + 1]))"
+    )
+    pairs = (
+        repr_df.filter(F.size(F.split("r", " ")) >= 2)
+        .select("freq", F.explode(pair_arr).alias("p"))
+        .groupBy("p")
+        .agg(F.sum("freq").alias("c"))
+    )
+    return pairs.orderBy(F.col("c").desc(), F.col("p")).limit(1)
+
+
+def _bpe_apply_merge(repr_df: DataFrame, best: DataFrame) -> DataFrame:
+    """Apply one learned merge (boundary-delimited leftmost-non-overlapping;
+    see text_bpe_learn_merges for the variant's semantics)."""
+    padded = F.concat(F.lit(" "), F.col("r"), F.lit(" "))
+    pattern = F.concat(F.lit(" "), F.col("p"), F.lit(" "))
+    merged = F.concat(
+        F.lit(" "), F.replace(F.col("p"), F.lit(" "), F.lit("")), F.lit(" ")
+    )
+    return repr_df.crossJoin(F.broadcast(best.select("p"))).select(
+        "freq", F.trim(F.replace(padded, pattern, merged)).alias("r")
+    )
+
+
 @register("text_bpe_learn_merges", oracle=_bpe_oracle(), category="text")
 def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge LEARNING (Sennrich et al. 2016 — the subword-tokenizer
@@ -6086,31 +6131,10 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     + a 1-row broadcast applied map-side. k rounds = k bounded passes
     over the vocab frame; a production 32k-merge trainer batches merges
     per pass (same plan per batch)."""
-    d = t(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(F.split("text", " ")).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-    )
-    chars = F.concat(
-        F.array_join(F.expr("transform(split(word, ''), c -> c)"), " "),
-        F.lit(" </w>"),
-    )
-    repr_df = words.select("freq", chars.alias("r"))
+    repr_df = _bpe_repr0(spark, sf_dir)
     outs = []
     for i in range(1, BPE_MERGES + 1):
-        toks = F.split("r", " ")
-        pair_arr = F.expr(
-            "transform(sequence(0, size(split(r, ' ')) - 2), i -> "
-            "concat(split(r, ' ')[i], ' ', split(r, ' ')[i + 1]))"
-        )
-        pairs = (
-            repr_df.filter(F.size(toks) >= 2)
-            .select("freq", F.explode(pair_arr).alias("p"))
-            .groupBy("p")
-            .agg(F.sum("freq").alias("c"))
-        )
-        best = pairs.orderBy(F.col("c").desc(), F.col("p")).limit(1)
+        best = _bpe_best_pair(repr_df)
         outs.append(
             best.select(
                 F.lit(i).cast("int").alias("merge_order"),
@@ -6120,14 +6144,7 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         if i < BPE_MERGES:
-            padded = F.concat(F.lit(" "), F.col("r"), F.lit(" "))
-            pattern = F.concat(F.lit(" "), F.col("p"), F.lit(" "))
-            merged = F.concat(
-                F.lit(" "), F.replace(F.col("p"), F.lit(" "), F.lit("")), F.lit(" ")
-            )
-            repr_df = repr_df.crossJoin(F.broadcast(best.select("p"))).select(
-                "freq", F.trim(F.replace(padded, pattern, merged)).alias("r")
-            )
+            repr_df = _bpe_apply_merge(repr_df, best)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -6171,38 +6188,10 @@ def text_bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     word frame (never a corpus re-scan), exact BIGINTs. Same unrolled
     deterministic chain as the trainer, so the measurement is
     driver-hash-pinned end to end."""
-    d = t(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(F.split("text", " ")).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-    )
-    chars = F.concat(
-        F.array_join(F.expr("transform(split(word, ''), c -> c)"), " "),
-        F.lit(" </w>"),
-    )
-    repr_df = words.select("freq", chars.alias("r"))
-    base = repr_df
-    for i in range(1, BPE_MERGES + 1):
-        pair_arr = F.expr(
-            "transform(sequence(0, size(split(r, ' ')) - 2), i -> "
-            "concat(split(r, ' ')[i], ' ', split(r, ' ')[i + 1]))"
-        )
-        pairs = (
-            repr_df.filter(F.size(F.split("r", " ")) >= 2)
-            .select("freq", F.explode(pair_arr).alias("p"))
-            .groupBy("p")
-            .agg(F.sum("freq").alias("c"))
-        )
-        best = pairs.orderBy(F.col("c").desc(), F.col("p")).limit(1)
-        padded = F.concat(F.lit(" "), F.col("r"), F.lit(" "))
-        pattern = F.concat(F.lit(" "), F.col("p"), F.lit(" "))
-        merged = F.concat(
-            F.lit(" "), F.replace(F.col("p"), F.lit(" "), F.lit("")), F.lit(" ")
-        )
-        repr_df = repr_df.crossJoin(F.broadcast(best.select("p"))).select(
-            "freq", F.trim(F.replace(padded, pattern, merged)).alias("r")
-        )
+    base = _bpe_repr0(spark, sf_dir)
+    repr_df = base
+    for _ in range(BPE_MERGES):
+        repr_df = _bpe_apply_merge(repr_df, _bpe_best_pair(repr_df))
     def ntok(df):
         return df.agg(F.sum(F.col("freq") * F.size(F.split("r", " "))).alias("n"))
 

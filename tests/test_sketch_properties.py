@@ -8,32 +8,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from glue_etl_framework_spark.queries.aggregates import (
-    CM_DEPTH,
-    CM_WIDTH,
     agg_countmin_sketch,
+    cm_cells as _cells,
+    cm_rc_array,
 )
 from tests.conftest import SF_SMOKE
-
-
-def _cm_col(r, tok_col):
-    return (
-        F.conv(F.substring(F.md5(F.concat(F.lit(f"cm{r}:"), tok_col)), 1, 8), 16, 10)
-        .cast("long") % CM_WIDTH
-    )
-
-
-def _cells(toks):
-    rc = F.array(
-        *[
-            F.struct(F.lit(r).alias("r"), _cm_col(r, F.col("tok")).alias("c"))
-            for r in range(CM_DEPTH)
-        ]
-    )
-    return (
-        toks.select(F.explode(rc).alias("rc"))
-        .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
-        .agg(F.count("*").alias("cell"))
-    )
 
 
 def _toks(spark):
@@ -48,14 +27,8 @@ def test_countmin_never_underestimates_any_token(spark):
     toks = _toks(spark).select("tok")
     cells = _cells(toks)
     counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
-    rc = F.array(
-        *[
-            F.struct(F.lit(r).alias("r"), _cm_col(r, F.col("tok")).alias("c"))
-            for r in range(CM_DEPTH)
-        ]
-    )
     est = (
-        counts.select("tok", "n", F.explode(rc).alias("rc"))
+        counts.select("tok", "n", F.explode(cm_rc_array(F.col("tok"))).alias("rc"))
         .join(
             F.broadcast(cells),
             (F.col("rc.r") == F.col("r")) & (F.col("rc.c") == F.col("c")),
@@ -119,8 +92,17 @@ def test_rendezvous_minimal_reshuffle(spark):
         (F.col("full") != HRW_SHARDS - 1) & (F.col("full") != F.col("reduced"))
     ).count()
     assert moved_without_cause == 0
-    # and the drained shard's docs all land somewhere in the remaining ring
-    assert both.filter(F.col("reduced") == HRW_SHARDS - 1).count() == 0
+    # and every doc — including the drained shard's — gets a VALID shard in
+    # the remaining ring (non-null, in range; 'reduced == HRW_SHARDS-1' would
+    # be vacuous since that shard isn't in the reduced argmax at all)
+    invalid = both.filter(
+        F.col("reduced").isNull()
+        | (F.col("reduced") < 0)
+        | (F.col("reduced") > HRW_SHARDS - 2)
+    ).count()
+    assert invalid == 0
+    drained = both.filter(F.col("full") == HRW_SHARDS - 1).count()
+    assert drained > 0  # the property is only meaningful if the drained shard had docs
 
 
 def test_multiprobe_candidates_nest(spark):
