@@ -6497,3 +6497,154 @@ def orders_survival_km_repeat_purchase(spark: SparkSession, sf_dir: str) -> Data
         .otherwise(F.round(F.exp("log_s") * KM_SCALE).cast("long"))
         .alias("surv_fp"),
     )
+
+
+CUPED_SCALE = 1_000_000
+
+
+@register(
+    "events_abtest_cuped_adjustment",
+    oracle=f"""
+    WITH span AS (
+      SELECT CAST(MIN(ts) AS DATE)
+               + CAST(date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) // 2 AS INTEGER)
+               AS split_day
+      FROM events
+    ),
+    per_user AS (
+      SELECT e.user_id,
+             CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1, 2))::UBIGINT % 2 AS BIGINT) AS variant,
+             SUM(CASE WHEN CAST(e.ts AS DATE) < s.split_day
+                      THEN CAST(ROUND(e.value * 100) AS BIGINT) ELSE 0 END) AS x,
+             SUM(CASE WHEN CAST(e.ts AS DATE) >= s.split_day
+                      THEN CAST(ROUND(e.value * 100) AS BIGINT) ELSE 0 END) AS y
+      FROM events e CROSS JOIN span s
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM per_user
+    ),
+    arms AS (
+      SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN variant = 0 THEN x ELSE 0 END) AS HUGEINT) AS sx_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN x ELSE 0 END) AS HUGEINT) AS sx_b,
+             CAST(SUM(CASE WHEN variant = 0 THEN y ELSE 0 END) AS HUGEINT) AS sy_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN y ELSE 0 END) AS HUGEINT) AS sy_b
+      FROM per_user
+    )
+    SELECT a.n_a, a.n_b,
+           CAST(round(theta * {CUPED_SCALE}) AS BIGINT) AS theta_fp,
+           CAST(round(raw_diff) AS BIGINT) AS raw_diff_cents,
+           CAST(round(raw_diff
+                      - theta * (CAST(a.sx_b AS DOUBLE) / a.n_b
+                                 - CAST(a.sx_a AS DOUBLE) / a.n_a)) AS BIGINT)
+             AS cuped_diff_cents,
+           CAST(round(r2 * {CUPED_SCALE}) AS BIGINT) AS var_reduction_fp
+    FROM (
+      SELECT a.*, s.*,
+             (s.n * CAST(s.sxy AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sy AS DOUBLE))
+               / (s.n * CAST(s.sxx AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)) AS theta,
+             CAST(a.sy_b AS DOUBLE) / a.n_b - CAST(a.sy_a AS DOUBLE) / a.n_a AS raw_diff,
+             ((s.n * CAST(s.sxy AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sy AS DOUBLE))
+              * (s.n * CAST(s.sxy AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sy AS DOUBLE)))
+             / ((s.n * CAST(s.sxx AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE))
+                * (s.n * CAST(s.syy AS DOUBLE) - CAST(s.sy AS DOUBLE) * CAST(s.sy AS DOUBLE))) AS r2
+      FROM arms a CROSS JOIN stats s
+      WHERE a.n_a > 0 AND a.n_b > 0
+        AND s.n * CAST(s.sxx AS DOUBLE) > CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)
+        AND s.n * CAST(s.syy AS DOUBLE) > CAST(s.sy AS DOUBLE) * CAST(s.sy AS DOUBLE)
+    ) a
+    """,
+    category="events",
+)
+def events_abtest_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13 — the adjustment
+    every large experimentation platform applies before reading a
+    metric): per-user PRE-period spend is the covariate, POST-period
+    spend the metric (the period split is the midpoint of the observed
+    range, derived identically in both engines); theta = cov(X,Y)/var(X)
+    from ONE pass of integer sufficient statistics (HUGEINT/DECIMAL
+    internals — the OLS overflow discipline), and the reported treatment
+    effect is the raw between-arm diff minus theta times the arms'
+    pre-period imbalance. var_reduction_fp = corr(X,Y)^2 — the fraction
+    of metric variance CUPED removes, the number that decides whether
+    the adjustment is worth running. Population = users with >= 1
+    purchase (deterministic in both engines; production would join the
+    assignment log). Same md5-bucket assignment as the z-test operator,
+    so the two entries together form the experiment readout pipeline.
+    Output is ONE row at any scale; the only shuffle is the per-user
+    aggregate."""
+    e = t(spark, sf_dir, "events")
+    span = e.agg(
+        F.date_add(
+            F.min(F.to_date("ts")),
+            F.floor(F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) / 2).cast("int"),
+        ).alias("split_day")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = (
+        e.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.to_date("ts") < F.col("split_day"), cents).otherwise(0)).alias("x"),
+            F.sum(F.when(F.to_date("ts") >= F.col("split_day"), cents).otherwise(0)).alias("y"),
+        )
+        .withColumn(
+            "variant",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
+            .cast("long") % 2,
+        )
+    )
+    def dec(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    stats = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+    )
+    arms = per_user.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, dec("x")).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("sx_a"),
+        F.sum(F.when(F.col("variant") == 1, dec("x")).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("sx_b"),
+        F.sum(F.when(F.col("variant") == 0, dec("y")).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("sy_a"),
+        F.sum(F.when(F.col("variant") == 1, dec("y")).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("sy_b"),
+    )
+    j = arms.crossJoin(F.broadcast(stats))
+    nd = F.col("n").cast("double")
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    cov_n = nd * d("sxy") - d("sx") * d("sy")
+    varx_n = nd * d("sxx") - d("sx") * d("sx")
+    vary_n = nd * d("syy") - d("sy") * d("sy")
+    theta = cov_n / varx_n
+    raw_diff = d("sy_b") / F.col("n_b") - d("sy_a") / F.col("n_a")
+    cuped_diff = raw_diff - theta * (d("sx_b") / F.col("n_b") - d("sx_a") / F.col("n_a"))
+    r2 = (cov_n * cov_n) / (varx_n * vary_n)
+    return (
+        j.filter(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0) & (varx_n > 0) & (vary_n > 0)
+        )
+        .select(
+            "n_a",
+            "n_b",
+            F.round(theta * CUPED_SCALE).cast("long").alias("theta_fp"),
+            F.round(raw_diff).cast("long").alias("raw_diff_cents"),
+            F.round(cuped_diff).cast("long").alias("cuped_diff_cents"),
+            F.round(r2 * CUPED_SCALE).cast("long").alias("var_reduction_fp"),
+        )
+    )
