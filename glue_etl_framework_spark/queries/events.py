@@ -777,3 +777,73 @@ def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_fp",
         )
     )
+
+
+@register(
+    "events_user_streaks",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+    ),
+    anchored AS (
+      SELECT user_id, day,
+             date_diff('day', DATE '2024-01-01', day)
+               - row_number() OVER (PARTITION BY user_id ORDER BY day) AS anchor
+      FROM du
+    ),
+    streaks AS (
+      SELECT user_id, anchor,
+             CAST(COUNT(*) AS BIGINT) AS streak_days,
+             MIN(day) AS start_day, MAX(day) AS end_day
+      FROM anchored GROUP BY user_id, anchor
+    )
+    SELECT user_id, streak_days,
+           strftime(start_day, '%Y-%m-%d') AS start_day,
+           strftime(end_day, '%Y-%m-%d') AS end_day
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY streak_days DESC, start_day) AS rk
+      FROM streaks
+    ) WHERE rk = 1
+    """,
+    category="events",
+)
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern (day_index - row_number is constant within a
+    consecutive run, so one subtraction turns streak detection into a
+    plain groupBy; no self-joins, no recursion). Distinct from the
+    session-window operators: those group by INTRA-day inactivity gaps
+    on raw timestamps; this is the calendar-day engagement streak a
+    retention dashboard shows. All three windows (row_number, the streak
+    rollup, the per-user argmax) partition by user_id — one shuffle key
+    end to end, and the input collapses to distinct (user, day) first.
+    Deterministic tie-break: earliest of the equal-length streaks."""
+    e = t(spark, sf_dir, "events")
+    du = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    anchor = (
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+        - F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    )
+    streaks = (
+        du.withColumn("anchor", anchor)
+        .groupBy("user_id", "anchor")
+        .agg(
+            F.count("*").alias("streak_days"),
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("user_id").orderBy(F.col("streak_days").desc(), F.col("start_day"))
+    )
+    return (
+        streaks.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "streak_days",
+            F.date_format("start_day", "yyyy-MM-dd").alias("start_day"),
+            F.date_format("end_day", "yyyy-MM-dd").alias("end_day"),
+        )
+    )

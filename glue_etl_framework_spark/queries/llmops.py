@@ -6648,3 +6648,104 @@ def events_abtest_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(r2 * CUPED_SCALE).cast("long").alias("var_reduction_fp"),
         )
     )
+
+
+NEYMAN_BUDGET = 200  # total sample size allocated across strata
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH doc AS (
+      SELECT doc_id, source,
+             CAST(length(string_split(text, ' ')) AS BIGINT) AS toks
+      FROM documents
+    ),
+    strata AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS nh,
+             CAST(SUM(toks) AS BIGINT) AS sx,
+             CAST(SUM(toks * toks) AS BIGINT) AS sxx
+      FROM doc GROUP BY source
+    ),
+    weighted AS (
+      SELECT source, nh,
+             nh * sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / nh) / nh) AS w
+      FROM strata
+    ),
+    alloc AS (
+      SELECT source, nh,
+             CAST(round({NEYMAN_BUDGET} * w / (SELECT SUM(w) FROM weighted)) AS BIGINT) AS n_alloc
+      FROM weighted
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+      FROM doc d
+    )
+    SELECT a.source, a.nh, a.n_alloc,
+           CAST(COUNT(r.doc_id) AS BIGINT) AS n_drawn,
+           CAST(COALESCE(SUM(r.doc_id), 0) AS BIGINT) AS drawn_id_sum
+    FROM alloc a
+    LEFT JOIN ranked r ON r.source = a.source AND r.rk <= a.n_alloc
+    GROUP BY a.source, a.nh, a.n_alloc
+    """,
+    category="sampling",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation (Neyman 1934): the
+    fixed budget is split across strata proportional to N_h * S_h —
+    bigger AND more variable strata get more samples, the allocation
+    that minimizes the variance of the stratified mean estimator
+    (proportional allocation ignores S_h; uniform ignores both). Sigma
+    comes from exact integer sufficient statistics per stratum
+    (population SD, one keyed aggregate); the draw is the engine's
+    standard deterministic device — md5-rank within stratum, take the
+    first n_h (WindowGroupLimit, no global sort, reproducible across
+    engines, which is why even the drawn id-sum is oracle-checked).
+    Output one row per stratum with its size, allocation, and the drawn
+    sample's fingerprint. At 100 TB: two keyed passes (stats, draw) plus
+    a #strata-row broadcast — the same shape as the temperature/DSIR
+    samplers."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("toks")
+    )
+    strata = d.groupBy("source").agg(
+        F.count("*").alias("nh"),
+        F.sum("toks").alias("sx"),
+        F.sum(F.col("toks") * F.col("toks")).alias("sxx"),
+    )
+    w = F.col("nh") * F.sqrt(
+        (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("nh"))
+        / F.col("nh")
+    )
+    weighted = strata.select("source", "nh", w.alias("w"))
+    tot = weighted.agg(F.sum("w").alias("tw"))
+    alloc = weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "nh",
+        F.round(NEYMAN_BUDGET * F.col("w") / F.col("tw")).cast("long").alias("n_alloc"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    )
+    ranked = d.select("doc_id", "source").withColumn("rk", rk)
+    drawn = ranked.join(F.broadcast(alloc), "source").filter(F.col("rk") <= F.col("n_alloc"))
+    return (
+        alloc.join(
+            drawn.groupBy("source").agg(
+                F.count("*").alias("n_drawn"), F.sum("doc_id").alias("drawn_id_sum")
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "nh",
+            "n_alloc",
+            F.coalesce("n_drawn", F.lit(0)).alias("n_drawn"),
+            F.coalesce("drawn_id_sum", F.lit(0)).alias("drawn_id_sum"),
+        )
+    )
