@@ -6749,3 +6749,185 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("drawn_id_sum", F.lit(0)).alias("drawn_id_sum"),
         )
     )
+
+
+KS_BINS = 64
+KS_SCALE = 1_000_000
+
+
+@register(
+    "quality_ks_binned_drift",
+    oracle=f"""
+    WITH span AS (
+      SELECT CAST(MIN(ts) AS DATE)
+               + CAST(date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) // 2 AS INTEGER)
+               AS split_day
+      FROM events
+    ),
+    v AS (
+      SELECT CASE WHEN CAST(e.ts AS DATE) < s.split_day THEN 0 ELSE 1 END AS half,
+             CAST(least(length(bin(CAST(ROUND(e.value * 100) AS BIGINT))) - 1,
+                        {KS_BINS - 1}) AS BIGINT) AS bin
+      FROM events e CROSS JOIN span s
+      WHERE e.value > 0
+    ),
+    binned AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_post
+      FROM v GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin, n_pre, n_post,
+             SUM(n_pre) OVER (ORDER BY bin) AS c_pre,
+             SUM(n_post) OVER (ORDER BY bin) AS c_post,
+             (SELECT SUM(n_pre) FROM binned) AS t_pre,
+             (SELECT SUM(n_post) FROM binned) AS t_post
+      FROM binned
+    )
+    SELECT CAST(MAX(round(abs(CAST(c_pre AS DOUBLE) / t_pre
+                              - CAST(c_post AS DOUBLE) / t_post) * {KS_SCALE})) AS BIGINT)
+             AS ks_stat_fp,
+           CAST(MAX(t_pre) AS BIGINT) AS n_pre,
+           CAST(MAX(t_post) AS BIGINT) AS n_post,
+           CAST(COUNT(*) AS BIGINT) AS n_bins_used
+    FROM cum
+    WHERE t_pre > 0 AND t_post > 0
+    """,
+    category="quality",
+)
+def quality_ks_binned_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov drift statistic — the
+    sup-of-CDF-gap view of distribution change, next to PSI's
+    sum-of-bin-terms view (quality_psi_drift): event values from the
+    first half of the observation window vs the second, bucketed into
+    <= 64 log2 bins (length-of-binary-representation — integer-exact in
+    both engines, the events_user_gini device), cumulative shares per
+    half, and KS = max |F_pre - F_post| over bin boundaries. The exact
+    KS over raw values needs a merged global ORDER over both samples —
+    unbounded at scale; the binned statistic is a lower bound whose
+    resolution is the bin width, computed from one bounded cumulative
+    window. One shuffle: the 64-key bin aggregate (map-side combined);
+    the split day derives from the data identically in both engines.
+    Output is one row: the statistic, both sample sizes, bins touched."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    span = e.agg(
+        F.date_add(
+            F.min(F.to_date("ts")),
+            F.floor(F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) / 2).cast("int"),
+        ).alias("split_day")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    v = (
+        e.filter(F.col("value") > 0)
+        .crossJoin(F.broadcast(span))
+        .select(
+            F.when(F.to_date("ts") < F.col("split_day"), 0).otherwise(1).alias("half"),
+            F.least(F.length(F.bin(cents)) - 1, F.lit(KS_BINS - 1)).cast("long").alias("bin"),
+        )
+    )
+    binned = v.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_pre"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_post"),
+    )
+    tot = binned.agg(
+        F.sum("n_pre").alias("t_pre"), F.sum("n_post").alias("t_post")
+    )
+    wcum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    cum = (
+        binned.crossJoin(F.broadcast(tot))
+        .withColumn("c_pre", F.sum("n_pre").over(wcum))
+        .withColumn("c_post", F.sum("n_post").over(wcum))
+    )
+    gap = F.round(
+        F.abs(
+            F.col("c_pre").cast("double") / F.col("t_pre")
+            - F.col("c_post").cast("double") / F.col("t_post")
+        )
+        * KS_SCALE
+    )
+    return (
+        cum.filter((F.col("t_pre") > 0) & (F.col("t_post") > 0))
+        .agg(
+            F.max(gap).cast("long").alias("ks_stat_fp"),
+            F.max("t_pre").alias("n_pre"),
+            F.max("t_post").alias("n_post"),
+            F.count("*").alias("n_bins_used"),
+        )
+    )
+
+
+@register(
+    "orders_cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+      FROM orders GROUP BY o_custkey
+    ),
+    cohort_sizes AS (
+      SELECT cohort_m, CAST(COUNT(*) AS BIGINT) AS n_cust FROM firsts GROUP BY cohort_m
+    ),
+    rev AS (
+      SELECT f.cohort_m,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cohort_m AS age_m,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST((r.cohort_m - 1) // 12 AS BIGINT) AS cohort_year,
+           CAST((r.cohort_m - 1) % 12 + 1 AS BIGINT) AS cohort_month,
+           CAST(r.age_m AS BIGINT) AS age_months,
+           s.n_cust,
+           CAST(SUM(r.rev_cents) OVER (PARTITION BY r.cohort_m ORDER BY r.age_m) AS BIGINT)
+             AS cum_rev_cents,
+           CAST(SUM(r.rev_cents) OVER (PARTITION BY r.cohort_m ORDER BY r.age_m)
+                // s.n_cust AS BIGINT) AS ltv_per_cust_cents
+    FROM rev r JOIN cohort_sizes s ON s.cohort_m = r.cohort_m
+    """,
+    category="events",
+)
+def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve — the companion matrix to
+    events_retention_cohort: customers are grouped by first-order month,
+    and each cohort's CUMULATIVE revenue per original member is tracked
+    by months-since-acquisition. The curve's flattening point is the
+    payback horizon every acquisition budget is judged against. Months
+    are year*12+month integers (exact in both engines, no date-diff
+    calendar subtleties); revenue is exact cents; the running sum
+    partitions by cohort (bounded frames: months in the observation
+    window) — so the whole matrix is (cohorts x ages) rows from two
+    keyed aggregates and one partitioned window. LTV-per-customer uses
+    integer division by the FIXED original cohort size (not the active
+    count) — the standard definition, stated because the off-by-one
+    between those denominators is a classic dashboard bug."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    month_idx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    firsts = o.groupBy("o_custkey").agg(F.min(month_idx).alias("cohort_m"))
+    sizes = firsts.groupBy("cohort_m").agg(F.count("*").alias("n_cust"))
+    rev = (
+        o.join(firsts, "o_custkey")
+        .groupBy("cohort_m", (month_idx - F.col("cohort_m")).alias("age_m"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"))
+    )
+    cum = F.sum("rev_cents").over(
+        W.partitionBy("cohort_m").orderBy("age_m").rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(sizes, "cohort_m")
+        .select(
+            F.expr("(cohort_m - 1) div 12").alias("cohort_year"),
+            ((F.col("cohort_m") - 1) % 12 + 1).cast("long").alias("cohort_month"),
+            F.col("age_m").cast("long").alias("age_months"),
+            "n_cust",
+            cum.alias("cum_rev_cents"),
+            F.expr(
+                "CAST(sum(rev_cents) OVER (PARTITION BY cohort_m ORDER BY age_m "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) div n_cust AS BIGINT)"
+            ).alias("ltv_per_cust_cents"),
+        )
+    )
