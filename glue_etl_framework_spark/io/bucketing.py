@@ -26,13 +26,18 @@ def write_bucketed(
     sort_cols: list[str] | None = None,
     fmt: str = "parquet",
     mode: str = "overwrite",
+    location: str | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (optionally sorted) catalog table.
     ``n_buckets`` should give bucket files that fit an executor's read
-    budget at full scale (buckets are not splittable across tasks)."""
+    budget at full scale (buckets are not splittable across tasks).
+    ``location`` makes the table external at an explicit path — needed on
+    sessions whose static warehouse dir isn't writable."""
     writer = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if location:
+        writer = writer.option("path", location)
     writer.saveAsTable(table)
 
 

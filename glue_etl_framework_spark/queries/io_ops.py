@@ -1197,3 +1197,46 @@ def pipeline_python_script_job(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return back
+
+
+# --- bucketed co-located join round-trip -----------------------------------
+
+_BUCKET_ORACLE = """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+"""
+
+
+@register("io_bucketed_join_roundtrip", oracle=_BUCKET_ORACLE, category="io")
+def io_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join — the write-once,
+    shuffle-never-again layout (io.bucketing): lineitem and orders are
+    written as catalog tables bucketed 8 ways on the order key, and the
+    join runs as an Exchange-free sort-merge join (the bucketed scan
+    reports a compatible HashPartitioning, so neither side shuffles —
+    asserted in tests/test_pipeline.py's assert_no_shuffle probe and visible
+    in this plan). At 100 TB this converts every recurring join/agg on
+    the bucket key from a both-sides shuffle into a local merge — THE
+    amortization lever for star-schema fact joins the reference's plain
+    parquet sink can't express. The driver hash-check verifies the
+    bucketed write -> catalog scan -> join cycle loses nothing vs the
+    fixture-side plain join."""
+    from glue_etl_framework_spark.io.bucketing import bucketed_join, write_bucketed
+
+    d, fresh = _workdir("buck", sf_dir)
+    lt, ot = "ioop_buck_lineitem", "ioop_buck_orders"
+    if fresh or not spark.catalog.tableExists(lt):
+        li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        od = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+        write_bucketed(li, lt, ["l_orderkey"], 8, location=f"{d}/{lt}")
+        write_bucketed(od, ot, ["o_orderkey"], 8, location=f"{d}/{ot}")
+    joined = bucketed_join(
+        spark, lt, ot, on=[spark.table(lt).l_orderkey == spark.table(ot).o_orderkey]
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
