@@ -6931,3 +6931,106 @@ def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_cust_cents"),
         )
     )
+
+
+SRM_SCALE = 1_000_000
+MDE_Z_ALPHA = 1.959963985  # two-sided 5%
+MDE_Z_BETA = 0.841621234   # 80% power
+
+
+@register(
+    "events_abtest_guardrails",
+    oracle=f"""
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::UBIGINT % 2 AS BIGINT)
+               AS variant
+      FROM events
+    ),
+    conv AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND value >= 150
+    ),
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN a.variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN a.variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
+    )
+    SELECT n_a, n_b,
+           CAST(round((power(n_a - CAST(n_a + n_b AS DOUBLE) / 2, 2)
+                       / (CAST(n_a + n_b AS DOUBLE) / 2)
+                       + power(n_b - CAST(n_a + n_b AS DOUBLE) / 2, 2)
+                       / (CAST(n_a + n_b AS DOUBLE) / 2)) * {SRM_SCALE}) AS BIGINT) AS srm_chi2_fp,
+           CASE WHEN power(n_a - CAST(n_a + n_b AS DOUBLE) / 2, 2) / (CAST(n_a + n_b AS DOUBLE) / 2)
+                     + power(n_b - CAST(n_a + n_b AS DOUBLE) / 2, 2) / (CAST(n_a + n_b AS DOUBLE) / 2)
+                     > 3.841458821 THEN 1 ELSE 0 END AS srm_flag,
+           CAST(round(({MDE_Z_ALPHA} + {MDE_Z_BETA})
+                      * sqrt(2.0 * (CAST(x AS DOUBLE) / (n_a + n_b))
+                             * (1.0 - CAST(x AS DOUBLE) / (n_a + n_b))
+                             / least(n_a, n_b)) * {SRM_SCALE}) AS BIGINT) AS mde_abs_fp
+    FROM cells
+    WHERE n_a > 0 AND n_b > 0 AND x > 0 AND x < n_a + n_b
+    """,
+    category="events",
+)
+def events_abtest_guardrails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation guardrails — the two checks that gate reading ANY
+    A/B result: (1) sample-ratio mismatch (SRM): chi-square of the
+    observed arm sizes against the designed 50/50 split; a significant
+    SRM (chi2 > 3.84, p < .05, 1 dof) means the assignment or logging is
+    broken and the experiment is invalid regardless of its metrics —
+    the industry's first-line validity test (Fabijan et al. 2019). (2)
+    Minimum detectable effect at the current sample size and 80% power —
+    the absolute conversion-rate lift the test could actually detect; a
+    readout with an observed lift below its MDE is noise regardless of
+    the z-test. Completes the experiment pipeline with the z-test
+    (events_abtest_proportions_ztest) and CUPED
+    (events_abtest_cuped_adjustment) over the SAME md5-bucket
+    assignment. One distinct-users aggregate; everything downstream is a
+    1-row frame; closed-form constants inlined so both engines agree to
+    fixed-point."""
+    e = t(spark, sf_dir, "events")
+    variant = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
+        .cast("long") % 2
+    )
+    assign = e.select("user_id").distinct().select("user_id", variant.alias("variant"))
+    conv = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") >= 150))
+        .select("user_id")
+        .distinct()
+        .withColumn("c", F.lit(1))
+    )
+    cells = (
+        assign.join(conv, "user_id", "left")
+        .agg(
+            F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).alias("x"),
+        )
+    )
+    half = (F.col("n_a") + F.col("n_b")).cast("double") / 2
+    chi2 = (F.col("n_a") - half) * (F.col("n_a") - half) / half + (
+        F.col("n_b") - half
+    ) * (F.col("n_b") - half) / half
+    p = F.col("x").cast("double") / (F.col("n_a") + F.col("n_b"))
+    mde = (
+        F.lit(MDE_Z_ALPHA + MDE_Z_BETA)
+        * F.sqrt(2.0 * p * (1.0 - p) / F.least("n_a", "n_b"))
+    )
+    return (
+        cells.filter(
+            (F.col("n_a") > 0)
+            & (F.col("n_b") > 0)
+            & (F.col("x") > 0)
+            & (F.col("x") < F.col("n_a") + F.col("n_b"))
+        )
+        .select(
+            "n_a",
+            "n_b",
+            F.round(chi2 * SRM_SCALE).cast("long").alias("srm_chi2_fp"),
+            F.when(chi2 > 3.841458821, 1).otherwise(0).alias("srm_flag"),
+            F.round(mde * SRM_SCALE).cast("long").alias("mde_abs_fp"),
+        )
+    )
