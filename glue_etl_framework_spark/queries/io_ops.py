@@ -45,6 +45,17 @@ def _cleanup_workdirs() -> None:
 atexit.register(_cleanup_workdirs)
 
 
+def _dir_tag(sf_dir: str) -> str:
+    """Catalog-safe suffix derived from the fixture dir: catalog TABLE
+    names are process-global while workdirs are per-(op, sf_dir), so any
+    operator caching a catalog table must bake the fixture into the name
+    or a later call for fixture A can read fixture B's table (review
+    finding)."""
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
 def _workdir(tag: str, sf_dir: str) -> tuple[str, bool]:
     """(dir, fresh): one cached dir per (operator, fixture dir) per process."""
     key = (tag, sf_dir)
@@ -963,7 +974,7 @@ def io_catalog_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glue_etl_framework_spark.io.writers import write_table
 
     d, fresh = _workdir("cat", sf_dir)
-    db, tbl = "ioop_cat_db", "supplier_rt"
+    db, tbl = "ioop_cat_db", f"supplier_rt_{_dir_tag(sf_dir)}"
     if fresh or not spark.catalog.tableExists(f"{db}.{tbl}"):
         sup = t(spark, sf_dir, "supplier").select(
             "s_suppkey", "s_nationkey", "s_acctbal"
@@ -1227,8 +1238,10 @@ def io_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glue_etl_framework_spark.io.bucketing import bucketed_join, write_bucketed
 
     d, fresh = _workdir("buck", sf_dir)
-    lt, ot = "ioop_buck_lineitem", "ioop_buck_orders"
-    if fresh or not spark.catalog.tableExists(lt):
+    tag = _dir_tag(sf_dir)
+    lt, ot = f"ioop_buck_lineitem_{tag}", f"ioop_buck_orders_{tag}"
+    # gate on BOTH tables so a partially-failed prior write is repaired
+    if fresh or not (spark.catalog.tableExists(lt) and spark.catalog.tableExists(ot)):
         li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
         od = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
         write_bucketed(li, lt, ["l_orderkey"], 8, location=f"{d}/{lt}")

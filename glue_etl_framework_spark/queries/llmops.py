@@ -5561,6 +5561,34 @@ def events_user_activity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ZTEST_SCALE = 1_000_000
 
+# Shared by the experiment operators (z-test, CUPED, guardrails) — the
+# operators' cross-operator contract is that they analyze the SAME
+# assignment, so the expression lives once.
+AB_VARIANT_SQL = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::UBIGINT % 2 AS BIGINT)"
+)
+
+
+def ab_variant() -> "F.Column":
+    """Deterministic 50/50 md5-bucket arm assignment from user_id."""
+    return (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
+        .cast("long") % 2
+    )
+
+
+def mid_split_day(e: DataFrame) -> DataFrame:
+    """1-row (split_day): midpoint of the observed event-date range —
+    the pre/post boundary shared by CUPED and the KS drift test."""
+    return e.agg(
+        F.date_add(
+            F.min(F.to_date("ts")),
+            F.floor(
+                F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) / 2
+            ).cast("int"),
+        ).alias("split_day")
+    )
+
 
 @register(
     "events_abtest_proportions_ztest",
@@ -5623,12 +5651,7 @@ def events_abtest_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFra
     (empty arm, zero or unanimous conversion) are excluded identically in
     both engines. Output is ONE row regardless of scale."""
     e = t(spark, sf_dir, "events")
-    variant = (
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
-        .cast("long")
-        % 2
-    )
-    assign = e.select("user_id").distinct().select("user_id", variant.alias("variant"))
+    assign = e.select("user_id").distinct().select("user_id", ab_variant().alias("variant"))
     conv = (
         e.filter((F.col("event_type") == "purchase") & (F.col("value") >= 150))
         .select("user_id")
@@ -6036,7 +6059,7 @@ def _bpe_oracle() -> str:
       FROM (
         SELECT tok AS word, COUNT(*) AS freq FROM (
           SELECT unnest(string_split(text, ' ')) AS tok FROM documents
-        ) GROUP BY tok
+        ) WHERE tok <> '' GROUP BY tok
       )
     )"""]
     for i in range(1, BPE_MERGES + 1):
@@ -6066,15 +6089,17 @@ def _bpe_repr0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(freq, r): corpus words as space-separated character symbols with an
     </w> marker, weighted by frequency — the trainer's working frame."""
     d = t(spark, sf_dir, "documents")
+    # Empty words (consecutive/leading spaces) are excluded on BOTH engines:
+    # a BPE trainer has no symbol sequence for them, and DuckDB's
+    # array_to_string over an empty char list is NULL (silent row loss) —
+    # the empty-token divergence a review probe caught.
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
-    chars = F.concat(
-        F.array_join(F.expr("transform(split(word, ''), c -> c)"), " "),
-        F.lit(" </w>"),
-    )
+    chars = F.concat(F.array_join(F.split("word", ""), " "), F.lit(" </w>"))
     return words.select("freq", chars.alias("r"))
 
 
@@ -6094,17 +6119,38 @@ def _bpe_best_pair(repr_df: DataFrame) -> DataFrame:
     return pairs.orderBy(F.col("c").desc(), F.col("p")).limit(1)
 
 
-def _bpe_apply_merge(repr_df: DataFrame, best: DataFrame) -> DataFrame:
+def _bpe_apply_merge(repr_df: DataFrame, pair: str) -> DataFrame:
     """Apply one learned merge (boundary-delimited leftmost-non-overlapping;
-    see text_bpe_learn_merges for the variant's semantics)."""
+    see text_bpe_learn_merges for the variant's semantics). `pair` is a
+    plain string literal, not a frame — see _bpe_rounds."""
     padded = F.concat(F.lit(" "), F.col("r"), F.lit(" "))
-    pattern = F.concat(F.lit(" "), F.col("p"), F.lit(" "))
-    merged = F.concat(
-        F.lit(" "), F.replace(F.col("p"), F.lit(" "), F.lit("")), F.lit(" ")
+    return repr_df.select(
+        "freq",
+        F.trim(
+            F.replace(padded, F.lit(f" {pair} "), F.lit(" " + pair.replace(" ", "") + " "))
+        ).alias("r"),
     )
-    return repr_df.crossJoin(F.broadcast(best.select("p"))).select(
-        "freq", F.trim(F.replace(padded, pattern, merged)).alias("r")
-    )
+
+
+def _bpe_rounds(repr_df: DataFrame, k: int):
+    """Run k merge rounds. The per-round argmax is a 1-ROW COLLECT inlined
+    as a literal into the next round's plan (the CC-convergence-scalar
+    precedent) — so the representation lineage stays LINEAR in k. The
+    earlier all-lazy formulation embedded each round's aggregate subtree
+    inside the next round's plan, doubling work per round (~2^k vocab
+    passes — a review finding); with the literal inlining, k rounds is
+    exactly k bounded passes, as a 32k-merge production trainer needs.
+    Returns ([(round, pair, merged, count), ...], final_repr)."""
+    merges = []
+    for i in range(1, k + 1):
+        row = _bpe_best_pair(repr_df).collect()
+        if not row:
+            break
+        pair, count = row[0]["p"], row[0]["c"]
+        merges.append((i, pair, pair.replace(" ", ""), count))
+        if i < k:
+            repr_df = _bpe_apply_merge(repr_df, pair)
+    return merges, repr_df
 
 
 @register("text_bpe_learn_merges", oracle=_bpe_oracle(), category="text")
@@ -6131,24 +6177,10 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     + a 1-row broadcast applied map-side. k rounds = k bounded passes
     over the vocab frame; a production 32k-merge trainer batches merges
     per pass (same plan per batch)."""
-    repr_df = _bpe_repr0(spark, sf_dir)
-    outs = []
-    for i in range(1, BPE_MERGES + 1):
-        best = _bpe_best_pair(repr_df)
-        outs.append(
-            best.select(
-                F.lit(i).cast("int").alias("merge_order"),
-                F.col("p").alias("pair"),
-                F.replace(F.col("p"), F.lit(" "), F.lit("")).alias("merged"),
-                F.col("c").alias("pair_count"),
-            )
-        )
-        if i < BPE_MERGES:
-            repr_df = _bpe_apply_merge(repr_df, best)
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    merges, _ = _bpe_rounds(_bpe_repr0(spark, sf_dir), BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "merge_order int, pair string, merged string, pair_count long"
+    )
 
 
 def _bpe_compression_oracle() -> str:
@@ -6189,9 +6221,9 @@ def text_bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic chain as the trainer, so the measurement is
     driver-hash-pinned end to end."""
     base = _bpe_repr0(spark, sf_dir)
-    repr_df = base
-    for _ in range(BPE_MERGES):
-        repr_df = _bpe_apply_merge(repr_df, _bpe_best_pair(repr_df))
+    merges, repr_df = _bpe_rounds(base, BPE_MERGES)
+    if merges:  # _bpe_rounds applies all but the last learned merge
+        repr_df = _bpe_apply_merge(repr_df, merges[-1][1])
     def ntok(df):
         return df.agg(F.sum(F.col("freq") * F.size(F.split("r", " "))).alias("n"))
 
@@ -6247,23 +6279,37 @@ def quality_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice_cents": F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
         "o_orderpriority": F.col("o_orderpriority"),
     }
-    rows = []
-    for name, _ in _PROFILE_COLS:
-        c = proj[name]
-        rows.append(
-            o.agg(
-                F.lit(name).alias("col_name"),
-                F.count("*").alias("n_rows"),
-                F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("n_null"),
-                F.count_distinct(c).alias("n_distinct"),
-                F.min(c).alias("min_s"),
-                F.max(c).alias("max_s"),
+    names = [n for n, _ in _PROFILE_COLS]
+    projected = o.select([c.alias(n) for n, c in proj.items()])
+    # ONE aggregate computes every per-column measure (4 columns x 4
+    # measures + the shared row count), then the 1-row result unpivots to
+    # the per-column row shape — a single scan, where a union of
+    # per-column aggregates would re-scan orders once per column (review
+    # finding; Spark does not merge identical scans across union branches).
+    aggs = [F.count("*").alias("n_rows")]
+    for n in names:
+        c = F.col(n)
+        aggs += [
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"{n}__nulls"),
+            F.count_distinct(c).alias(f"{n}__distinct"),
+            F.min(c).alias(f"{n}__min"),
+            F.max(c).alias(f"{n}__max"),
+        ]
+    row = projected.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{n}__nulls").alias("n_null"),
+                F.col(f"{n}__distinct").alias("n_distinct"),
+                F.col(f"{n}__min").alias("min_s"),
+                F.col(f"{n}__max").alias("max_s"),
             )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+            for n in names
+        ]
+    )
+    return row.select(F.explode(per_col).alias("s")).select("s.*")
 
 
 LP_SEEDS = 10      # link-prediction query nodes (smallest part ids in the graph)
@@ -6582,12 +6628,7 @@ def events_abtest_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFram
     Output is ONE row at any scale; the only shuffle is the per-user
     aggregate."""
     e = t(spark, sf_dir, "events")
-    span = e.agg(
-        F.date_add(
-            F.min(F.to_date("ts")),
-            F.floor(F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) / 2).cast("int"),
-        ).alias("split_day")
-    )
+    span = mid_split_day(e)
     cents = F.round(F.col("value") * 100).cast("long")
     per_user = (
         e.filter(F.col("event_type") == "purchase")
@@ -6597,11 +6638,7 @@ def events_abtest_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum(F.when(F.to_date("ts") < F.col("split_day"), cents).otherwise(0)).alias("x"),
             F.sum(F.when(F.to_date("ts") >= F.col("split_day"), cents).otherwise(0)).alias("y"),
         )
-        .withColumn(
-            "variant",
-            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
-            .cast("long") % 2,
-        )
+        .withColumn("variant", ab_variant())
     )
     def dec(c):
         return F.col(c).cast("decimal(38,0)")
@@ -6813,12 +6850,7 @@ def quality_ks_binned_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     e = t(spark, sf_dir, "events")
-    span = e.agg(
-        F.date_add(
-            F.min(F.to_date("ts")),
-            F.floor(F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) / 2).cast("int"),
-        ).alias("split_day")
-    )
+    span = mid_split_day(e)
     cents = F.round(F.col("value") * 100).cast("long")
     v = (
         e.filter(F.col("value") > 0)
@@ -6991,11 +7023,7 @@ def events_abtest_guardrails(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row frame; closed-form constants inlined so both engines agree to
     fixed-point."""
     e = t(spark, sf_dir, "events")
-    variant = (
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
-        .cast("long") % 2
-    )
-    assign = e.select("user_id").distinct().select("user_id", variant.alias("variant"))
+    assign = e.select("user_id").distinct().select("user_id", ab_variant().alias("variant"))
     conv = (
         e.filter((F.col("event_type") == "purchase") & (F.col("value") >= 150))
         .select("user_id")

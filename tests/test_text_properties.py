@@ -344,3 +344,39 @@ def test_binned_gini_lower_bounds_and_tracks_exact_gini(spark):
     binned_g = binned["gini_fp"] / 1_000_000
     assert binned_g <= exact + 1e-6
     assert exact - binned_g < 0.15, (binned_g, exact)
+
+
+def test_bpe_parity_on_messy_text(spark, tmp_path):
+    """Empty words (consecutive/leading spaces, empty docs) must not
+    diverge between engines: DuckDB's array_to_string over an empty char
+    list is NULL (silent row loss) while Spark emitted ' </w>' — both
+    sides now exclude empty words (review-probe regression)."""
+    import os
+
+    import duckdb
+
+    from glue_etl_framework_spark.queries import load_registry
+    from tests.oracle_harness import compare_query, duckdb_connection
+
+    d = str(tmp_path)
+    src = "/root/testdata/sf0.001"
+    for tbl in ["region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "events", "embeddings"]:
+        os.symlink(f"{src}/{tbl}.parquet", f"{d}/{tbl}.parquet")
+    duckdb.sql(
+        f"""
+        COPY (SELECT * FROM (VALUES
+          (1,'a  b','en','s0',4),(2,'','en','s0',0),
+          (3,' a b c','en','s0',6),(4,'aa b  ','en','s0',6))
+          v(doc_id, text, lang, source, n_chars))
+        TO '{d}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    reg = load_registry()
+    con = duckdb_connection(d)
+    try:
+        for name in ["text_bpe_learn_merges", "text_bpe_apply_compression"]:
+            res = compare_query(reg[name], spark, con, d)
+            assert res.ok, f"{name}: {res.mismatches}"
+    finally:
+        con.close()
