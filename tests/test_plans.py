@@ -484,6 +484,7 @@ _GLOBAL_WINDOW_OK = {
     "events_user_gini": "cumulative over <=63 log2 histogram bins",
     "agg_exact_median_twopass": "cumulative over <=4096 histogram bins + one bin's distinct values",
     "orders_survival_km_repeat_purchase": "KM curve over per-duration table (time-bounded, days)",
+    "quality_ks_binned_drift": "cumulative over <=64 log2 value bins",
     "part_pareto_skyline": "level-2 skyline over union of 32 local skylines",
     # SURVEY §2.5 operator demos whose SEMANTICS are a global frame (the
     # operator itself is the global window; partitioned variants are the
