@@ -886,3 +886,80 @@ def agg_kmv_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             inter_est.alias("inter_est"),
         )
     )
+
+
+@register(
+    "agg_group_median_twopass",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS g, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem
+    )
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(quantile_disc(c, 0.5) AS BIGINT) AS median_cents
+    FROM v GROUP BY g
+    """,
+    category="aggregate",
+)
+def agg_group_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP exact median with no per-group sort — the grouped form
+    of agg_exact_median_twopass, showing the histogram-selection method
+    composes with keys: every window and aggregate partitions by the
+    group, so there is no single-task stage at ALL (the global variant
+    needs its bounded-frame allowlist; this one doesn't). Pass 1 builds
+    a per-group 4096-bin histogram (shuffle keyed on (group, bin),
+    map-side combined) and a group-partitioned cumulative locates each
+    group's rank-k bin; pass 2 resolves the exact rank among that bin's
+    distinct values per group. Matches DuckDB's quantile_disc rank
+    ceil(n/2) = (n+1) div 2 in integer arithmetic. This is the shape a
+    'median per tenant/day/source' dashboard needs at 100 TB — the
+    global variant can't partition, this one is embarrassingly
+    key-parallel."""
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+    )
+    s = (
+        vals.groupBy("g")
+        .agg(F.count("*").alias("n"), F.max("c").alias("maxc"))
+        .withColumn("kmed", F.expr("(n + 1) div 2"))
+        .withColumn("width", F.expr(f"maxc div {MEDIAN_BINS} + 1"))
+    )
+    binned = vals.join(s, "g").withColumn("bin", F.expr("c div width"))
+    hist = binned.groupBy("g", "bin").agg(
+        F.count("*").alias("n_bin"),
+        F.max("width").alias("width"),
+        F.max("kmed").alias("kmed"),
+        F.max("n").alias("n"),
+    )
+    cum = hist.withColumn("cum", F.sum("n_bin").over(W.partitionBy("g").orderBy("bin")))
+    tw = W.partitionBy("g").orderBy("bin")
+    target = (
+        cum.filter(F.col("cum") >= F.col("kmed"))
+        .withColumn("rk", F.row_number().over(tw))
+        .filter(F.col("rk") == 1)
+        .select(
+            "g",
+            F.col("bin").alias("tbin"),
+            (F.col("cum") - F.col("n_bin")).alias("cum_before"),
+            F.col("width").alias("twidth"),
+            F.col("kmed").alias("tk"),
+            F.col("n").alias("tn"),
+        )
+    )
+    within = (
+        vals.join(target, "g")
+        .filter(F.expr("c div twidth") == F.col("tbin"))
+        .groupBy("g", "c", "cum_before", "tk", "tn")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("cumv", F.sum("cnt").over(W.partitionBy("g").orderBy("c")))
+    )
+    return (
+        within.filter(F.col("cumv") >= F.col("tk") - F.col("cum_before"))
+        .groupBy("g", "tn")
+        .agg(F.min("c").alias("median_cents"))
+        .select("g", F.col("tn").alias("n"), "median_cents")
+    )

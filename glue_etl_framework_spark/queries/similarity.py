@@ -1272,3 +1272,95 @@ def similarity_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFr
         )
     )
     return counts.join(hits, "query_id")
+
+
+JL_DIMS = 16    # target dimensionality for the random projection
+JL_SCALE = 1_000_000
+
+
+def _jl_proj_sql(vec: str, j: int) -> str:
+    signs = _hyperplane_signs(100 + j)  # disjoint seed range from the LSH bands
+    arr = "list_value(" + ", ".join(str(s) for s in signs) + ")"
+    return f"CAST(list_sum(list_transform(range(1, 65), i -> {arr}[i] * {vec}[i])) AS BIGINT)"
+
+
+@register(
+    "similarity_jl_projection_audit",
+    oracle=f"""
+    WITH quant AS ({{QUANT}}),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.q AS qa, b.q AS qb
+      FROM quant a JOIN quant b ON b.vec_id = a.vec_id + 250
+      WHERE a.vec_id < 50
+    ),
+    dists AS (
+      SELECT vec_a, vec_b,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> (qa[i] - qb[i]) * (qa[i] - qb[i]))) AS BIGINT) AS d_full,
+             { " + ".join(f"(({_jl_proj_sql('qa', j)}) - ({_jl_proj_sql('qb', j)})) * (({_jl_proj_sql('qa', j)}) - ({_jl_proj_sql('qb', j)}))" for j in range(JL_DIMS)) }
+               AS d_proj_raw
+      FROM pairs
+    )
+    SELECT vec_a, vec_b, d_full,
+           CAST(d_proj_raw // 16 AS BIGINT) AS d_proj_scaled,
+           CAST(round(CAST(d_proj_raw AS DOUBLE) / 16 / d_full * {JL_SCALE}) AS BIGINT)
+             AS ratio_fp
+    FROM dists WHERE d_full > 0
+    """.replace("{QUANT}", _QUANT_SQL),
+    category="similarity",
+)
+def similarity_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection distance audit: 64-dim
+    quantized embeddings projected to 16 dims with deterministic ±1
+    hyperplanes (a database-friendly JL map — the same md5-derived sign
+    matrices as the LSH bands, disjoint seed range), and for 50 fixed
+    probe pairs the projected squared distance, divided by k=16 (each ±1
+    projection's squared difference has expectation d_full, so the
+    unbiased estimator is d_proj/k), is compared against the true
+    squared distance. ratio_fp clustering
+    near 1e6 is the JL promise (distances preserved within 1±eps, eps ~
+    sqrt(ln n / k)); the audit is what you run BEFORE committing an
+    index or clustering to the reduced space. Everything is exact
+    BIGINT until the single ratio division, so the whole audit is
+    driver-hash-pinned. Scale: projections are per-row expressions
+    (zero shuffle); the probe pairs are a fixed id-offset join —
+    bounded like the ANN recall audits; distortion bounds are
+    property-tested in tests/test_sketch_properties.py."""
+    v = _quantized(spark, sf_dir)
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"))
+    pairs = a.filter(F.col("vec_a") < 50).join(
+        b, F.col("vec_b") == F.col("vec_a") + 250
+    )
+
+    def proj(vec_col, j):
+        signs = F.array(*[F.lit(s) for s in _hyperplane_signs(100 + j)])
+        return F.aggregate(
+            F.zip_with(vec_col, signs, lambda x, s: x * s.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    d_full = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d_proj_terms = [
+        (proj(F.col("qa"), j) - proj(F.col("qb"), j)) * (proj(F.col("qa"), j) - proj(F.col("qb"), j))
+        for j in range(JL_DIMS)
+    ]
+    d_proj_raw = sum(d_proj_terms[1:], d_proj_terms[0])
+    return (
+        pairs.select("vec_a", "vec_b", d_full.alias("d_full"), d_proj_raw.alias("d_proj_raw"))
+        .filter(F.col("d_full") > 0)
+        .select(
+            "vec_a",
+            "vec_b",
+            "d_full",
+            F.expr("d_proj_raw div 16").alias("d_proj_scaled"),
+            F.round(F.col("d_proj_raw").cast("double") / 16 / F.col("d_full") * JL_SCALE)
+            .cast("long")
+            .alias("ratio_fp"),
+        )
+    )

@@ -374,3 +374,72 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log2(F.col("n").cast("double")) * LM_SCALE - F.col("s_fp").cast("double") / F.col("n")
     ).cast("long")
     return agg.select("doc_id", F.col("n").alias("n_tokens"), entropy_fp.alias("entropy_fp"))
+
+
+BURST_SCALE = 1_000_000
+
+
+@register(
+    "text_token_burstiness",
+    oracle=f"""
+    WITH counts AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS k FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) GROUP BY doc_id, tok
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    stats AS (
+      SELECT tok,
+             CAST(SUM(k) AS BIGINT) AS total,
+             CAST(SUM(k * k) AS BIGINT) AS total_sq,
+             CAST(COUNT(*) AS BIGINT) AS df
+      FROM counts GROUP BY tok
+    )
+    SELECT tok, total, df,
+           CAST(round((CAST(s.total_sq AS DOUBLE) / n.n_docs
+                       - power(CAST(s.total AS DOUBLE) / n.n_docs, 2))
+                      / (CAST(s.total AS DOUBLE) / n.n_docs) * {BURST_SCALE}) AS BIGINT)
+             AS vmr_fp
+    FROM stats s CROSS JOIN nd n
+    WHERE s.total >= 50
+    """,
+    category="text",
+)
+def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness via the variance-to-mean ratio (index of
+    dispersion; Church & Gale's observation that content words are
+    BURSTY — once a document uses a term it reuses it, so VMR >> 1 —
+    while function words scatter Poisson-like, VMR ~ 1): per-token
+    occurrence counts per document reduce to three sufficient statistics
+    (sum, sum of squares, document frequency; zero-count docs enter
+    through the corpus-size denominator, costing nothing), and
+    VMR = var/mean is one double expression per token, fixed-point. The
+    signal separates topical vocabulary from glue vocabulary with no
+    lexicon — a quality/weighting input orthogonal to raw frequency.
+    Two keyed aggregates ((doc, tok), then tok); tokens below 50 total
+    occurrences are excluded on both engines (VMR is noise at tiny
+    counts). Output is vocabulary-bounded."""
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("k"))
+    )
+    nd = d.agg(F.count("*").alias("n_docs"))
+    stats = counts.groupBy("tok").agg(
+        F.sum("k").alias("total"),
+        F.sum(F.col("k") * F.col("k")).alias("total_sq"),
+        F.count("*").alias("df"),
+    )
+    mean = F.col("total").cast("double") / F.col("n_docs")
+    var = F.col("total_sq").cast("double") / F.col("n_docs") - mean * mean
+    return (
+        stats.crossJoin(F.broadcast(nd))
+        .filter(F.col("total") >= 50)
+        .select(
+            "tok",
+            "total",
+            "df",
+            F.round(var / mean * BURST_SCALE).cast("long").alias("vmr_fp"),
+        )
+    )

@@ -117,3 +117,21 @@ def test_multiprobe_candidates_nest(spark):
     for r in out:
         assert r.n_cand_multi >= r.n_cand_plain
         assert r.hits_multi >= r.hits_plain
+
+
+def test_jl_projection_preserves_distances_on_average(spark):
+    """JL audit: the k-normalized projected distances are an unbiased
+    estimate of the true distances — their mean ratio sits near 1, far
+    from the un-normalized 1/4 (the bug this test would have caught)."""
+    from glue_etl_framework_spark.queries.similarity import (
+        JL_SCALE,
+        similarity_jl_projection_audit,
+    )
+    from tests.conftest import SF_ORACLE
+
+    rows = similarity_jl_projection_audit(spark, SF_ORACLE).collect()
+    assert len(rows) >= 40
+    mean_ratio = sum(r.ratio_fp for r in rows) / len(rows) / JL_SCALE
+    assert 0.7 < mean_ratio < 1.4, mean_ratio
+    # no pair wildly distorted (JL eps bound is ~sqrt(ln n / k) ~ 0.5)
+    assert all(0.2 * JL_SCALE < r.ratio_fp < 3.0 * JL_SCALE for r in rows)
