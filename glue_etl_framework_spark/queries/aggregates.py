@@ -963,3 +963,58 @@ def agg_group_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("median_cents"))
         .select("g", F.col("tn").alias("n"), "median_cents")
     )
+
+
+BITMAP_WORD = 63  # bits per BIGINT word (sign bit avoided: DuckDB 1<<63 overflows)
+
+
+@register(
+    "agg_bitmap_distinct_users",
+    oracle=f"""
+    WITH words AS (
+      SELECT event_type, user_id // {BITMAP_WORD} AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % {BITMAP_WORD} AS INTEGER)) AS bits
+      FROM (SELECT DISTINCT event_type, user_id FROM events)
+      GROUP BY event_type, user_id // {BITMAP_WORD}
+    )
+    SELECT event_type,
+           CAST(SUM(bit_count(bits)) AS BIGINT) AS n_users_bitmap,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM words GROUP BY event_type
+    """,
+    category="aggregate",
+)
+def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via bitmap words — the
+    roaring-bitmap family (Lemire et al.; Druid/ClickHouse
+    groupBitmap): each (event_type, 63-id block) packs its present user
+    ids into one BIGINT via bit_or (63 bits per word — DuckDB's BIGINT
+    shift refuses the sign bit, the same guard as the bloom's 32-bit
+    words), and the distinct count is the
+    popcount sum. Where HLL (agg_hll_mergeable_sketches) trades error
+    for constant size, bitmaps are EXACT and still mergeable by
+    word-wise OR — the right choice when the id space is dense and
+    bounded (user ids, order keys), wrong for open domains (hashes,
+    strings). The shuffle carries one word per 63-id block per group
+    (map-side bit_or combines), and per-day bitmaps OR together for
+    exact distinct-over-any-window — the capability COUNT(DISTINCT)
+    recomputes from scratch. Portable bit ops (shiftleft/bit_or/
+    bit_count agree across engines on two's-complement BIGINTs,
+    sign bit excluded), so the whole bitmap — not just the count —
+    is oracle-checked via n_words."""
+    e = t(spark, sf_dir, "events")
+    du = e.select("event_type", "user_id").distinct()
+    words = (
+        du.groupBy(
+            "event_type", F.expr(f"user_id div {BITMAP_WORD}").alias("w")
+        )
+        .agg(
+            F.expr(
+                f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % {BITMAP_WORD} AS INT)))"
+            ).alias("bits")
+        )
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).alias("n_users_bitmap"),
+        F.count("*").alias("n_words"),
+    )
