@@ -847,3 +847,79 @@ def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("end_day", "yyyy-MM-dd").alias("end_day"),
         )
     )
+
+
+ENTROPY_SCALE = 1_000_000
+
+
+@register(
+    "events_markov_entropy_rate",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    trans AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    row_tot AS (SELECT src, CAST(SUM(c) AS BIGINT) AS rc FROM trans GROUP BY src),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM trans)
+    SELECT t.src,
+           r.rc AS n_transitions,
+           CAST(-SUM(CAST(round(CAST(t.c AS DOUBLE) / r.rc
+                                * ln(CAST(t.c AS DOUBLE) / r.rc)
+                                * {ENTROPY_SCALE}) AS BIGINT)) AS BIGINT)
+             AS row_entropy_fp,
+           CAST(round(CAST(r.rc AS DOUBLE) / tot.n * {ENTROPY_SCALE}) AS BIGINT)
+             AS weight_fp
+    FROM trans t
+    JOIN row_tot r ON r.src = t.src
+    CROSS JOIN tot
+    GROUP BY t.src, r.rc, tot.n
+    """,
+    category="events",
+)
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state conditional entropy of the behavioral Markov chain — the
+    information-theoretic summary on top of events_transition_matrix:
+    for each source event type, H(next | src) = -sum_j p(j|src) ln
+    p(j|src), with the state's empirical weight alongside, so
+    sum(weight x row_entropy) is the chain's entropy rate under the
+    empirical state distribution (the stationary-distribution variant
+    needs an eigenvector solve — out of declarative scope and stated
+    so). Low row entropy = predictable next action (funnel states);
+    high = branching states. Shapes: the per-user ordering window, a
+    |types|^2 transition aggregate, then everything is bounded-frame
+    arithmetic; fixed-point ln like the PMI/KL family."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    trans = seq.groupBy("src", "dst").agg(F.count("*").alias("c"))
+    row_tot = trans.groupBy("src").agg(F.sum("c").alias("rc"))
+    tot = trans.agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("rc")
+    return (
+        trans.join(row_tot, "src")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("src", "rc", "n")
+        # per-term fixed-point BEFORE the sum: integer sums are exact in any
+        # order, so partition count can never flip a rounded boundary
+        .agg(
+            (-F.sum(F.round(p * F.log(p) * ENTROPY_SCALE).cast("long")))
+            .cast("long")
+            .alias("row_entropy_fp")
+        )
+        .select(
+            "src",
+            F.col("rc").alias("n_transitions"),
+            "row_entropy_fp",
+            F.round(F.col("rc").cast("double") / F.col("n") * ENTROPY_SCALE)
+            .cast("long")
+            .alias("weight_fp"),
+        )
+    )
