@@ -1253,3 +1253,63 @@ def io_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
     )
+
+
+# --- soft-delete tombstones (logical delete without rewrite) ---------------
+
+_TOMB_ORACLE = """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer
+    WHERE c_custkey % 10 <> 3
+    GROUP BY c_mktsegment
+"""
+
+
+@register("io_soft_delete_tombstones", oracle=_TOMB_ORACLE, category="io")
+def io_soft_delete_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deletes via an append-only tombstone log — the lakehouse
+    delete pattern that makes removal O(deleted keys) instead of a table
+    rewrite: the base table's data files are IMMUTABLE; a delete appends
+    (key, batch) rows to a tombstone side-table, and the READ PATH
+    anti-joins the log (Delta/Iceberg's merge-on-read deletion vectors
+    are the same contract, file-positional instead of key-keyed).
+    Contrast io.writers.delete_by_keys, this engine's copy-on-write
+    path: that rewrites the table eagerly (reads pay nothing); this
+    defers cost to readers until a compaction folds the log in. The
+    operator writes base + two tombstone batches through the real sink,
+    reads both back through the real reader, and aggregates the
+    anti-joined survivors — so the driver hash-check certifies the whole
+    logical-delete read path against the fixture-side WHERE. The
+    anti-join is keyed on c_custkey (broadcastable while the log is
+    small — exactly why logs get compacted)."""
+    from glue_etl_framework_spark.io.readers import read_table
+    from glue_etl_framework_spark.io.writers import write_table
+
+    d, fresh = _workdir("tomb", sf_dir)
+    base_loc, log_loc = f"{d}/cust_base", f"{d}/cust_tombstones"
+    if fresh:
+        c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        write_table(c, {"target": "file", "location": base_loc, "format": "parquet", "refresh": "full"})
+        doomed = c.filter(F.col("c_custkey") % 10 == 3).select("c_custkey")
+        # two append batches — the log is append-only by contract
+        for i, half in enumerate([doomed.filter(F.col("c_custkey") % 20 == 3),
+                                  doomed.filter(F.col("c_custkey") % 20 == 13)]):
+            write_table(
+                half.withColumn("batch", F.lit(i)),
+                {"target": "file", "location": log_loc, "format": "parquet",
+                 "refresh": "full" if i == 0 else "incremental"},
+            )
+    base = read_table(spark, {
+        "name": "cust_base", "source": "file", "location": base_loc,
+        "format": "parquet", "schema": "c_custkey long, c_mktsegment string",
+    })
+    log = read_table(spark, {
+        "name": "cust_tomb", "source": "file", "location": log_loc,
+        "format": "parquet", "schema": "c_custkey long, batch int",
+    })
+    live = base.join(log.select("c_custkey").distinct(), "c_custkey", "left_anti")
+    return live.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_live"), F.sum("c_custkey").alias("key_sum")
+    )
