@@ -665,34 +665,43 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 MEDIAN_BINS = 4096  # pass-1 histogram resolution for the two-pass quantile
 
 
-def _quantile_pass2(vals, cum, kname):
+def _quantile_pass2(vals, cum, kname, keys=()):
     """Second pass for one quantile rank column `kname` (carried through
     the histogram): locate the target bin in the bounded cumulative
-    histogram, then resolve the exact rank within that single bin.
-    Always returns a 1-row frame (NULL on empty input)."""
-    from pyspark.sql import Window as W
-
+    histogram, then resolve the exact rank within that single bin — per
+    group when `keys` is non-empty (every window partitions by the
+    keys), globally otherwise (bounded frames, plan-audit allowlisted).
+    Returns one row per key combination (a single NULL-quantile row on
+    empty global input). Shared by agg_exact_median_twopass and
+    agg_group_median_twopass so the selection machinery exists once."""
+    keys = list(keys)
+    rk = F.row_number().over(W.partitionBy(*keys).orderBy("bin"))
     target = (
         cum.filter(F.col("cum") >= F.col(kname))
-        .orderBy("bin")
-        .limit(1)
+        .withColumn("__rk", rk)
+        .filter(F.col("__rk") == 1)
         .select(
+            *keys,
             F.col("bin").alias("tbin"),
             (F.col("cum") - F.col("n_bin")).alias("cum_before"),
             F.col("width").alias("twidth"),
             F.col(kname).alias("tk"),
         )
     )
-    within = (
-        vals.crossJoin(F.broadcast(target))
-        .filter(F.expr("c div twidth") == F.col("tbin"))
-        .groupBy("c", "cum_before", "tk")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("cumv", F.sum("cnt").over(W.orderBy("c")))
+    joined = (
+        vals.join(target, keys) if keys else vals.crossJoin(F.broadcast(target))
     )
-    return within.filter(
-        F.col("cumv") >= F.col("tk") - F.col("cum_before")
-    ).agg(F.min("c").alias("q"))
+    within = (
+        joined.filter(F.expr("c div twidth") == F.col("tbin"))
+        .groupBy(*keys, "c", "cum_before", "tk")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("cumv", F.sum("cnt").over(W.partitionBy(*keys).orderBy("c")))
+    )
+    return (
+        within.filter(F.col("cumv") >= F.col("tk") - F.col("cum_before"))
+        .groupBy(*keys)
+        .agg(F.min("c").alias("q"))
+    )
 
 
 @register(
@@ -915,53 +924,29 @@ def agg_group_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     'median per tenant/day/source' dashboard needs at 100 TB — the
     global variant can't partition, this one is embarrassingly
     key-parallel."""
-    from pyspark.sql import Window as W
-
     li = t(spark, sf_dir, "lineitem")
     vals = li.select(
         F.col("l_returnflag").alias("g"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
     )
-    s = (
+    st = (
         vals.groupBy("g")
         .agg(F.count("*").alias("n"), F.max("c").alias("maxc"))
         .withColumn("kmed", F.expr("(n + 1) div 2"))
         .withColumn("width", F.expr(f"maxc div {MEDIAN_BINS} + 1"))
     )
-    binned = vals.join(s, "g").withColumn("bin", F.expr("c div width"))
+    binned = vals.join(st, "g").withColumn("bin", F.expr("c div width"))
     hist = binned.groupBy("g", "bin").agg(
         F.count("*").alias("n_bin"),
         F.max("width").alias("width"),
         F.max("kmed").alias("kmed"),
-        F.max("n").alias("n"),
     )
     cum = hist.withColumn("cum", F.sum("n_bin").over(W.partitionBy("g").orderBy("bin")))
-    tw = W.partitionBy("g").orderBy("bin")
-    target = (
-        cum.filter(F.col("cum") >= F.col("kmed"))
-        .withColumn("rk", F.row_number().over(tw))
-        .filter(F.col("rk") == 1)
-        .select(
-            "g",
-            F.col("bin").alias("tbin"),
-            (F.col("cum") - F.col("n_bin")).alias("cum_before"),
-            F.col("width").alias("twidth"),
-            F.col("kmed").alias("tk"),
-            F.col("n").alias("tn"),
-        )
-    )
-    within = (
-        vals.join(target, "g")
-        .filter(F.expr("c div twidth") == F.col("tbin"))
-        .groupBy("g", "c", "cum_before", "tk", "tn")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("cumv", F.sum("cnt").over(W.partitionBy("g").orderBy("c")))
-    )
+    med = _quantile_pass2(vals, cum, "kmed", keys=("g",))
     return (
-        within.filter(F.col("cumv") >= F.col("tk") - F.col("cum_before"))
-        .groupBy("g", "tn")
-        .agg(F.min("c").alias("median_cents"))
-        .select("g", F.col("tn").alias("n"), "median_cents")
+        st.select("g", "n")
+        .join(med, "g")
+        .select("g", "n", F.col("q").alias("median_cents"))
     )
 
 
@@ -974,12 +959,14 @@ BITMAP_WORD = 63  # bits per BIGINT word (sign bit avoided: DuckDB 1<<63 overflo
     WITH words AS (
       SELECT event_type, user_id // {BITMAP_WORD} AS w,
              bit_or(CAST(1 AS BIGINT) << CAST(user_id % {BITMAP_WORD} AS INTEGER)) AS bits
-      FROM (SELECT DISTINCT event_type, user_id FROM events)
+      FROM (SELECT DISTINCT event_type, user_id FROM events WHERE user_id >= 0)
       GROUP BY event_type, user_id // {BITMAP_WORD}
     )
     SELECT event_type,
            CAST(SUM(bit_count(bits)) AS BIGINT) AS n_users_bitmap,
-           CAST(COUNT(*) AS BIGINT) AS n_words
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           md5(string_agg(lpad(CAST(w AS VARCHAR), 12, '0') || ':' || CAST(bits AS VARCHAR),
+                          ',' ORDER BY w)) AS bitmap_md5
     FROM words GROUP BY event_type
     """,
     category="aggregate",
@@ -990,22 +977,24 @@ def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBitmap): each (event_type, 63-id block) packs its present user
     ids into one BIGINT via bit_or (63 bits per word — DuckDB's BIGINT
     shift refuses the sign bit, the same guard as the bloom's 32-bit
-    words), and the distinct count is the
-    popcount sum. Where HLL (agg_hll_mergeable_sketches) trades error
-    for constant size, bitmaps are EXACT and still mergeable by
-    word-wise OR — the right choice when the id space is dense and
-    bounded (user ids, order keys), wrong for open domains (hashes,
-    strings). The shuffle carries one word per 63-id block per group
-    (map-side bit_or combines), and per-day bitmaps OR together for
-    exact distinct-over-any-window — the capability COUNT(DISTINCT)
-    recomputes from scratch. Portable bit ops (shiftleft/bit_or/
-    bit_count agree across engines on two's-complement BIGINTs,
-    sign bit excluded), so the whole bitmap — not just the count —
-    is oracle-checked via n_words."""
+    words), and the distinct count is the popcount sum. Where HLL
+    (agg_hll_mergeable_sketches) trades error for constant size,
+    bitmaps are EXACT and still mergeable by word-wise OR — the right
+    choice when the id space is dense, bounded, and NON-NEGATIVE (the
+    filter enforces the contract explicitly: floor-vs-truncation
+    division and shift semantics diverge between engines on negative
+    ids, so they are excluded rather than silently mis-bucketed).
+    bit_or is idempotent, so no pre-distinct is needed — the single
+    shuffle is the (event_type, word) aggregate whose map-side partial
+    bit_or sends one word per 63-id block. The full bitmap — word
+    assignment and bit placement, not just counts — is pinned by
+    bitmap_md5 (the order-canonical word-list digest), so a bucketing
+    bug cannot hide behind an intact popcount."""
     e = t(spark, sf_dir, "events")
-    du = e.select("event_type", "user_id").distinct()
     words = (
-        du.groupBy(
+        e.filter(F.col("user_id") >= 0)
+        .select("event_type", "user_id")
+        .groupBy(
             "event_type", F.expr(f"user_id div {BITMAP_WORD}").alias("w")
         )
         .agg(
@@ -1014,7 +1003,11 @@ def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bits")
         )
     )
+    token = F.concat_ws(
+        ":", F.lpad(F.col("w").cast("string"), 12, "0"), F.col("bits").cast("string")
+    )
     return words.groupBy("event_type").agg(
         F.sum(F.bit_count("bits")).alias("n_users_bitmap"),
         F.count("*").alias("n_words"),
+        F.md5(F.concat_ws(",", F.array_sort(F.collect_list(token)))).alias("bitmap_md5"),
     )

@@ -397,7 +397,8 @@ BURST_SCALE = 1_000_000
     )
     SELECT tok, total, df,
            CAST(round((CAST(s.total_sq AS DOUBLE) / n.n_docs
-                       - power(CAST(s.total AS DOUBLE) / n.n_docs, 2))
+                       - (CAST(s.total AS DOUBLE) / n.n_docs)
+                         * (CAST(s.total AS DOUBLE) / n.n_docs))
                       / (CAST(s.total AS DOUBLE) / n.n_docs) * {BURST_SCALE}) AS BIGINT)
              AS vmr_fp
     FROM stats s CROSS JOIN nd n
