@@ -76,6 +76,8 @@ HEADLINE = [
     "join_bloom_semijoin_reduction",  # runtime bloom filter before the fact shuffle
     "text_bpe_learn_merges",          # BPE trainer loop over the weighted vocab frame
     "graph_link_prediction_jaccard",  # seed-batched two-hop neighborhood scoring
+    "agg_exact_median_twopass",       # exact quantiles via bounded histogram passes
+    "agg_bitmap_distinct_users",      # exact mergeable bitmap distinct counts
     # graph_triangle_copurchase is deliberately NOT benched: the wedge
     # join is inherently Theta(sum outdeg^2) — ~25s at sf0.1 on this box —
     # and its cost tracks graph density, not fixture scale (SCALING.md
