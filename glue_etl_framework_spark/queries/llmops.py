@@ -7062,3 +7062,109 @@ def events_abtest_guardrails(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(mde * SRM_SCALE).cast("long").alias("mde_abs_fp"),
         )
     )
+
+
+PVM_TOP = 20
+
+
+@register(
+    "orders_price_volume_decomposition",
+    oracle=f"""
+    WITH span AS (
+      SELECT CAST(MIN(o_orderdate) AS DATE)
+               + CAST(date_diff('day', CAST(MIN(o_orderdate) AS DATE),
+                                CAST(MAX(o_orderdate) AS DATE)) // 2 AS INTEGER)
+               AS split_day
+      FROM orders
+    ),
+    pp AS (
+      SELECT l.l_partkey AS part,
+             CASE WHEN CAST(o.o_orderdate AS DATE) < s.split_day THEN 0 ELSE 1 END AS period,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      CROSS JOIN span s
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT part,
+             MAX(CASE WHEN period = 0 THEN qty END) AS q1,
+             MAX(CASE WHEN period = 0 THEN rev_cents END) AS r1,
+             MAX(CASE WHEN period = 1 THEN qty END) AS q2,
+             MAX(CASE WHEN period = 1 THEN rev_cents END) AS r2
+      FROM pp GROUP BY part
+      HAVING MAX(CASE WHEN period = 0 THEN qty END) > 0
+         AND MAX(CASE WHEN period = 1 THEN qty END) > 0
+    )
+    SELECT part, q1, q2, r1, r2,
+           CAST(r2 - r1 AS BIGINT) AS delta_rev_cents,
+           CAST(round((q2 - q1) * (CAST(r1 AS DOUBLE) / q1)) AS BIGINT) AS volume_effect_cents,
+           CAST(round((CAST(r2 AS DOUBLE) / q2 - CAST(r1 AS DOUBLE) / q1) * q2) AS BIGINT)
+             AS price_effect_cents
+    FROM wide
+    ORDER BY abs(r2 - r1) DESC, part LIMIT {PVM_TOP}
+    """,
+    category="events",
+)
+def orders_price_volume_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume decomposition (the FP&A variance-bridge classic):
+    revenue change between the two halves of the observation window,
+    split per part into a VOLUME effect ((q2-q1) x p1, what selling more
+    units at old prices would explain) and a PRICE effect ((p2-p1) x q2,
+    what realized-price movement explains) — the two-factor form
+    decomposes EXACTLY: delta_rev = volume + price up to cent rounding
+    of each term. Top-20 parts by absolute revenue swing, deterministic
+    tie-break. Shapes: one fact-dim join (orders broadcastable side
+    carries only the date), one (part, period) aggregate, a 2-column
+    pivot to wide, TakeOrdered top-k — everything keyed on part; the
+    period boundary derives from the data identically in both engines
+    (same midpoint device as CUPED/KS). Money is exact integer cents;
+    unit prices are the only doubles and each output term is rounded
+    independently."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    span = o.agg(
+        F.date_add(
+            F.min(F.to_date("o_orderdate")),
+            F.floor(
+                F.datediff(F.max(F.to_date("o_orderdate")), F.min(F.to_date("o_orderdate"))) / 2
+            ).cast("int"),
+        ).alias("split_day")
+    )
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    pp = (
+        li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .crossJoin(F.broadcast(span))
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.when(F.to_date("o_orderdate") < F.col("split_day"), 0).otherwise(1).alias("period"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            F.sum(cents).alias("rev_cents"),
+        )
+    )
+    wide = (
+        pp.groupBy("part")
+        .agg(
+            F.max(F.when(F.col("period") == 0, F.col("qty"))).alias("q1"),
+            F.max(F.when(F.col("period") == 0, F.col("rev_cents"))).alias("r1"),
+            F.max(F.when(F.col("period") == 1, F.col("qty"))).alias("q2"),
+            F.max(F.when(F.col("period") == 1, F.col("rev_cents"))).alias("r2"),
+        )
+        .filter((F.col("q1") > 0) & (F.col("q2") > 0))
+    )
+    p1 = F.col("r1").cast("double") / F.col("q1")
+    p2 = F.col("r2").cast("double") / F.col("q2")
+    return (
+        wide.select(
+            "part", "q1", "q2", "r1", "r2",
+            (F.col("r2") - F.col("r1")).alias("delta_rev_cents"),
+            F.round((F.col("q2") - F.col("q1")) * p1).cast("long").alias("volume_effect_cents"),
+            F.round((p2 - p1) * F.col("q2")).cast("long").alias("price_effect_cents"),
+        )
+        .orderBy(F.abs(F.col("delta_rev_cents")).desc(), "part")
+        .limit(PVM_TOP)
+    )
