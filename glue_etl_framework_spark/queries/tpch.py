@@ -17,8 +17,11 @@ bit-identical. Every aggregate/computed column is aliased identically in
 the Spark plan and the oracle SQL.
 
 Scale notes: every query is a declarative single plan — filters reach the
-parquet scan, dimension tables (region/nation/customer/supplier/part at
-TPC-H proportions) broadcast under AQE or explicit hint, fact-fact joins
+parquet scan, fixed-size dimensions (region=5, nation=25 rows) carry an explicit
+broadcast hint; scale-proportional tables (customer/supplier/part grow
+with SF) are left UNHINTED so AQE picks broadcast only when the runtime
+size allows — a hardcoded hint on an SF-proportional table is an OOM at
+the 100 TB design point. Fact-fact joins
 shuffle on their join key, aggregates are partial+final. No collects, no
 UDFs, no windows without a partition key (the one global aggregate in q15
 is a 1-row broadcast, not a global sort).
@@ -63,8 +66,8 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (shipping priority): unshipped orders of one market segment
     ranked by open revenue. Adaptation: o_shippriority (absent) replaced by
     o_orderpriority. Shape: dim-filtered 3-way join -> grouped sum ->
-    global top-k. customer is broadcast (1/10 of orders, segment-filtered
-    to 1/5 of that); orders⋈lineitem shuffles on orderkey. The ORDER BY +
+    global top-k. customer is UNHINTED (SF-proportional; AQE broadcasts it
+    at small SF after the segment filter); orders⋈lineitem shuffles on orderkey. The ORDER BY +
     LIMIT is a TakeOrdered (no global sort at scale); ties on revenue are
     broken by (o_orderdate, l_orderkey) so the LIMIT boundary is
     deterministic — revenue is an exact cents sum on both engines."""
@@ -73,7 +76,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _ts("1998-03-15"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
@@ -145,8 +148,8 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     supplier share a nation inside one region. Verbatim — all needed
     columns exist. Shape: the famous 6-way join with a non-key equality
     (c_nationkey = s_nationkey) folded into the supplier join. lineitem
-    shuffles once on orderkey; supplier/nation/region broadcast; customer
-    broadcasts after the date-filtered orders join prunes the fact side."""
+    shuffles once on orderkey; nation/region hinted broadcast;
+    customer/supplier unhinted (AQE-chosen at small SF)."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= _ts("2000-01-01")) & (F.col("o_orderdate") < _ts("2001-01-01"))
@@ -157,8 +160,8 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -222,7 +225,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     nations by year. Verbatim modulo synthetic nation names. Shape: double
     role-playing dimension (nation joined twice under different aliases)
     plus a disjunctive cross-nation predicate that Catalyst keeps above the
-    joins; both nation copies broadcast."""
+    joins; both nation copies broadcast; customer/supplier unhinted (AQE)."""
     s = t(spark, sf_dir, "supplier")
     l = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1999-01-01")) & (F.col("l_shipdate") < _ts("2001-01-01"))
@@ -240,8 +243,8 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
         .filter(pair)
@@ -284,7 +287,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-word category here ('ECONOMY' instead of 'ECONOMY ANODIZED
     STEEL'); shape — 8-way join, conditional share aggregate — unchanged.
     The share divides two exact integer-cents sums, so the double is
-    bit-identical across engines. All dims broadcast; lineitem shuffles
+    bit-identical across engines. nation/region hinted, SF-proportional
+    dims AQE-chosen; lineitem shuffles
     once on orderkey."""
     p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     l = t(spark, sf_dir, "lineitem")
@@ -302,11 +306,11 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .select(
             F.year("o_orderdate").cast("long").alias("l_year"),
@@ -362,8 +366,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == sn.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
         .agg((F.sum(profit_cents) / 100.0).alias("profit"))
@@ -403,7 +407,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg((F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0).alias("revenue"))
@@ -507,7 +511,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 (promotion effect): percentage of one month's revenue from
     promo parts. Adaptation: p_type LIKE 'PROMO%' becomes equality on the
     single-word category. The ratio divides two exact cents sums in the
-    same order on both engines -> bit-identical double. part broadcasts;
+    same order on both engines -> bit-identical double. part unhinted (AQE);
     the month filter prunes lineitem at the scan."""
     l = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("2000-09-01")) & (F.col("l_shipdate") < _ts("2000-10-01"))
@@ -515,7 +519,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part")
     rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             (
                 100.0
@@ -561,7 +565,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rev.agg(F.max("total_cents").alias("max_cents"))
     return (
         rev.join(F.broadcast(top), rev.total_cents == top.max_cents)
-        .join(F.broadcast(s), rev.supplier_no == s.s_suppkey)
+        .join(s, rev.supplier_no == s.s_suppkey)
         .select("s_suppkey", "s_name", (F.col("total_cents") / 100.0).alias("total_revenue"))
         .orderBy("s_suppkey")
     )
@@ -599,7 +603,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         (0.2 * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(pa, l.l_partkey == F.col("pa_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg((F.sum(_cents(F.col("l_extendedprice"))) / 100.0 / 7.0).alias("avg_yearly"))
@@ -645,7 +649,7 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
         l.join(big.withColumnRenamed("l_orderkey", "big_orderkey"),
                l.l_orderkey == F.col("big_orderkey"), "left_semi")
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum("l_quantity").alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
@@ -682,7 +686,7 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#19") & F.col("p_size").between(1, 35) & q.between(20, 30))
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg((F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0).alias("revenue"))
     )
@@ -759,7 +763,7 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs, and the 'customer complaints' supplier exclusion becomes a
     negative-balance exclusion — preserving the NOT IN anti-subquery
     shape. One shuffle keyed on the group for the distinct-count; the
-    excluded-supplier set is a broadcast anti-join."""
+    excluded-supplier set is an anti-join (AQE-chosen build side)."""
     l = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#4")
@@ -767,8 +771,8 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -824,7 +828,7 @@ def tpch_q21_suppliers_who_kept_waiting(spark: SparkSession, sf_dir: str) -> Dat
         .filter((F.col("s_all") >= 2) & (F.col("s_late") == 1))
     )
     return (
-        qual.join(F.broadcast(s), qual.l_suppkey == s.s_suppkey)
+        qual.join(s, qual.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -918,7 +922,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     an average of ratios). The correlated MIN subquery decorrelates into a
     per-part aggregate joined back on (part, cost) — the same plan
     Catalyst produces for the official correlated form. Region/nation/
-    supplier/part broadcast; the two aggregates share the partkey key."""
+    supplier/part unhinted (AQE-chosen); the two aggregates share the
+    partkey key."""
     l = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
@@ -933,7 +938,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100).cast("long")).alias("unit_cost_cents")
     )
     eligible = (
-        cost.join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
+        cost.join(s, cost.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("l_partkey", "l_suppkey", "unit_cost_cents")
@@ -947,8 +952,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (eligible.l_partkey == F.col("b_partkey"))
             & (eligible.unit_cost_cents == F.col("best_cents")),
         )
-        .join(F.broadcast(p), eligible.l_partkey == p.p_partkey)
-        .join(F.broadcast(s2), eligible.l_suppkey == s2.s_suppkey)
+        .join(p, eligible.l_partkey == p.p_partkey)
+        .join(s2, eligible.l_suppkey == s2.s_suppkey)
         .join(F.broadcast(n2), s2.s_nationkey == n2.n_nationkey)
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
@@ -992,7 +997,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
     natval = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("value_cents"))
@@ -1039,7 +1044,7 @@ def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity > 50% of all-time quantity per (supplier, part) — one
     conditional aggregate replaces the nested IN(EXISTS(scalar)) chain
     while keeping the semi-join-on-aggregate shape. Quantities are
-    integer-valued doubles (exact sums); the part-name filter broadcasts
+    integer-valued doubles (exact sums); the part-name filter side is AQE-chosen
     onto the fact scan."""
     l = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
@@ -1047,7 +1052,7 @@ def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation")
     in2000 = (F.col("l_shipdate") >= _ts("2000-01-01")) & (F.col("l_shipdate") < _ts("2001-01-01"))
     shipped = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(
             F.sum("l_quantity").alias("qty_all"),
@@ -1056,7 +1061,7 @@ def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         shipped.filter(F.col("qty_2000") > 0.5 * F.col("qty_all"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", "n_name")
         .distinct()
