@@ -401,8 +401,9 @@ def udf_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(round(CAST(SUM(cents) - MIN(cents) - MAX(cents) AS DOUBLE)
-                      / (COUNT(*) - 2)) AS BIGINT) AS trimmed_mean_cents
+           CAST(round(CASE WHEN COUNT(*) <= 2 THEN NULL
+                      ELSE CAST(SUM(cents) - MIN(cents) - MAX(cents) AS DOUBLE)
+                           / (COUNT(*) - 2) END) AS BIGINT) AS trimmed_mean_cents
     FROM v GROUP BY l_returnflag
     """,
     category="udf",
@@ -428,6 +429,12 @@ def udf_pandas_grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> Dat
     # and pyspark's hint-based dispatch can't resolve them.
     @pandas_udf("double", functionType=PandasUDFType.GROUPED_AGG)
     def trimmed_mean(v):
+        # Groups with <=2 rows have no interior values to average: return
+        # None (NULL), mirrored by NULLIF(COUNT(*) - 2, 0) in the oracle.
+        # Without the guard a 2-row group is a ZeroDivisionError task
+        # failure and a 1-row group a negative denominator.
+        if len(v) <= 2:
+            return None
         return float(v.sum() - v.min() - v.max()) / (len(v) - 2)
 
     li = t(spark, sf_dir, "lineitem")

@@ -5563,10 +5563,16 @@ ZTEST_SCALE = 1_000_000
 
 # Shared by the experiment operators (z-test, CUPED, guardrails) — the
 # operators' cross-operator contract is that they analyze the SAME
-# assignment, so the expression lives once.
-AB_VARIANT_SQL = (
-    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::UBIGINT % 2 AS BIGINT)"
-)
+# assignment, so the oracle expression lives once and is interpolated
+# into each oracle f-string (assignment drift between the three
+# experiments would silently break the contract).
+def ab_variant_sql(col: str = "user_id") -> str:
+    """DuckDB SQL for the deterministic 50/50 md5-bucket arm assignment
+    (the oracle twin of ab_variant below)."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 2))"
+        "::UBIGINT % 2 AS BIGINT)"
+    )
 
 
 def ab_variant() -> "F.Column":
@@ -5595,8 +5601,7 @@ def mid_split_day(e: DataFrame) -> DataFrame:
     oracle=f"""
     WITH assign AS (
       SELECT user_id,
-             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::UBIGINT % 2
-                  AS BIGINT) AS variant
+             {ab_variant_sql()} AS variant
       FROM (SELECT DISTINCT user_id FROM events)
     ),
     conv AS (
@@ -6103,20 +6108,25 @@ def _bpe_repr0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.select("freq", chars.alias("r"))
 
 
-def _bpe_best_pair(repr_df: DataFrame) -> DataFrame:
-    """1-row (p, c): the most frequent adjacent symbol pair, deterministic
-    tie-break on the pair itself."""
+def _bpe_pair_counts(repr_df: DataFrame) -> DataFrame:
+    """(p, c): frequency-weighted adjacent symbol-pair counts over the
+    working representation — the per-round aggregate both trainers share."""
     pair_arr = F.expr(
         "transform(sequence(0, size(split(r, ' ')) - 2), i -> "
         "concat(split(r, ' ')[i], ' ', split(r, ' ')[i + 1]))"
     )
-    pairs = (
+    return (
         repr_df.filter(F.size(F.split("r", " ")) >= 2)
         .select("freq", F.explode(pair_arr).alias("p"))
         .groupBy("p")
         .agg(F.sum("freq").alias("c"))
     )
-    return pairs.orderBy(F.col("c").desc(), F.col("p")).limit(1)
+
+
+def _bpe_best_pair(repr_df: DataFrame) -> DataFrame:
+    """1-row (p, c): the most frequent adjacent symbol pair, deterministic
+    tie-break on the pair itself."""
+    return _bpe_pair_counts(repr_df).orderBy(F.col("c").desc(), F.col("p")).limit(1)
 
 
 def _bpe_apply_merge(repr_df: DataFrame, pair: str) -> DataFrame:
@@ -6175,8 +6185,12 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-level sums, so iteration cost tracks vocabulary, not corpus);
     each round is one keyed pair-count aggregate + a TakeOrdered argmax
     + a 1-row broadcast applied map-side. k rounds = k bounded passes
-    over the vocab frame; a production 32k-merge trainer batches merges
-    per pass (same plan per batch)."""
+    over the vocab frame, but each pass is a SERIAL Spark job with a
+    1-row collect — at a real 32k-merge vocabulary that is 32k serial
+    jobs, which is NOT a production shape for a declarative engine; this
+    operator is the k=4 algorithm demo. The production path is batched
+    top-m non-conflicting merges per pass (m~64 cuts 32k rounds to
+    ~500) — see text_bpe_learn_merges_batched."""
     merges, _ = _bpe_rounds(_bpe_repr0(spark, sf_dir), BPE_MERGES)
     return spark.createDataFrame(
         merges, "merge_order int, pair string, merged string, pair_count long"
@@ -6189,7 +6203,12 @@ def _bpe_compression_oracle() -> str:
     # corpus-level token counts.
     base = _bpe_oracle()
     head = base[: base.index("SELECT CAST(1 AS INT) AS merge_order")]
-    head = head.rstrip().rstrip(")") + "),"  # re-open the CTE list
+    # Re-open the CTE list by stripping EXACTLY the one paren that closes
+    # the last CTE — .rstrip(")") would eat nested trailing parens if a
+    # future edit to _bpe_oracle ends the last CTE differently.
+    head = head.rstrip()
+    assert head.endswith(")"), "last CTE must end with a closing paren"
+    head = head[:-1] + "),"
     return (
         head
         + f"""
@@ -6234,6 +6253,122 @@ def text_bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab.crossJoin(F.broadcast(before))
         .crossJoin(F.broadcast(after))
         .select("vocab_words", "tokens_before", "tokens_after")
+    )
+
+
+BPE_BATCH_PASSES = 2  # unrolled in both engines
+BPE_BATCH_CAND = 8    # candidate window per pass (top-m by count)
+
+
+def _bpe_batched_oracle() -> str:
+    # Same repr0 / pair-count CTE shapes as _bpe_oracle; per pass, the
+    # top-CAND candidates are strict-filtered to mutually symbol-disjoint
+    # merges and applied in one list_reduce fold (rank order — the merges
+    # commute, see the operator docstring).
+    stages = ["""repr0 AS (
+      SELECT freq,
+             array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]), ' ')
+               || ' </w>' AS r
+      FROM (
+        SELECT tok AS word, COUNT(*) AS freq FROM (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ) WHERE tok <> '' GROUP BY tok
+      )
+    )"""]
+    for i in range(1, BPE_BATCH_PASSES + 1):
+        stages.append(f"""pairs{i} AS (
+      SELECT p, CAST(SUM(freq) AS BIGINT) AS c FROM (
+        SELECT freq, toks[i] || ' ' || toks[i + 1] AS p
+        FROM (SELECT freq, string_split(r, ' ') AS toks FROM repr{i - 1}),
+             UNNEST(range(1, len(toks))) AS u(i)
+      ) GROUP BY p
+    )""")
+        stages.append(f"""cand{i} AS (
+      SELECT p, c, CAST(row_number() OVER (ORDER BY c DESC, p) AS INT) AS rk
+      FROM (SELECT p, c FROM pairs{i} ORDER BY c DESC, p LIMIT {BPE_BATCH_CAND})
+    )""")
+        stages.append(f"""sel{i} AS (
+      SELECT a.p, a.c, a.rk FROM cand{i} a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cand{i} b
+        WHERE b.rk < a.rk
+          AND (string_split(b.p, ' ')[1] IN (string_split(a.p, ' ')[1], string_split(a.p, ' ')[2])
+            OR string_split(b.p, ' ')[2] IN (string_split(a.p, ' ')[1], string_split(a.p, ' ')[2]))
+      )
+    )""")
+        if i < BPE_BATCH_PASSES:
+            stages.append(f"""repr{i} AS (
+      SELECT freq,
+             trim(list_reduce(
+               list_prepend(' ' || r || ' ', (SELECT list(p ORDER BY rk) FROM sel{i})),
+               (acc, m) -> replace(acc, ' ' || m || ' ', ' ' || replace(m, ' ', '') || ' ')
+             )) AS r
+      FROM repr{i - 1}
+    )""")
+    selects = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS pass_no, rk AS cand_rank, p AS pair, "
+        f"replace(p, ' ', '') AS merged, c AS pair_count FROM sel{i}"
+        for i in range(1, BPE_BATCH_PASSES + 1)
+    )
+    return "    WITH " + ",\n    ".join(stages) + "\n    " + selects
+
+
+@register(
+    "text_bpe_learn_merges_batched",
+    oracle=_bpe_batched_oracle(),
+    category="text",
+)
+def text_bpe_learn_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE merge learning — the PRODUCTION shape of
+    text_bpe_learn_merges: instead of one serial Spark job per merge
+    (32k jobs at a real vocabulary), each pass takes the top-m candidate
+    pairs in ONE aggregate and applies every mutually symbol-disjoint
+    candidate in ONE map-side fold, so a 32k-merge table costs ~32k/m
+    passes (m~64 -> ~500), not 32k.
+
+    Soundness of the batch: a pair is selected iff its two symbols are
+    disjoint from the symbols of ALL higher-ranked candidates (strict
+    rule — non-iterative, hence expressible identically in both
+    engines). Disjoint merges COMMUTE under the boundary-delimited
+    replace (' A B ' -> ' AB '): a replacement only consumes its own
+    boundary spaces and re-emits them, so it can neither create nor
+    destroy an occurrence of a symbol-disjoint pair — each selected
+    pair's pre-pass count therefore remains its exact merge count, and
+    the fold order is irrelevant (rank order used on both engines for
+    determinism). The deliberate approximation vs greedy BPE: new pairs
+    involving freshly merged symbols only compete from the NEXT pass.
+
+    Scale shape: per pass, one keyed pair-count aggregate, one
+    TakeOrdered(m) argmax (an m-row driver collect — metadata-scale,
+    same class as the CC convergence scalar), and one map-side fold of
+    <=m literal replaces; lineage stays linear in passes. Returns
+    (pass_no, cand_rank, pair, merged, pair_count) for the selected
+    merges of each pass, driver-hash-pinned against the identically
+    unrolled DuckDB chain."""
+    repr_df = _bpe_repr0(spark, sf_dir)
+    out = []
+    for pass_no in range(1, BPE_BATCH_PASSES + 1):
+        cands = (
+            _bpe_pair_counts(repr_df)
+            .orderBy(F.col("c").desc(), F.col("p"))
+            .limit(BPE_BATCH_CAND)
+            .collect()
+        )
+        sel = []
+        for rk, row in enumerate(cands, 1):
+            syms = set(row["p"].split(" "))
+            if all(
+                syms.isdisjoint(prev["p"].split(" ")) for prev in cands[: rk - 1]
+            ):
+                sel.append((pass_no, rk, row["p"], row["p"].replace(" ", ""), row["c"]))
+        out.extend(sel)
+        if pass_no < BPE_BATCH_PASSES:
+            expr = F.concat(F.lit(" "), F.col("r"), F.lit(" "))
+            for _, _, p, merged, _ in sel:
+                expr = F.replace(expr, F.lit(f" {p} "), F.lit(f" {merged} "))
+            repr_df = repr_df.select("freq", F.trim(expr).alias("r"))
+    return spark.createDataFrame(
+        out, "pass_no int, cand_rank int, pair string, merged string, pair_count long"
     )
 
 
@@ -6369,7 +6504,8 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     once with degree orientation; a per-pair scorer must not). Existing
     edges are removed with an anti-join (predictions must be NEW links);
     top-5 per seed via one partitioned rank window; scores are
-    fixed-point over exact integer counts.
+    fixed-point over exact integer counts. The adjacency list is
+    localCheckpoint-ed so its four consumers share one edge build.
 
     100 TB: production link prediction is always seed-batched exactly
     like this (score candidates for a user/session batch, not all
@@ -6387,6 +6523,12 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     adj = e.select(F.col("u").alias("n"), F.col("v").alias("nbr")).unionAll(
         e.select(F.col("v").alias("n"), F.col("u").alias("nbr"))
     )
+    # The adjacency list feeds four consumers (deg, qadj, hop2, existing);
+    # without materialization each re-runs the per-order pair self-join —
+    # ReusedExchange usually dedups it but is not guaranteed across the
+    # four subtrees. localCheckpoint pins the edge build to exactly one
+    # job (same discipline as dedup_connected_components).
+    adj = adj.localCheckpoint()
     deg = adj.groupBy("n").agg(F.count("*").alias("d"))
     seeds = deg.select(F.col("n").alias("q")).orderBy("q").limit(LP_SEEDS)
     qadj = F.broadcast(seeds).join(adj, F.col("n") == F.col("q")).select("q", F.col("nbr").alias("w"))
@@ -6559,7 +6701,7 @@ CUPED_SCALE = 1_000_000
     ),
     per_user AS (
       SELECT e.user_id,
-             CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1, 2))::UBIGINT % 2 AS BIGINT) AS variant,
+             {ab_variant_sql("e.user_id")} AS variant,
              SUM(CASE WHEN CAST(e.ts AS DATE) < s.split_day
                       THEN CAST(ROUND(e.value * 100) AS BIGINT) ELSE 0 END) AS x,
              SUM(CASE WHEN CAST(e.ts AS DATE) >= s.split_day
@@ -6975,8 +7117,7 @@ MDE_Z_BETA = 0.841621234   # 80% power
     oracle=f"""
     WITH assign AS (
       SELECT DISTINCT user_id,
-             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::UBIGINT % 2 AS BIGINT)
-               AS variant
+             {ab_variant_sql()} AS variant
       FROM events
     ),
     conv AS (
