@@ -1,9 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary columns with
 typed metadata, processed via Arrow-batched pandas UDFs (mapInPandas).
 
-The container has no image/audio codecs, so the decode kernels are STUBS:
-``decode_image``/``decode_audio`` raise NotImplementedError unless a
-deterministic fake decoder is injected (tests use the fake). Everything
+The container has no image/audio libraries, but the decode gate is CLOSED
+offline for the two spec-simple container formats: ``default_image_decoder``
+really decodes 24-bit BMP and ``default_audio_decoder`` really decodes
+PCM-16 WAV via the pure-Python codecs in ``ext/media_codecs.py`` (the avro_py
+playbook). Formats that need native codec libs (JPEG/PNG/MP3/...) still
+raise NotImplementedError — inject a decoder for those. Everything
 around the kernel — schema, batching, partition sizing, metadata extraction
 — is real Spark plumbing and is what actually matters at 100 TB:
 
@@ -59,10 +62,46 @@ def binary_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "p
 
 
 def default_image_decoder(payload: bytes) -> dict:
-    """STUB: the real decoder (PIL/libjpeg) is not in this container."""
+    """REAL decode for BMP (pure-Python codec from the public spec —
+    ext/media_codecs.py, the avro_py playbook); other formats (JPEG/PNG need
+    libjpeg/zlib-backed codecs absent from this container) still raise
+    NotImplementedError so the remaining gate stays honest."""
+    if payload[:2] == b"BM":
+        from glue_etl_framework_spark.ext.media_codecs import decode_bmp
+
+        img = decode_bmp(payload)
+        px = img["pixels"]
+        return {
+            "width": img["width"],
+            "height": img["height"],
+            "n_channels": img["n_channels"],
+            "mean_luma": (sum(px) / len(px)) / 255.0,
+        }
     raise NotImplementedError(
-        "image codecs unavailable in this environment; inject a decoder "
-        "via extract_image_features(decoder=...)"
+        "only BMP decodes offline (ext/media_codecs.py); JPEG/PNG codecs are "
+        "unavailable in this environment — inject a decoder via "
+        "extract_image_features(decoder=...)"
+    )
+
+
+def default_audio_decoder(payload: bytes) -> dict:
+    """REAL decode for PCM-16 WAV (ext/media_codecs.py); other audio formats
+    raise NotImplementedError (no codec libs in this container)."""
+    if payload[:4] == b"RIFF":
+        from glue_etl_framework_spark.ext.media_codecs import decode_wav
+
+        wav = decode_wav(payload)
+        s = wav["samples"]
+        return {
+            "sample_rate": wav["sample_rate"],
+            "n_channels": wav["n_channels"],
+            "n_samples": len(s),
+            "sample_sum": sum(s),
+            "peak": max((abs(v) for v in s), default=0),
+        }
+    raise NotImplementedError(
+        "only PCM-16 WAV decodes offline (ext/media_codecs.py); other audio "
+        "formats need codec libs unavailable in this environment"
     )
 
 

@@ -327,3 +327,228 @@ def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_hash"
         ),
     )
+
+
+def _md5_byte_sql(hx: str, j: int) -> str:
+    """DuckDB expression for byte j (0-indexed) of the md5 digest whose
+    lowercase-hex form is the SQL expression ``hx``."""
+    return f"CAST(('0x' || substr({hx}, {2 * j + 1}, 2))::UBIGINT AS BIGINT)"
+
+
+def _bmp_decode_oracle() -> str:
+    b = [_md5_byte_sql("hx", j) for j in range(16)]
+    s16 = " + ".join(b)
+    s8 = " + ".join(b[:8])
+    return f"""
+    WITH d AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, hx, CAST(2 + ({b[0]} % 7) AS INT) AS h FROM d
+    ),
+    sums AS (
+      SELECT doc_id, h, {s16} AS s16, {s8} AS s8 FROM dims
+    )
+    SELECT doc_id,
+           CAST(8 AS INT) AS width,
+           h AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(54 + 24 * h AS BIGINT) AS blob_bytes,
+           CAST((h + h // 2) * s16 + (h % 2) * s8 AS BIGINT) AS pixel_sum,
+           CAST(round(CAST((h + h // 2) * s16 + (h % 2) * s8 AS DOUBLE)
+                      / (24 * h) / 255.0 * 1000000) AS BIGINT) AS luma_fp
+    FROM sums
+    """
+
+
+@register(
+    "multimodal_bmp_decode_stats",
+    oracle=_bmp_decode_oracle(),
+    category="multimodal",
+)
+def multimodal_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the offline gate (VERDICT r03 item 5):
+    per document, a 24-bit BMP is ENCODED from deterministic md5-derived
+    pixels (8 x (2 + digest[0] % 7), pixel bytes = the 16-byte digest
+    cycled over the buffer), then DECODED back by the pure-Python BMP
+    codec (ext/media_codecs.py, written from the public BITMAPINFOHEADER
+    spec) inside one mapInPandas kernel — real bytes through a real
+    decoder on the executors, not a stub. The reported stats (decoded
+    dimensions, file size incl. header+row padding, pixel-byte sum, mean
+    luma) are pure functions of the decoded pixels, and the oracle
+    recomputes them arithmetically from the md5 hex in SQL (digest-cycle
+    sum = full_cycles*S16 + remainder*S8), so a driver hash match proves
+    the encoder layout AND the decoder round-trip, not just the plumbing.
+
+    Scale shape: one Arrow-batched kernel pass, no shuffle at all —
+    decode parallelism is partition parallelism, memory bounded by
+    arrow batch size x blob size (the ext/multimodal contract). The
+    kernel imports codecs from the addPyFile-shipped flat module, so it
+    deserializes on vanilla-session executors (avro_py playbook)."""
+    from glue_etl_framework_spark.ext.media_codecs import ensure_shipped
+
+    ensure_shipped(spark)
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import hashlib
+
+        import pandas as _pd
+
+        try:
+            from glue_etl_framework_spark.ext.media_codecs import decode_bmp, encode_bmp
+        except ImportError:  # executor worker: flat module shipped via addPyFile
+            from media_codecs import decode_bmp, encode_bmp
+
+        for b in batches:
+            rows = []
+            for raw_id in b["doc_id"]:
+                doc_id = int(raw_id)
+                dig = hashlib.md5(str(doc_id).encode()).digest()
+                h = 2 + dig[0] % 7
+                npix = 8 * h * 3
+                px = (dig * (npix // 16 + 1))[:npix]
+                blob = encode_bmp(8, h, px)
+                img = decode_bmp(blob)
+                p2 = img["pixels"]
+                assert p2 == px, "bmp round-trip mismatch"
+                rows.append(
+                    (
+                        doc_id,
+                        img["width"],
+                        img["height"],
+                        img["n_channels"],
+                        len(blob),
+                        sum(p2),
+                        (sum(p2) / len(p2)) / 255.0,
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_channels",
+                    "blob_bytes", "pixel_sum", "mean_luma",
+                ],
+            )
+
+    feats = d.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id bigint, width int, height int, n_channels int, "
+            "blob_bytes bigint, pixel_sum bigint, mean_luma double"
+        ),
+    )
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_channels",
+        "blob_bytes",
+        "pixel_sum",
+        F.round(F.col("mean_luma") * 1_000_000).cast("long").alias("luma_fp"),
+    )
+
+
+def _wav_decode_oracle() -> str:
+    b = [_md5_byte_sql("hx", j) for j in range(16)]
+    # signed little-endian int16 from digest bytes (2k, 2k+1)
+    v = [
+        f"(CASE WHEN {b[2 * k]} + 256 * {b[2 * k + 1]} >= 32768 "
+        f"THEN {b[2 * k]} + 256 * {b[2 * k + 1]} - 65536 "
+        f"ELSE {b[2 * k]} + 256 * {b[2 * k + 1]} END)"
+        for k in range(8)
+    ]
+    sum8 = " + ".join(v)
+    peak = "greatest(" + ", ".join(f"abs({x})" for x in v) + ")"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, md5('wav:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents
+    ),
+    p AS (
+      SELECT doc_id, hx, CAST(1 + ({b[0]} % 4) AS BIGINT) AS reps,
+             CAST(8000 + 100 * ({b[1]} % 5) AS INT) AS rate
+      FROM d
+    )
+    SELECT doc_id,
+           rate AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(8 * reps AS INT) AS n_samples,
+           CAST(44 + 16 * reps AS BIGINT) AS blob_bytes,
+           CAST(reps * ({sum8}) AS BIGINT) AS sample_sum,
+           CAST({peak} AS BIGINT) AS peak
+    FROM p
+    """
+
+
+@register(
+    "multimodal_wav_decode_stats",
+    oracle=_wav_decode_oracle(),
+    category="multimodal",
+)
+def multimodal_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the offline gate — the WAV twin of
+    multimodal_bmp_decode_stats: per document, a PCM-16 WAV is encoded
+    from md5-derived samples (8 little-endian int16s from the digest,
+    repeated 1 + digest[0] % 4 times, rate 8000 + 100*(digest[1] % 5))
+    and decoded back by the pure-Python RIFF walker in
+    ext/media_codecs.py inside one mapInPandas kernel. Reported stats
+    (decoded rate/channels/sample count, file size incl. the 44-byte
+    canonical header, sample sum, peak amplitude) are pure functions of
+    the decoded samples; the oracle recomputes the int16 reconstruction
+    (b0 + 256*b1, two's-complement CASE) arithmetically from the md5
+    hex. Same no-shuffle Arrow-batched scale shape as the BMP entry."""
+    from glue_etl_framework_spark.ext.media_codecs import ensure_shipped
+
+    ensure_shipped(spark)
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import hashlib
+        import struct as _struct
+
+        import pandas as _pd
+
+        try:
+            from glue_etl_framework_spark.ext.media_codecs import decode_wav, encode_wav
+        except ImportError:  # executor worker: flat module shipped via addPyFile
+            from media_codecs import decode_wav, encode_wav
+
+        for b in batches:
+            rows = []
+            for raw_id in b["doc_id"]:
+                doc_id = int(raw_id)
+                dig = hashlib.md5(f"wav:{doc_id}".encode()).digest()
+                base = list(_struct.unpack("<8h", dig))
+                reps = 1 + dig[0] % 4
+                rate = 8000 + 100 * (dig[1] % 5)
+                samples = base * reps
+                blob = encode_wav(rate, samples)
+                wav = decode_wav(blob)
+                s = wav["samples"]
+                assert s == samples, "wav round-trip mismatch"
+                rows.append(
+                    (
+                        doc_id,
+                        wav["sample_rate"],
+                        wav["n_channels"],
+                        len(s),
+                        len(blob),
+                        sum(s),
+                        max(abs(x) for x in s),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_channels", "n_samples",
+                    "blob_bytes", "sample_sum", "peak",
+                ],
+            )
+
+    return d.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id bigint, sample_rate int, n_channels int, n_samples int, "
+            "blob_bytes bigint, sample_sum bigint, peak bigint"
+        ),
+    )
