@@ -78,6 +78,9 @@ HEADLINE = [
     "graph_link_prediction_jaccard",  # seed-batched two-hop neighborhood scoring
     "agg_exact_median_twopass",       # exact quantiles via bounded histogram passes
     "agg_bitmap_distinct_users",      # exact mergeable bitmap distinct counts
+    "text_bpe_learn_merges_batched",  # batched top-m symbol-disjoint BPE passes
+    "multimodal_bmp_decode_stats",    # real BMP encode+decode via mapInPandas kernel
+    "multimodal_wav_decode_stats",    # real WAV encode+decode via mapInPandas kernel
     # graph_triangle_copurchase is deliberately NOT benched: the wedge
     # join is inherently Theta(sum outdeg^2) — ~25s at sf0.1 on this box —
     # and its cost tracks graph density, not fixture scale (SCALING.md
