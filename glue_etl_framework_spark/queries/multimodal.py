@@ -552,3 +552,329 @@ def multimodal_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "blob_bytes bigint, sample_sum bigint, peak bigint"
         ),
     )
+
+
+def _bmp_channel_coeff_sql(channel: int) -> str:
+    """DuckDB expression for the per-channel pixel-byte sum of the BMP
+    fixture blobs: pixels are the md5 digest cycled over a 24*h-byte RGB
+    buffer, so channel c's sum is a fixed integer combination of the 16
+    digest bytes that depends only on h (in 2..8). The coefficients
+    count i in [0, 24h) with i%3==c grouped by i%16 — constant-folded
+    here per h into a CASE arm."""
+    arms = []
+    for h in range(2, 9):
+        coeffs = [0] * 16
+        for i in range(24 * h):
+            if i % 3 == channel:
+                coeffs[i % 16] += 1
+        terms = " + ".join(
+            f"{coeffs[b]} * {_md5_byte_sql('hx', b)}"
+            for b in range(16)
+            if coeffs[b]
+        )
+        arms.append(f"WHEN {h} THEN {terms}")
+    return "CASE h " + " ".join(arms) + " END"
+
+
+@register(
+    "multimodal_image_channel_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, hx,
+             CAST(2 + ({_md5_byte_sql('hx', 0)} % 7) AS INT) AS h
+      FROM d
+    ),
+    ch AS (
+      SELECT doc_id, h,
+             CAST({_bmp_channel_coeff_sql(0)} AS BIGINT) AS r_sum,
+             CAST({_bmp_channel_coeff_sql(1)} AS BIGINT) AS g_sum,
+             CAST({_bmp_channel_coeff_sql(2)} AS BIGINT) AS b_sum
+      FROM dims
+    )
+    SELECT doc_id, h AS height,
+           r_sum, g_sum, b_sum,
+           CAST(round(CAST(r_sum AS DOUBLE) / (8 * h) * 1000) AS BIGINT) AS r_mean_fp,
+           CAST(round(CAST(g_sum AS DOUBLE) / (8 * h) * 1000) AS BIGINT) AS g_mean_fp,
+           CAST(round(CAST(b_sum AS DOUBLE) / (8 * h) * 1000) AS BIGINT) AS b_mean_fp
+    FROM ch
+    """,
+    category="multimodal",
+)
+def multimodal_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel feature extraction over REALLY decoded pixels — the
+    step after multimodal_bmp_decode_stats in an image-curation pipeline
+    (channel statistics feed white-balance / monochrome / corruption
+    screens): the kernel encodes the deterministic BMP, decodes it back
+    through ext/media_codecs, DE-INTERLEAVES the top-down RGB buffer
+    (pixels[0::3]/[1::3]/[2::3]), and reports integer channel sums plus
+    fixed-point channel means. The oracle constant-folds the expected
+    channel sums per height into integer combinations of the 16 md5
+    digest bytes (i%3 x i%16 incidence counts), so a hash match proves
+    the decoder returns the pixels in exactly the documented channel
+    order — a transposed or BGR-leaky decode breaks the hash.
+
+    Scale shape: identical to the decode-stats entries — one
+    shuffle-free Arrow-batched kernel pass, parallelism = partitions."""
+    from glue_etl_framework_spark.ext.media_codecs import ensure_shipped
+
+    ensure_shipped(spark)
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import hashlib
+
+        import pandas as _pd
+
+        try:
+            from glue_etl_framework_spark.ext.media_codecs import decode_bmp, encode_bmp
+        except ImportError:  # executor worker: flat module shipped via addPyFile
+            from media_codecs import decode_bmp, encode_bmp
+
+        for b in batches:
+            rows = []
+            for raw_id in b["doc_id"]:
+                doc_id = int(raw_id)
+                dig = hashlib.md5(str(doc_id).encode()).digest()
+                h = 2 + dig[0] % 7
+                npix = 8 * h * 3
+                px = (dig * (npix // 16 + 1))[:npix]
+                img = decode_bmp(encode_bmp(8, h, px))
+                p2 = img["pixels"]
+                r, g, bl = sum(p2[0::3]), sum(p2[1::3]), sum(p2[2::3])
+                rows.append((doc_id, h, r, g, bl))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "height", "r_sum", "g_sum", "b_sum"]
+            )
+
+    feats = d.mapInPandas(
+        kernel,
+        schema="doc_id bigint, height int, r_sum bigint, g_sum bigint, b_sum bigint",
+    )
+    npx = F.col("height") * 8  # pixels per channel
+    return feats.select(
+        "doc_id",
+        "height",
+        "r_sum",
+        "g_sum",
+        "b_sum",
+        F.round(F.col("r_sum") / npx * 1000).cast("long").alias("r_mean_fp"),
+        F.round(F.col("g_sum") / npx * 1000).cast("long").alias("g_mean_fp"),
+        F.round(F.col("b_sum") / npx * 1000).cast("long").alias("b_mean_fp"),
+    )
+
+
+def _wav_frame_energy_oracle() -> str:
+    b = [_md5_byte_sql("hx", j) for j in range(16)]
+    v = [
+        f"(CASE WHEN {b[2 * k]} + 256 * {b[2 * k + 1]} >= 32768 "
+        f"THEN {b[2 * k]} + 256 * {b[2 * k + 1]} - 65536 "
+        f"ELSE {b[2 * k]} + 256 * {b[2 * k + 1]} END)"
+        for k in range(8)
+    ]
+    e_a = " + ".join(f"{x} * {x}" for x in v[:4])   # frame energy, samples 0-3
+    e_b = " + ".join(f"{x} * {x}" for x in v[4:])   # frame energy, samples 4-7
+    return f"""
+    WITH d AS (
+      SELECT doc_id, md5('wav:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+             CAST(1 + ({b[0]} % 4) AS BIGINT) AS reps,
+             CAST({e_a} AS BIGINT) AS ea,
+             CAST({e_b} AS BIGINT) AS eb
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(2 * reps AS INT) AS n_frames,
+           CAST(reps * (ea + eb) AS BIGINT) AS total_energy,
+           CAST(greatest(ea, eb) AS BIGINT) AS max_frame_energy,
+           ea AS first_frame_energy
+    FROM p
+    """
+
+
+@register(
+    "multimodal_wav_frame_energy",
+    oracle=_wav_frame_energy_oracle(),
+    category="multimodal",
+)
+def multimodal_wav_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framewise energy over REALLY decoded audio — the windowed-DSP
+    shape every audio-curation pipeline needs (silence trimming, clip
+    detection, VAD pre-filters are all framewise energy screens): the
+    kernel decodes the deterministic PCM-16 WAV through ext/media_codecs
+    and computes per-frame sum-of-squares over non-overlapping 4-sample
+    frames (int64 — no float drift), reporting frame count, total
+    energy, peak frame energy, and the first frame's energy. Since the
+    sample stream is the 8-int16 digest block repeated, frames alternate
+    between two energies the oracle reconstructs arithmetically (v_k^2
+    terms over the two's-complement reconstruction); a hash match proves
+    sample ORDER as well as values (a frame-boundary or endianness slip
+    changes ea/eb). Same shuffle-free Arrow-batched scale shape as the
+    other decode entries."""
+    from glue_etl_framework_spark.ext.media_codecs import ensure_shipped
+
+    ensure_shipped(spark)
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import hashlib
+        import struct as _struct
+
+        import pandas as _pd
+
+        try:
+            from glue_etl_framework_spark.ext.media_codecs import decode_wav, encode_wav
+        except ImportError:  # executor worker: flat module shipped via addPyFile
+            from media_codecs import decode_wav, encode_wav
+
+        for b in batches:
+            rows = []
+            for raw_id in b["doc_id"]:
+                doc_id = int(raw_id)
+                dig = hashlib.md5(f"wav:{doc_id}".encode()).digest()
+                base = list(_struct.unpack("<8h", dig))
+                reps = 1 + dig[0] % 4
+                rate = 8000 + 100 * (dig[1] % 5)
+                wav = decode_wav(encode_wav(rate, base * reps))
+                s = wav["samples"]
+                frames = [
+                    sum(x * x for x in s[i : i + 4]) for i in range(0, len(s), 4)
+                ]
+                rows.append(
+                    (doc_id, len(frames), sum(frames), max(frames), frames[0])
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "total_energy",
+                    "max_frame_energy", "first_frame_energy",
+                ],
+            )
+
+    return d.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id bigint, n_frames int, total_energy bigint, "
+            "max_frame_energy bigint, first_frame_energy bigint"
+        ),
+    )
+
+
+def _bmp_resize_sum_sql() -> str:
+    """Oracle expression for the stride-2 nearest-neighbor resample's
+    pixel-byte sum: output pixel (x', y', c) samples input linear byte
+    ((2*y'*8 + 2*x')*3 + c) % 16 of the digest — constant-folded per h
+    into integer digest-byte combinations (h' = (h+1)//2 output rows)."""
+    arms = []
+    for h in range(2, 9):
+        h_out = (h + 1) // 2
+        coeffs = [0] * 16
+        for y in range(h_out):
+            for x in range(4):
+                for c in range(3):
+                    i = (2 * y * 8 + 2 * x) * 3 + c
+                    coeffs[i % 16] += 1
+        terms = " + ".join(
+            f"{coeffs[b]} * {_md5_byte_sql('hx', b)}"
+            for b in range(16)
+            if coeffs[b]
+        )
+        arms.append(f"WHEN {h} THEN {terms}")
+    return "CASE h " + " ".join(arms) + " END"
+
+
+@register(
+    "multimodal_image_resize_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, hx,
+             CAST(2 + ({_md5_byte_sql('hx', 0)} % 7) AS INT) AS h
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(4 AS INT) AS out_width,
+           CAST((h + 1) // 2 AS INT) AS out_height,
+           CAST(54 + 12 * ((h + 1) // 2) AS BIGINT) AS out_blob_bytes,
+           CAST({_bmp_resize_sum_sql()} AS BIGINT) AS out_pixel_sum
+    FROM dims
+    """,
+    category="multimodal",
+)
+def multimodal_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE through the real codec — the remaining verb of the
+    decode / feature-extract / resize / frame-sample multimodal quartet:
+    the kernel decodes the deterministic 8 x h BMP, downsamples it
+    stride-2 nearest-neighbor (output pixel (x',y') = input (2x',2y');
+    4 x ceil(h/2) output), RE-ENCODES the result as a new BMP through
+    encode_bmp, and decodes THAT back — so the round reports come from a
+    second full encode->decode cycle on a different geometry (12-byte
+    rows, exercising the 4-byte-aligned-stride path). The oracle
+    constant-folds the resampled pixel sums per h into digest-byte
+    combinations and pins the re-encoded file size (54 + stride*h');
+    a hash match certifies the subsampling geometry AND the second
+    codec round-trip. Same shuffle-free Arrow-batched scale shape as
+    the other decode entries (resize is CPU-bound; partitions ~ cores)."""
+    from glue_etl_framework_spark.ext.media_codecs import ensure_shipped
+
+    ensure_shipped(spark)
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import hashlib
+
+        import pandas as _pd
+
+        try:
+            from glue_etl_framework_spark.ext.media_codecs import decode_bmp, encode_bmp
+        except ImportError:  # executor worker: flat module shipped via addPyFile
+            from media_codecs import decode_bmp, encode_bmp
+
+        for b in batches:
+            rows = []
+            for raw_id in b["doc_id"]:
+                doc_id = int(raw_id)
+                dig = hashlib.md5(str(doc_id).encode()).digest()
+                h = 2 + dig[0] % 7
+                npix = 8 * h * 3
+                px = (dig * (npix // 16 + 1))[:npix]
+                img = decode_bmp(encode_bmp(8, h, px))
+                src = img["pixels"]
+                w_out, h_out = 4, (h + 1) // 2
+                out = bytearray()
+                for y in range(h_out):
+                    for x in range(w_out):
+                        i = (2 * y * 8 + 2 * x) * 3
+                        out += src[i : i + 3]
+                small = decode_bmp(encode_bmp(w_out, h_out, bytes(out)))
+                blob2 = encode_bmp(w_out, h_out, small["pixels"])
+                rows.append(
+                    (
+                        doc_id,
+                        small["width"],
+                        small["height"],
+                        len(blob2),
+                        sum(small["pixels"]),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "out_width", "out_height",
+                    "out_blob_bytes", "out_pixel_sum",
+                ],
+            )
+
+    return d.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id bigint, out_width int, out_height int, "
+            "out_blob_bytes bigint, out_pixel_sum bigint"
+        ),
+    )

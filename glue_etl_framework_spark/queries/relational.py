@@ -983,6 +983,11 @@ def join_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame
     words = build_pos.groupBy((F.col("p") / SJR_WORD).cast("long").alias("w")).agg(
         F.expr(f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % {SJR_WORD} AS INT)))").alias("bits")
     )
+    # The bit-array is consumed once per hash function below; without
+    # materialization each per-j projection is a distinct broadcast subtree
+    # that re-runs the build aggregate. <= SJR_BITS/64 rows, so pinning it
+    # with localCheckpoint makes the build provably one job.
+    words = words.localCheckpoint()
     probed = li
     for j in range(SJR_HASHES):
         wj = words.select(F.col("w").alias(f"w{j}"), F.col("bits").alias(f"bits{j}"))
