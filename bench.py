@@ -81,6 +81,7 @@ HEADLINE = [
     "text_bpe_learn_merges_batched",  # batched top-m symbol-disjoint BPE passes
     "multimodal_bmp_decode_stats",    # real BMP encode+decode via mapInPandas kernel
     "multimodal_wav_decode_stats",    # real WAV encode+decode via mapInPandas kernel
+    "multimodal_image_resize_stats",  # decode -> stride-2 resize -> re-encode cycle
     # graph_triangle_copurchase is deliberately NOT benched: the wedge
     # join is inherently Theta(sum outdeg^2) — ~25s at sf0.1 on this box —
     # and its cost tracks graph density, not fixture scale (SCALING.md
