@@ -3592,9 +3592,12 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
     ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    # item-frequency sides are PART-cardinality (SF-proportional) — no
+    # broadcast hint; AQE broadcasts them while they fit and shuffles on
+    # the part key when they don't. Only the 1-row basket count is hinted.
     return (
-        pair.join(F.broadcast(ia), "part_a")
-        .join(F.broadcast(ib), "part_b")
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
         .crossJoin(F.broadcast(nb))
         .select(
             "part_a", "part_b", "co", "n_a", "n_b",

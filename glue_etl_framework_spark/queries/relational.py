@@ -6,8 +6,13 @@ exposed as typed DataFrame builders so each operator is individually
 oracle-checked.
 
 Scale notes: every builder is a declarative plan — filters/projections push
-to the parquet scan, dimension joins broadcast (explicit F.broadcast on the
-small side), fact-fact joins shuffle on their keys with AQE handling skew.
+to the parquet scan; fact-fact joins shuffle on their keys with AQE handling
+skew. Broadcast policy (same as queries/tpch.py): explicit F.broadcast only
+on FIXED-SIZE frames (nation=25/region=5 rows, 1-row scalars, bounded
+sketches) or where the hint IS the operator under test (join_broadcast_hint,
+join_range_theta — documented); SF-proportional tables (customer/orders/
+part/supplier) stay unhinted so AQE chooses broadcast only while the
+runtime size fits.
 """
 
 from __future__ import annotations
@@ -49,12 +54,15 @@ def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = t(spark, sf_dir, "customer")
     nation = t(spark, sf_dir, "nation")
     region = t(spark, sf_dir, "region")
-    # Fact joins the order dimension on the shuffle key; all other dims are
-    # broadcast (region/nation/customer are tiny relative to lineitem).
+    # Fact joins the order dimension on the shuffle key; fixed-size dims
+    # (nation=25, region=5 rows) are hinted broadcast; customer is
+    # SF-proportional so it stays UNHINTED — AQE broadcasts it at small SF
+    # and falls back to a keyed shuffle when it no longer fits (a forced
+    # broadcast of an SF-proportional table is an OOM at 100 TB).
     return (
         lineitem
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
@@ -304,9 +312,13 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="join",
 )
 def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-equi (range) join. The small side broadcasts -> BroadcastNestedLoop;
-    a large-large range join would instead bin both sides on
-    floor(acctbal/1000) and equi-join the bin (SURVEY §7.3)."""
+    """Non-equi (range) join, explicitly-broadcast variant: the hint forces
+    BroadcastNestedLoop, which is only correct while the broadcast side
+    genuinely fits in executor memory — customer is SF-proportional, so at
+    scale this exact plan is WRONG and the binned large-large variant
+    (join_range_binned, same module) is the one to run: both sides bin on
+    floor(acctbal/1000) and equi-join the bin. This entry exists to pin
+    the BNLJ operator itself (SURVEY §2.3 theta-join row)."""
     s, c = t(spark, sf_dir, "supplier"), t(spark, sf_dir, "customer")
     cond = c.c_acctbal.between(s.s_acctbal - 500, s.s_acctbal + 500)
     return (
@@ -327,8 +339,12 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="join",
 )
 def join_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit broadcast of the part dimension — at 100 TB the fact side
-    never shuffles for a small-dim join."""
+    """Explicit broadcast-hint operator (SURVEY §2.3 hint row): the point
+    pinned here is that a hinted small-dim join never shuffles the fact
+    side. The hint is only valid while the dim truly fits (part is
+    SF-proportional — at the 100 TB design point size the dim first or
+    let AQE choose, as the TPC-H suite does); this entry keeps the hint
+    because exercising the hint API is its purpose."""
     l, p = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "part")
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
@@ -370,8 +386,11 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    # The IN-list side is segment-filtered customer — SF-proportional, so
+    # no broadcast hint: AQE broadcasts the semi-join build side while it
+    # fits and shuffles on o_custkey when it doesn't.
     building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    return o.join(F.broadcast(building), o.o_custkey == building.c_custkey, "left_semi").select(
+    return o.join(building, o.o_custkey == building.c_custkey, "left_semi").select(
         "o_orderkey", "o_custkey"
     )
 
@@ -556,15 +575,17 @@ def transform_apply_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the join graph: orphan counts per
-    foreign key via left-anti joins (each a broadcast when the parent fits,
-    else a keyed shuffle) — the pipeline QA gate a 100 TB ingest runs
-    before publishing a snapshot."""
+    foreign key via left-anti joins — the pipeline QA gate a 100 TB ingest
+    runs before publishing a snapshot. The parent key sets are UNHINTED
+    (orders/customer are SF-proportional): AQE broadcasts the anti-join
+    build side while it fits and shuffles on the key when it doesn't — a
+    hardcoded broadcast of the orders key set would OOM at scale."""
     li, o = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
     c, n = t(spark, sf_dir, "customer"), t(spark, sf_dir, "nation")
 
     def orphans(child: DataFrame, parent: DataFrame, ck: str, pk: str, label: str) -> DataFrame:
         return (
-            child.join(F.broadcast(parent.select(pk)), child[ck] == parent[pk], "left_anti")
+            child.join(parent.select(pk), child[ck] == parent[pk], "left_anti")
             .agg(F.count("*").alias("n_orphans"))
             .select(F.lit(label).alias("fk"), "n_orphans")
         )

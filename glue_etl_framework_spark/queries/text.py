@@ -313,16 +313,19 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical quality score: per-document unigram log-likelihood under
     the corpus's own unigram distribution (low per-token log-prob = rare-
     token soup = likely junk; the statistical complement of the heuristic
-    text_quality_score). The frequency table is corpus-wide but VOCABULARY-
-    sized, so the token->frequency join broadcasts at any corpus scale;
-    log-probs are summed as fixed-point integers (round(ln(p)*1e6)) so the
+    text_quality_score). The frequency table is vocabulary-sized —
+    sublinear in the corpus (Heaps' law) but NOT bounded, so the
+    token->frequency join carries no broadcast hint: AQE broadcasts it
+    while it fits and falls back to a token-keyed shuffle when a 100 TB
+    corpus's vocabulary doesn't (the text_source_drift_kl precedent).
+    Log-probs are summed as fixed-point integers (round(ln(p)*1e6)) so the
     aggregate is order-independent and hash-matches the oracle exactly."""
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     freq = toks.groupBy("token").agg(F.count("*").alias("tf"))
     total = freq.agg(F.sum("tf").alias("n"))
     lp = F.round(F.log(F.col("tf").cast("double") / F.col("n")) * LM_SCALE).cast("long")
-    scored = toks.join(F.broadcast(freq), "token").crossJoin(F.broadcast(total)).select(
+    scored = toks.join(freq, "token").crossJoin(F.broadcast(total)).select(
         "doc_id", lp.alias("lp")
     )
     return scored.groupBy("doc_id").agg(
