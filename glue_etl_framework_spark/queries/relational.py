@@ -1035,3 +1035,61 @@ def join_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame
             money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue_cents"),
         )
     )
+
+
+SKEW_SALT = 8  # salt fan-out; at 100 TB size to (hot-key rows / target partition rows)
+
+
+@register(
+    "join_salted_skew_mitigation",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o.o_orderpriority
+    """,
+    category="join",
+)
+def join_salted_skew_mitigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join — the manual mitigation for a hot join key that
+    AQE's skew handling cannot fix (AQE splits skewed SORT-MERGE
+    partitions, but a hot key inside ONE partition of a hash join, or a
+    skewed aggregation feeding the join, still lands on one task): the
+    FACT side appends a deterministic salt in [0, S) (here
+    l_linenumber % S — any well-mixed per-row value works; never rand(),
+    which breaks retry determinism), the BUILD side is replicated S ways
+    with explode(sequence(...)), and the join key becomes (key, salt) —
+    the hot key's rows now spread across S tasks at the cost of an S-fold
+    replication of the build side. The oracle is the PLAIN join with no
+    salt anywhere, so the driver hash-match certifies the rewrite is
+    lossless, exactly like the bloom semi-join entry.
+
+    100 TB sizing: S = ceil(hot-key rows / target rows-per-task); the
+    build-side replication cost is S x |build|, so salt only the keys
+    that need it in production (split the fact by a hot-key list — the
+    two-phase shape stays identical). The salted aggregate twin is
+    agg_salted_twophase."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    fact = li.withColumn("salt", (F.col("l_linenumber") % SKEW_SALT).cast("int"))
+    build = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.explode(F.sequence(F.lit(0), F.lit(SKEW_SALT - 1))).alias("salt"),
+    )
+    return (
+        fact.join(
+            build,
+            (fact.l_orderkey == build.o_orderkey) & (fact.salt == build.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            money(F.col("l_extendedprice")).alias("price_cents"),
+        )
+    )
