@@ -3702,13 +3702,15 @@ def agg_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the percent-of-parent shape every BI layer needs. Derived entirely
     from ONE grouped aggregate: the region and grand totals re-aggregate
     the (region, nation) table (25 rows), never the fact table, and join
-    back as broadcasts. Shares are exact-cents ratios in fixed point."""
+    back as broadcasts; the supplier join is unhinted (SF-proportional). Shares are exact-cents ratios in fixed point."""
     l = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
+    # supplier is SF-proportional -> unhinted (AQE-chosen); nation/region
+    # are fixed 25/5 rows and keep the hint (round-4 broadcast policy).
     nat = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
@@ -4433,22 +4435,21 @@ def quality_fk_coverage_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential coverage across every foreign key of the star schema in
     one result — the companion to quality_fk_orphans (which LISTS broken
     rows; this COUNTS them per relationship, the number a data contract
-    monitors). The part/supplier/customer branches left-join a BOUNDED
-    dimension and hint broadcast; the lineitem->orders branch is
-    FACT-to-FACT (orders grows with sf), so it is left unhinted — a
-    forced broadcast of orders would OOM at scale; AQE/stats pick the
-    strategy (shuffle join at scale, broadcast only while genuinely
-    small). Each branch is one conditional count; branches are
-    independent scans that schedule in parallel."""
+    monitors). ALL four parent sides are SF-proportional
+    (orders/part/supplier/customer grow with sf), so every branch is
+    UNHINTED — AQE/stats pick broadcast only while the parent genuinely
+    fits and fall back to a keyed shuffle at scale (round-4 broadcast
+    policy, queries/relational.py docstring). Each branch is one
+    conditional count; branches are independent scans that schedule in
+    parallel."""
     l = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     p = t(spark, sf_dir, "part")
     s = t(spark, sf_dir, "supplier")
     c = t(spark, sf_dir, "customer")
 
-    def cov(name, fact, dim, fk, pk, hint_broadcast=True):
-        rhs = F.broadcast(dim) if hint_broadcast else dim
-        joined = fact.join(rhs, fact[fk] == dim[pk], "left")
+    def cov(name, fact, dim, fk, pk):
+        joined = fact.join(dim, fact[fk] == dim[pk], "left")
         return joined.agg(
             F.lit(name).alias("fk"),
             F.count("*").alias("n_rows"),
@@ -4456,8 +4457,7 @@ def quality_fk_coverage_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        cov("lineitem.l_orderkey->orders", l, o, "l_orderkey", "o_orderkey",
-            hint_broadcast=False)
+        cov("lineitem.l_orderkey->orders", l, o, "l_orderkey", "o_orderkey")
         .unionByName(cov("lineitem.l_partkey->part", l, p, "l_partkey", "p_partkey"))
         .unionByName(cov("lineitem.l_suppkey->supplier", l, s, "l_suppkey", "s_suppkey"))
         .unionByName(cov("orders.o_custkey->customer", o, c, "o_custkey", "c_custkey"))
