@@ -7312,3 +7312,192 @@ def orders_price_volume_decomposition(spark: SparkSession, sf_dir: str) -> DataF
         .orderBy(F.abs(F.col("delta_rev_cents")).desc(), "part")
         .limit(PVM_TOP)
     )
+
+
+MTA_WINDOW_H = 72   # multi-touch lookback
+MTA_SCALE = 1_000_000
+
+
+@register(
+    "events_attribution_position_based",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    tch AS (
+      SELECT event_id AS t_id, user_id, ts AS t_ts, event_type AS t_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    paired AS (
+      SELECT p.p_id, t.t_id, t.t_type, t.t_ts
+      FROM p JOIN tch t ON t.user_id = p.user_id
+       AND t.t_ts <= p.p_ts
+       AND t.t_ts > p.p_ts - INTERVAL {MTA_WINDOW_H} HOURS
+    ),
+    ranked AS (
+      SELECT p_id, t_id, t_type,
+             row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rn,
+             COUNT(*) OVER (PARTITION BY p_id) AS n
+      FROM paired
+    ),
+    credited AS (
+      SELECT t_type,
+             CASE WHEN n = 1 THEN 'only'
+                  WHEN rn = 1 THEN 'first'
+                  WHEN rn = n THEN 'last'
+                  ELSE 'middle' END AS pos_class,
+             CAST(round(CASE WHEN n = 1 THEN 1.0
+                             WHEN n = 2 THEN 0.5
+                             WHEN rn = 1 OR rn = n THEN 0.4
+                             ELSE 0.2 / (n - 2) END * {MTA_SCALE}) AS BIGINT)
+               AS credit_fp
+      FROM ranked
+    )
+    SELECT t_type AS touch_type, pos_class,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(credit_fp) AS BIGINT) AS credit_fp
+    FROM credited GROUP BY t_type, pos_class
+    """,
+    category="events",
+)
+def events_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the adtech
+    counterpart of events_attribution_last_touch when credit must be
+    SHARED across the journey: every click/view by the purchaser within
+    {MTA_WINDOW_H}h shares the conversion's credit — 40% first touch,
+    40% last, the middle 20% split evenly (degenerate journeys: a
+    single touch takes 100%, a pair splits 50/50). Credits are rounded
+    to fixed-point PER TOUCH (identical double literal and rounding on
+    both engines), so aggregation order cannot drift the sums.
+
+    Plan: one user-keyed interval join bounded on BOTH endpoints (same
+    discipline as last-touch: a touch matches at most lookback/
+    interarrival purchases), one window pass per conversion for
+    (position, journey length), then a tiny (touch_type x position)
+    aggregate. At 100 TB this runs per day-partition with a lookback
+    read — the join and window both key on conversion id / user id, no
+    global state."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    tch = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("t_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("t_type"),
+    )
+    paired = p.join(
+        tch,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") > F.col("p_ts") - F.expr(f"INTERVAL {MTA_WINDOW_H} HOURS")),
+    )
+    w = W.partitionBy("p_id")
+    rn = F.row_number().over(w.orderBy("t_ts", "t_id"))
+    n = F.count("*").over(w)
+    ranked = paired.select("t_type", rn.alias("rn"), n.alias("n"))
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    pos_class = (
+        F.when(F.col("n") == 1, "only")
+        .when(F.col("rn") == 1, "first")
+        .when(F.col("rn") == F.col("n"), "last")
+        .otherwise("middle")
+    )
+    return (
+        ranked.select(
+            F.col("t_type").alias("touch_type"),
+            pos_class.alias("pos_class"),
+            F.round(credit * MTA_SCALE).cast("long").alias("credit_fp"),
+        )
+        .groupBy("touch_type", "pos_class")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.sum("credit_fp").alias("credit_fp"),
+        )
+    )
+
+
+HOLT_SCALE = 1_000_000  # fixed-point scale for the level/trend state
+
+
+@register(
+    "events_forecast_holt_linear",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type,
+             list_transform(list(n ORDER BY day),
+                            x -> [x * {HOLT_SCALE}, CAST(0 AS BIGINT)]) AS xs,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY event_type
+    ),
+    folded AS (
+      SELECT event_type, n_days,
+             list_reduce(xs, (acc, x) -> list_value(
+               (2 * x[1] + 8 * (acc[1] + acc[2])) // 10,
+               (((2 * x[1] + 8 * (acc[1] + acc[2])) // 10) - acc[1] + 9 * acc[2]) // 10
+             )) AS st
+      FROM series
+    )
+    SELECT event_type, n_days,
+           st[1] AS level_fp, st[2] AS trend_fp,
+           st[1] + st[2] AS forecast_1d_fp,
+           st[1] + 7 * st[2] AS forecast_7d_fp
+    FROM folded
+    """,
+    category="events",
+)
+def events_forecast_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double exponential smoothing) forecast over per-type
+    daily event volumes — the level+trend upgrade of window_ewma_smooth
+    and the standard capacity-planning baseline when traffic has drift.
+    The recursion (alpha=0.2, beta=0.1) runs in INTEGER fixed point:
+    l' = (2x + 8(l+t)) div 10, t' = ((l'-l) + 9t) div 10 — both engines
+    truncate integer division toward zero (verified), so the whole
+    trajectory is exact BIGINTs and the driver hash pins every step of
+    the recursion, not a float approximation of it. Initialization is
+    the textbook l1=x1, t1=0 (the fold's first element).
+
+    Plan: one (type, day) count aggregate (days-bounded output), then a
+    per-type sort_array + aggregate() fold — state is 2 BIGINTs per
+    series, the fold is a scan-side expression over a bounded array
+    (days, not rows), and series are independent keys. 100 TB: the
+    daily rollup absorbs the volume; the fold cost tracks the calendar,
+    exactly like events_changepoint_binseg."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "n"))).alias("arr"),
+        F.count("*").alias("n_days"),
+    )
+    st = F.expr(f"""
+        aggregate(
+          slice(transform(arr, s -> s.n * {HOLT_SCALE}), 2, size(arr) - 1),
+          named_struct('l', arr[0].n * {HOLT_SCALE}, 't', CAST(0 AS BIGINT)),
+          (acc, x) -> named_struct(
+            'l', (2 * x + 8 * (acc.l + acc.t)) div 10,
+            't', (((2 * x + 8 * (acc.l + acc.t)) div 10) - acc.l + 9 * acc.t) div 10)
+        )
+    """)
+    return series.select(
+        "event_type",
+        "n_days",
+        st["l"].alias("level_fp"),
+        st["t"].alias("trend_fp"),
+        (st["l"] + st["t"]).alias("forecast_1d_fp"),
+        (st["l"] + 7 * st["t"]).alias("forecast_7d_fp"),
+    )
