@@ -50,6 +50,31 @@ def events(spark):
     return t(spark, SF_SMOKE, "events")
 
 
+def _write_time_sliced(events, src: str, n_slices: int = 4) -> None:
+    """Write events as n sequential time-slice files so the file stream
+    source picks them up IN EVENT-TIME ORDER. A single
+    repartitionByRange write is NOT enough: the source orders files by
+    modification time, which follows task COMPLETION order, so a
+    later-time file can land first and turn the earlier file's rows
+    into late data (legitimately dropped by the watermark) — the
+    first version of this test flaked exactly that way under a loaded
+    box. Sequential single-file appends pin the arrival order."""
+    import time as _time
+
+    bounds = [r[0] for r in events.selectExpr("ts").orderBy("ts").collect()]
+    qs = [bounds[int(len(bounds) * i / n_slices)] for i in range(1, n_slices)]
+    lo = None
+    for hi in qs + [None]:
+        sl = events
+        if lo is not None:
+            sl = sl.filter(F.col("ts") >= F.lit(lo))
+        if hi is not None:
+            sl = sl.filter(F.col("ts") < F.lit(hi))
+        sl.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(0.05)  # distinct modification times
+        lo = hi
+
+
 def _drain(spark, stream_df, name, tmp, mode="append"):
     q = (
         stream_df.writeStream.format("memory")
@@ -65,9 +90,9 @@ def _drain(spark, stream_df, name, tmp, mode="append"):
 
 def test_tumbling_agg_multibatch_inorder_matches_horizon(spark, events, tmp_path):
     src = str(tmp_path / "src")
-    # time-range-ordered files => each micro-batch is a later time slice,
-    # the live-source arrival pattern
-    events.repartitionByRange(4, "ts").sortWithinPartitions("ts").write.parquet(src)
+    # sequential time-slice files => each micro-batch is a later time
+    # slice, the live-source arrival pattern (see _write_time_sliced)
+    _write_time_sliced(events, src, 4)
     stream = ST.read_file_stream(spark, src, EVENTS_SCHEMA, max_files_per_trigger=1)
     got_df = _drain(
         spark,
@@ -104,7 +129,7 @@ def test_tumbling_agg_multibatch_inorder_matches_horizon(spark, events, tmp_path
 
 def test_dedup_multibatch_reproduces_table(spark, events, tmp_path):
     src = str(tmp_path / "src")
-    events.repartitionByRange(4, "ts").sortWithinPartitions("ts").write.parquet(src)
+    _write_time_sliced(events, src, 4)
     stream = ST.read_file_stream(spark, src, EVENTS_SCHEMA, max_files_per_trigger=1)
     got = _drain(spark, ST.stream_dedup(stream, ["event_id"]), "mb_dedup", tmp_path)
     assert got.count() == events.count()
@@ -113,7 +138,7 @@ def test_dedup_multibatch_reproduces_table(spark, events, tmp_path):
 
 def test_stateful_totals_multibatch_inorder(spark, events, tmp_path):
     src = str(tmp_path / "src")
-    events.repartitionByRange(3, "ts").sortWithinPartitions("ts").write.parquet(src)
+    _write_time_sliced(events, src, 3)
     stream = ST.read_file_stream(spark, src, EVENTS_SCHEMA, max_files_per_trigger=1)
     out = _drain(
         spark, ST.running_user_stats(stream), "mb_stateful", tmp_path, mode="update"
