@@ -99,3 +99,47 @@ def test_no_forbidden_broadcast_roots():
             "this is the data-sized-broadcast class VERDICT r03 flagged; "
             "remove the hint and let AQE choose."
         )
+
+
+def test_unhinted_joins_adapt_when_dims_outgrow_broadcast():
+    """The runtime payoff of the policy, executed locally: with the
+    broadcast threshold shrunk to 1 KB (standing in for dims outgrowing
+    executor memory at 100 TB), the flagship's UNHINTED SF-proportional
+    joins (orders, customer) must fall back to shuffle joins while the
+    explicitly hinted fixed-size dims (nation, region) still broadcast
+    — and the result must be unchanged. A hardcoded customer hint would
+    have pinned a broadcast regardless of size (the 100x probe in
+    SCALING.md shows the same switch happening from real data growth)."""
+    from glue_etl_framework_spark import get_spark
+    from glue_etl_framework_spark.queries import load_registry
+
+    spark = get_spark(app_name="test_bcast_adapt", shuffle_partitions=8)
+    reg = load_registry()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    prev_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "1KB")
+        df = reg["flagship_revenue_by_region"].fn(spark, "/root/testdata/sf0.001")
+        rows_constrained = {tuple(r) for r in df.collect()}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # AQE's string dump appends an "== Initial Plan ==" section that
+        # duplicates every join node; count only the FINAL plan.
+        plan = plan.split("== Initial Plan ==")[0]
+        n_bhj = plan.count("BroadcastHashJoin")
+        n_shuffle = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+        assert n_bhj == 2, f"expected only the 2 hinted dims to broadcast:\n{plan}"
+        assert n_shuffle == 2, f"expected orders+customer to shuffle:\n{plan}"
+    finally:
+        for key, val in [
+            ("spark.sql.autoBroadcastJoinThreshold", prev),
+            ("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe),
+        ]:
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+    df2 = reg["flagship_revenue_by_region"].fn(spark, "/root/testdata/sf0.001")
+    assert {tuple(r) for r in df2.collect()} == rows_constrained
