@@ -6565,7 +6565,7 @@ KM_SCALE = 1_000_000
 @register(
     "orders_survival_km_repeat_purchase",
     oracle=f"""
-    WITH per_cust AS (
+    WITH RECURSIVE per_cust AS (
       SELECT o_custkey,
              MIN(o_orderdate) AS first_dt,
              MIN(CASE WHEN rn = 2 THEN o_orderdate END) AS second_dt
@@ -6591,25 +6591,25 @@ KM_SCALE = 1_000_000
       FROM subjects GROUP BY dur
     ),
     km1 AS (
-      SELECT dur, n_event,
+      SELECT row_number() OVER (ORDER BY dur) AS i,
+             CAST(dur AS BIGINT) AS dur, n_event,
              CAST((SELECT COUNT(*) FROM subjects) AS BIGINT)
                - (SUM(n_total) OVER (ORDER BY dur) - n_total) AS n_risk
       FROM tbl
     ),
-    km AS (
-      SELECT dur, n_event, n_risk,
-             SUM(CASE WHEN n_event > 0 AND n_event < n_risk
-                      THEN ln(1.0 - CAST(n_event AS DOUBLE) / n_risk)
-                      ELSE 0.0 END)
-               OVER (ORDER BY dur) AS log_s,
-             MAX(CASE WHEN n_event >= n_risk THEN 1 ELSE 0 END)
-               OVER (ORDER BY dur) AS hit_zero
-      FROM km1
+    rec AS (
+      -- exact integer KM recursion S_j = (S_{{j-1}} * (n_j - d_j)) div n_j:
+      -- no ln/exp, so the value path cannot flake on cross-libm ulps
+      SELECT i, dur, n_event, n_risk,
+             (CAST({KM_SCALE} AS BIGINT) * (n_risk - n_event)) // n_risk AS s
+      FROM km1 WHERE i = 1
+      UNION ALL
+      SELECT k.i, k.dur, k.n_event, k.n_risk,
+             (r.s * (k.n_risk - k.n_event)) // k.n_risk
+      FROM km1 k JOIN rec r ON k.i = r.i + 1
     )
-    SELECT CAST(dur AS BIGINT) AS dur_days, n_risk, n_event,
-           CASE WHEN hit_zero = 1 THEN CAST(0 AS BIGINT)
-                ELSE CAST(round(exp(log_s) * {KM_SCALE}) AS BIGINT) END AS surv_fp
-    FROM km WHERE n_event > 0
+    SELECT dur AS dur_days, n_risk, n_event, s AS surv_fp
+    FROM rec WHERE n_event > 0
     """,
     category="events",
 )
@@ -6620,15 +6620,17 @@ def orders_survival_km_repeat_purchase(spark: SparkSession, sf_dir: str) -> Data
     failures, they're CENSORED at the observation horizon). Subjects =
     customers; event = second order (duration in days from the first);
     censoring = horizon minus first order otherwise. S(t) =
-    prod_{{t_j <= t}} (1 - d_j / n_j) computed as exp of a cumulative
-    log-sum — a prefix-sum reformulation (like the changepoint scan) so
-    the whole curve is ONE ordered pass over the per-duration table, not
-    a per-time re-aggregation. At-risk counts come from the same prefix
-    sums. Scale: the per-customer reduction is one keyed window+agg;
-    the KM table is bounded by the observation range in DAYS
-    (time-bounded, like events_cumulative_uniques — allowlisted global
-    window); survival probabilities are fixed-point, exact integer
-    counts inside the log."""
+    prod_{{t_j <= t}} (1 - d_j / n_j) computed as an EXACT integer
+    fixed-point recursion S_j = (S_{{j-1}} * (n_j - d_j)) div n_j folded
+    over the sorted per-duration array (the events_forecast_holt_linear
+    pattern) — no ln/exp in the value path, so the driver hash cannot
+    flake on cross-libm last-ulp differences (which r4 proved is a real,
+    data-dependent failure mode for round(exp(sum(ln(...)))*1e6)).
+    At-risk counts ride along in the fold accumulator. Scale: the
+    per-customer reduction is one keyed window+agg; the KM table is
+    bounded by the observation range in DAYS (time-bounded, like
+    events_cumulative_uniques), so the fold is a scan-side expression
+    over a calendar-bounded array."""
     from pyspark.sql import Window as W
 
     o = t(spark, sf_dir, "orders")
@@ -6658,35 +6660,38 @@ def orders_survival_km_repeat_purchase(spark: SparkSession, sf_dir: str) -> Data
         F.sum("ev").alias("n_event"), F.count("*").alias("n_total")
     )
     total = subjects.agg(F.count("*").alias("n_subj"))
-    wcum = W.orderBy("dur").rowsBetween(W.unboundedPreceding, 0)
-    km = (
-        tbl.crossJoin(F.broadcast(total))
-        .withColumn("cum_total", F.sum("n_total").over(wcum))
-        .withColumn("n_risk", F.col("n_subj") - (F.col("cum_total") - F.col("n_total")))
-        .withColumn(
-            "log_term",
-            F.when(
-                (F.col("n_event") > 0) & (F.col("n_event") < F.col("n_risk")),
-                F.log(1.0 - F.col("n_event").cast("double") / F.col("n_risk")),
-            ).otherwise(F.lit(0.0)),
-        )
-        .withColumn("log_s", F.sum("log_term").over(wcum))
-        # the final event time can take S exactly to 0 (d_j == n_j);
-        # ln(0) is undefined, so the zero is carried as a sticky flag
-        .withColumn(
-            "hit_zero",
-            F.max(
-                F.when(F.col("n_event") >= F.col("n_risk"), 1).otherwise(0)
-            ).over(wcum),
-        )
+    series = tbl.crossJoin(F.broadcast(total)).groupBy("n_subj").agg(
+        F.sort_array(F.collect_list(F.struct("dur", "n_event", "n_total"))).alias("arr")
     )
-    return km.filter(F.col("n_event") > 0).select(
-        F.col("dur").alias("dur_days"),
-        "n_risk",
-        "n_event",
-        F.when(F.col("hit_zero") == 1, F.lit(0).cast("long"))
-        .otherwise(F.round(F.exp("log_s") * KM_SCALE).cast("long"))
-        .alias("surv_fp"),
+    # S_j = (S_{j-1} * (n_j - d_j)) div n_j is exact in BIGINT: S <= 1e6
+    # and n_risk <= n_subj, so the product stays far inside 2^63. A final
+    # event with d_j == n_j drives S to exactly 0 with no ln(0) special
+    # case, and pure-censoring rows (d_j = 0) multiply by n_j div n_j = 1.
+    out = F.expr(f"""
+        aggregate(
+          arr,
+          named_struct(
+            's', CAST({KM_SCALE} AS BIGINT), 'risk', n_subj,
+            'out', CAST(array() AS array<struct<dur: bigint, n_risk: bigint,
+                                               n_event: bigint, surv_fp: bigint>>)),
+          (acc, x) -> named_struct(
+            's', (acc.s * (acc.risk - x.n_event)) div acc.risk,
+            'risk', acc.risk - x.n_total,
+            'out', CASE WHEN x.n_event > 0
+                   THEN array_append(acc.out, named_struct(
+                          'dur', x.dur, 'n_risk', acc.risk, 'n_event', x.n_event,
+                          'surv_fp', (acc.s * (acc.risk - x.n_event)) div acc.risk))
+                   ELSE acc.out END)
+        ).out
+    """)
+    return (
+        series.select(F.explode(out).alias("r"))
+        .select(
+            F.col("r.dur").alias("dur_days"),
+            F.col("r.n_risk").alias("n_risk"),
+            F.col("r.n_event").alias("n_event"),
+            F.col("r.surv_fp").alias("surv_fp"),
+        )
     )
 
 
