@@ -121,8 +121,8 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
            CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bucket,
            sqrt(l_extendedprice) AS sq,
-           round(ln(l_extendedprice + 1), 8) AS log_price,
-           round(log10(l_extendedprice + 1), 8) AS log10_price,
+           round(ln(l_extendedprice + 1), 6) AS log_price,
+           round(log10(l_extendedprice + 1), 6) AS log10_price,
            l_extendedprice * l_extendedprice AS price_sq,
            CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
            greatest(l_quantity, l_discount * 100) AS g,
@@ -141,8 +141,11 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
         F.floor(F.col("l_quantity") / 10).alias("qty_bucket"),
         F.sqrt("l_extendedprice").alias("sq"),
-        F.round(F.log(F.col("l_extendedprice") + 1), 8).alias("log_price"),
-        F.round(F.log10(F.col("l_extendedprice") + 1), 8).alias("log10_price"),
+        # 6 decimals, not 8: at 60k rows the min distance-to-boundary of an
+        # 8-decimal-rounded ln() lands within a few libm ulps (the guard-band
+        # audit in tests/test_transcendental_guard.py caught a row at 1e-14)
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("log_price"),
+        F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("log10_price"),
         (F.col("l_extendedprice") * F.col("l_extendedprice")).alias("price_sq"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
         F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("g"),
