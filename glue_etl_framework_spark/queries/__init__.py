@@ -79,27 +79,28 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # Registration order drives the driver's CORRECTNESS sampling (it records the
-# first N registry entries). Round 1 proved the first 50 (relational/agg/
-# window/sort); round 2 the next 50 (dedup/similarity/text/curation/
-# multimodal/setops/functions). Round 3 front-loads llmops (72 entries — the
-# 50-row driver window covers the first 50, all never-checked SURVEY §2.10
-# EXT rows). Round 4 should rotate again: remaining llmops(22) + events(13) +
-# tpch(first 15). Rotate per round until every operator has a driver row.
+# first N registry entries). Rounds 1-4 attested 200/321 (see
+# CORRECTNESS_r*.json; _driver_checked_names sorts those to the back).
+# Round-5 window: all 22 tpch + all 20 io_ops (the reference's core workload
+# shape and its entire §2.1 scan/sink surface — the most user-visible
+# unattested code), then the events.py core fills the remaining ~8 slots.
+# Round-6 plan (ROUND5_NOTES.md): remaining events + aggregates sketches +
+# functions/udf + streaming_live parity twins.
 _MODULES = [
-    "llmops",
-    "events",
     "tpch",
     "io_ops",
+    "events",
+    "aggregates",
+    "functions",
+    "llmops",
     "dedup",
     "similarity",
     "text",
     "curation",
     "multimodal",
     "setops",
-    "functions",
     "windows",
     "relational",
-    "aggregates",
     "streaming_live",  # the only no-oracle entries (rows-only driver check)
 ]
 

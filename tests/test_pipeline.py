@@ -718,3 +718,82 @@ def test_read_merges_evolving_schema(tmp_path, spark):
     assert set(df.columns) == {"id", "a", "b"}
     assert df.count() == 10
     assert df.filter("b IS NULL").count() == 5
+
+
+def test_cli_module_entry_runs_job(tmp_path):
+    """`python -m glue_etl_framework_spark --pipeline ... --config-file ...`
+    is the spark-submit analogue of the reference's argv entry point
+    (glue_etl_framework.py:361-438: getResolvedOptions JOB_NAME/pipeline/
+    config_file/variables). One real subprocess: fresh JVM, writes the
+    output table, exit code 0, output readable and correct."""
+    import subprocess
+    import sys
+
+    cfg = write_config(tmp_path)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "glue_etl_framework_spark",
+            "--pipeline",
+            "demo",
+            "--config_file",  # Glue's spelling; --config-file also accepted
+            str(cfg),
+            "--variables",
+            '{"sf": "sf0.001"}',
+            "--JOB_NAME",
+            "cli-e2e",
+            "--master",
+            "local[2]",
+            "--conf",
+            "spark.driver.memory=2g",
+            "--conf",
+            "spark.sql.shuffle.partitions=4",
+        ],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    # read back with pandas/pyarrow — no need for a second JVM
+    import pandas as pd
+
+    out = pd.read_parquet(f"{tmp_path}/out")
+    assert len(out) == 5
+    assert set(out.columns) >= {"revenue_cents", "n"}
+    parts = [d for d in os.listdir(f"{tmp_path}/out") if d.startswith("r_name=")]
+    assert len(parts) == 5
+
+
+def test_cli_bad_usage_fails_fast(tmp_path):
+    """Arg validation errors exit non-zero with a message on stderr and
+    never start a JVM (mirrors the reference's sys.exit(message) paths)."""
+    import subprocess
+    import sys
+
+    base = [sys.executable, "-m", "glue_etl_framework_spark"]
+    # missing required args -> argparse exit 2
+    proc = subprocess.run(base, cwd="/root/repo", capture_output=True, text=True, timeout=60)
+    assert proc.returncode == 2
+    # malformed --variables -> our exit 1, before any Spark work
+    proc = subprocess.run(
+        base
+        + ["--pipeline", "p", "--config-file", "x.yaml", "--variables", "not-kv"],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert proc.returncode == 1
+    assert "ERROR" in proc.stderr
+    # s3:// config (reference surface, unreachable locally) -> clear error
+    proc = subprocess.run(
+        base + ["--pipeline", "p", "--config-file", "s3://bucket/cfg.yaml"],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert proc.returncode == 1
+    assert "scheme" in proc.stderr
