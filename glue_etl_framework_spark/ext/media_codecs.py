@@ -178,6 +178,10 @@ def decode_wav(blob: bytes) -> dict:
     while pos + 8 <= end:
         cid = blob[pos : pos + 4]
         (size,) = struct.unpack_from("<I", blob, pos + 4)
+        if pos + 8 + size > end:
+            # reject loudly (module contract, like decode_bmp on truncated
+            # pixel data): a silent slice would decode fewer samples
+            raise ValueError("wav: truncated chunk")
         body = blob[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = body

@@ -433,9 +433,11 @@ def udf_pandas_grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> Dat
     @pandas_udf("double", functionType=PandasUDFType.GROUPED_AGG)
     def trimmed_mean(v):
         # Groups with <=2 rows have no interior values to average: return
-        # None (NULL), mirrored by NULLIF(COUNT(*) - 2, 0) in the oracle.
-        # Without the guard a 2-row group is a ZeroDivisionError task
-        # failure and a 1-row group a negative denominator.
+        # None (NULL), mirrored by CASE WHEN COUNT(*) <= 2 THEN NULL in
+        # the oracle (NULLIF(COUNT(*) - 2, 0) alone would miss the 1-row
+        # group, whose denominator is -1, not 0). Without the guard a
+        # 2-row group is a ZeroDivisionError task failure and a 1-row
+        # group a negative denominator.
         if len(v) <= 2:
             return None
         return float(v.sum() - v.min() - v.max()) / (len(v) - 2)

@@ -1058,9 +1058,11 @@ def join_salted_skew_mitigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE's skew handling cannot fix (AQE splits skewed SORT-MERGE
     partitions, but a hot key inside ONE partition of a hash join, or a
     skewed aggregation feeding the join, still lands on one task): the
-    FACT side appends a deterministic salt in [0, S) (here
-    l_linenumber % S — any well-mixed per-row value works; never rand(),
-    which breaks retry determinism), the BUILD side is replicated S ways
+    FACT side appends a deterministic salt in [0, S) (pmod of a hash of
+    the row's identifying columns so every salt value is actually hit —
+    l_linenumber % S would leave bucket 0 empty since l_linenumber is
+    1..7; never rand(), which breaks retry determinism), the BUILD side
+    is replicated S ways
     with explode(sequence(...)), and the join key becomes (key, salt) —
     the hot key's rows now spread across S tasks at the cost of an S-fold
     replication of the build side. The oracle is the PLAIN join with no
@@ -1076,7 +1078,9 @@ def join_salted_skew_mitigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
     )
-    fact = li.withColumn("salt", (F.col("l_linenumber") % SKEW_SALT).cast("int"))
+    fact = li.withColumn(
+        "salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(SKEW_SALT)).cast("int")
+    )
     build = o.select(
         "o_orderkey",
         "o_orderpriority",

@@ -300,8 +300,10 @@ def streaming_live_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB oracle that recomputes what the drain MUST contain from the raw
 # events — including the append-mode watermark horizon, replicated as
 # `window_end <= max(ts) - watermark_delay` (emission rule pinned
-# empirically; no fixture places a window end exactly ON the watermark, so
-# the <=/< boundary is unexercised — documented, not hidden). A driver
+# empirically; the <=/< boundary itself is pinned by
+# tests/test_streaming.py::test_append_emission_rule_at_exact_hour_boundary,
+# which places a window end exactly ON the watermark and observes the
+# inclusive emission). A driver
 # hash match on these entries certifies the STREAMING execution (state
 # store, watermark, sink) end to end, not just the batch twins.
 # ---------------------------------------------------------------------------

@@ -174,6 +174,20 @@ def test_wav_rejects_outside_profile():
         encode_wav(8000, [1, 2, 3], n_channels=2)  # odd interleave
 
 
+def test_wav_rejects_truncated_chunk():
+    """A data chunk whose declared size exceeds the remaining bytes must
+    raise, not silently decode fewer samples ('reject loudly', matching
+    decode_bmp on truncated pixel data)."""
+    blob = encode_wav(8000, [1, 2, 3, 4])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(blob[:-2])  # chop the last sample's low byte + high byte
+    # declared size inflated past EOF, body intact
+    tampered = bytearray(blob)
+    struct.pack_into("<I", tampered, 40, 1000)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(bytes(tampered))
+
+
 # ---------------------------------------------------------------------------
 # Decoder dispatch in ext/multimodal
 # ---------------------------------------------------------------------------

@@ -528,3 +528,39 @@ def test_stateful_fold_twins_agree():
     got = list(fold((7,), iter([pdf.copy()]), s2))[0]
     pd.testing.assert_frame_equal(ref, got)
     assert s1._v == s2._v
+
+
+def test_append_emission_rule_at_exact_hour_boundary(tmp_path, spark):
+    """Pin Spark's append-mode emission rule when the final watermark lands
+    EXACTLY on a window end (ADVICE r04: the *_parity oracles replicate the
+    horizon as `window_end <= max(ts) - delay` but no fixture exercises the
+    <=/< boundary). Synthetic stream: events at 00:30/01:30/02:30 and a
+    final event exactly at 04:00:00 -> watermark (1h delay) is exactly
+    03:00:00, so the [02:00,03:00) window's end sits ON the watermark.
+    This test asserts the inclusive rule the oracles assume: that window
+    IS emitted. If a Spark upgrade ever flips it to strict `<`, this
+    fails and the streaming_live parity oracles must change with it."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 30), 1, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 1, 30), 1, "click", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 2, 30), 1, "click", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 4, 0), 1, "click", 1.0, "{}"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).write.parquet(src)
+    stream = ST.read_file_stream(spark, src, EVENTS_SCHEMA)
+    result = _run_stream_to_memory(
+        spark, ST.stream_window_agg(stream, "1 hour", keys=["event_type"]), "wm_boundary"
+    )
+    got = sorted(r.window_start for r in result.collect())
+    want = [
+        dt.datetime(2024, 1, 1, 0, 0),
+        dt.datetime(2024, 1, 1, 1, 0),
+        dt.datetime(2024, 1, 1, 2, 0),  # end == watermark: emitted (<= rule)
+    ]
+    assert got == want, (
+        f"append emission at exact watermark boundary changed: got {got}; "
+        "the streaming_live *_parity oracles pin window_end <= max(ts) - delay"
+    )
