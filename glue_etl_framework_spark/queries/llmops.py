@@ -735,6 +735,12 @@ def _pq_frames(spark: SparkSession, sf_dir: str):
     csub = cent.select("cidx", "cq", ms).select(
         "cidx", "m", F.expr(f"slice(cq, m*{PQ_SUBDIM}+1, {PQ_SUBDIM})").alias("cs")
     )
+    # the codebook derivation is a full-corpus sort-limit; without pinning,
+    # each broadcast consumer (assign's scored join AND the ADC LUT) re-runs
+    # that subtree — r5 plan audit measured 2x TakeOrderedAndProject and 4
+    # corpus scans. localCheckpoint makes the M x K-row codebook provably
+    # one job (the bloom/link-prediction discipline).
+    csub = csub.localCheckpoint(eager=True)
     dist = F.aggregate(
         F.zip_with(F.col("sq"), F.col("cs"), lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),

@@ -70,6 +70,10 @@ def coarse_cells(v: DataFrame, cell_col: str = "cid"):
     ties to the lowest cell id, matching _kmeans_assign_sql exactly.
     Returns (cent, scored, assign); ``scored`` is exposed for callers
     that also need per-query probe lists (row_number over it)."""
+    # the centroid sample is a full-corpus TakeOrdered; pin it with
+    # localCheckpoint so multi-consumer callers (ivf_pq_topk probes +
+    # cell assignment) build it once instead of once per broadcast
+    # (r5 plan audit: 2x TakeOrderedAndProject without this)
     cent = F.broadcast(
         v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(N_CENTROIDS)
@@ -78,6 +82,7 @@ def coarse_cells(v: DataFrame, cell_col: str = "cid"):
             F.col("q").alias("cq"),
             F.col("nq").alias("cnq"),
         )
+        .localCheckpoint(eager=True)
     )
     cos_to_cent = _dot(F.col("q"), F.col("cq")) / (
         F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("cnq").cast("double"))

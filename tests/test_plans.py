@@ -472,10 +472,8 @@ _GLOBAL_WINDOW_OK = {
     "sample_temperature_rebalance": "sum over per-language counts (#langs rows)",
     "curation_token_budget_mix": "sum over per-source weights (#sources rows)",
     "text_source_drift_kl": "global total over per-source counts (#sources rows)",
-    "similarity_pq_encode": "codebook index (fixed K x M rows)",
-    "similarity_pq_adc_topk": "codebook index (fixed K x M rows)",
-    "similarity_ivf_pq_topk": "codebook index (fixed K x M rows)",
-    "similarity_ivfpq_recall": "codebook index (fixed K x M rows)",
+    # (the PQ codebook-index windows moved inside an eager localCheckpoint
+    # in r5 — still bounded K x M rows, now invisible to this plan audit)
     "pipeline_corpus_health_report": "per-language counts (bounded by the language-code vocabulary)",
     "text_zipf_slope": "rank over TakeOrdered top-R tokens (fixed R)",
     "events_cumulative_uniques": "running sum over calendar days (time-bounded)",
@@ -483,7 +481,8 @@ _GLOBAL_WINDOW_OK = {
     "window_pct_change": "lag over daily aggregate (time-bounded)",
     "events_user_gini": "cumulative over <=63 log2 histogram bins",
     "agg_exact_median_twopass": "cumulative over <=4096 histogram bins + one bin's distinct values",
-    "orders_survival_km_repeat_purchase": "KM curve over per-duration table (time-bounded, days)",
+    # (orders_survival_km_repeat_purchase's global cumsum became an exact
+    # integer fold in r5 — no Window in its plan anymore)
     "quality_ks_binned_drift": "cumulative over <=64 log2 value bins",
     "part_pareto_skyline": "level-2 skyline over union of 32 local skylines",
     # SURVEY §2.5 operator demos whose SEMANTICS are a global frame (the
