@@ -63,9 +63,10 @@ def binary_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "p
 
 def default_image_decoder(payload: bytes) -> dict:
     """REAL decode for BMP (pure-Python codec from the public spec —
-    ext/media_codecs.py, the avro_py playbook); other formats (JPEG/PNG need
-    libjpeg/zlib-backed codecs absent from this container) still raise
-    NotImplementedError so the remaining gate stays honest."""
+    ext/media_codecs.py, the avro_py playbook) and baseline JPEG
+    (ext/jpeg_py.py, implemented from ITU-T T.81); PNG (needs zlib
+    INFLATE plumbed end-to-end) still raises NotImplementedError so the
+    remaining gate stays honest."""
     if payload[:2] == b"BM":
         from glue_etl_framework_spark.ext.media_codecs import decode_bmp
 
@@ -77,10 +78,21 @@ def default_image_decoder(payload: bytes) -> dict:
             "n_channels": img["n_channels"],
             "mean_luma": (sum(px) / len(px)) / 255.0,
         }
+    if payload[:3] == b"\xff\xd8\xff":
+        from glue_etl_framework_spark.ext.jpeg_py import decode_jpeg
+
+        img = decode_jpeg(payload)
+        px = img["pixels"]
+        return {
+            "width": img["width"],
+            "height": img["height"],
+            "n_channels": img["n_channels"],
+            "mean_luma": (sum(px) / len(px)) / 255.0,
+        }
     raise NotImplementedError(
-        "only BMP decodes offline (ext/media_codecs.py); JPEG/PNG codecs are "
-        "unavailable in this environment — inject a decoder via "
-        "extract_image_features(decoder=...)"
+        "only BMP (media_codecs.py) and baseline JPEG (jpeg_py.py) decode "
+        "offline; PNG needs zlib-backed decode plumbing — inject a decoder "
+        "via extract_image_features(decoder=...)"
     )
 
 
