@@ -976,7 +976,16 @@ def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glue_etl_framework_spark.ext.jpeg_py import ensure_shipped
 
     ensure_shipped(spark)
-    d = t(spark, sf_dir, "documents").select("doc_id")
+    # the kernel is the most Python-expensive decode entry (~2.4ms/doc:
+    # Huffman bit loops + 12 DCT blocks), and the fixture is one parquet
+    # file -> one input split; repartition so the work rides every core.
+    # The round-robin shuffle moves only doc_id (8 bytes/row) — at any
+    # scale that is noise next to the kernel cost it parallelizes.
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def kernel(batches):
         import hashlib
