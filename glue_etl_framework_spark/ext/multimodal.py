@@ -63,10 +63,10 @@ def binary_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "p
 
 def default_image_decoder(payload: bytes) -> dict:
     """REAL decode for BMP (pure-Python codec from the public spec —
-    ext/media_codecs.py, the avro_py playbook) and baseline JPEG
-    (ext/jpeg_py.py, implemented from ITU-T T.81); PNG (needs zlib
-    INFLATE plumbed end-to-end) still raises NotImplementedError so the
-    remaining gate stays honest."""
+    ext/media_codecs.py, the avro_py playbook), baseline JPEG
+    (ext/jpeg_py.py, ITU-T T.81) and PNG (ext/png_py.py, RFC 2083 over
+    stdlib zlib). Anything else raises NotImplementedError: a decode
+    gate should fail honest, never guess."""
     if payload[:2] == b"BM":
         from glue_etl_framework_spark.ext.media_codecs import decode_bmp
 
@@ -89,10 +89,21 @@ def default_image_decoder(payload: bytes) -> dict:
             "n_channels": img["n_channels"],
             "mean_luma": (sum(px) / len(px)) / 255.0,
         }
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from glue_etl_framework_spark.ext.png_py import decode_png
+
+        img = decode_png(payload)
+        px = img["pixels"]
+        return {
+            "width": img["width"],
+            "height": img["height"],
+            "n_channels": img["n_channels"],
+            "mean_luma": (sum(px) / len(px)) / 255.0,
+        }
     raise NotImplementedError(
-        "only BMP (media_codecs.py) and baseline JPEG (jpeg_py.py) decode "
-        "offline; PNG needs zlib-backed decode plumbing — inject a decoder "
-        "via extract_image_features(decoder=...)"
+        "unrecognized image container: BMP (media_codecs.py), baseline "
+        "JPEG (jpeg_py.py) and PNG (png_py.py) decode offline — inject a "
+        "decoder via extract_image_features(decoder=...) for other formats"
     )
 
 

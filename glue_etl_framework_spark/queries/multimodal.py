@@ -1065,3 +1065,95 @@ def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_out bigint, g_out bigint, b_out bigint, pixel_sum bigint"
         ),
     )
+
+
+def _png_decode_oracle() -> str:
+    b = [_md5_byte_sql("hx", j) for j in range(16)]
+    s16 = " + ".join(b)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, hx,
+             CAST(4 * (1 + ({b[1]} % 3)) AS INT) AS w,
+             CAST(2 + ({b[0]} % 7) AS INT) AS h
+      FROM d
+    )
+    SELECT doc_id, w AS width, h AS height, CAST(4 AS INT) AS n_channels,
+           CAST(w * h * 4 AS BIGINT) AS n_bytes,
+           CAST((w * h * 4 // 16) * ({s16}) AS BIGINT) AS pixel_sum
+    FROM dims
+    """
+
+
+@register(
+    "multimodal_png_decode_stats",
+    oracle=_png_decode_oracle(),
+    category="multimodal",
+)
+def multimodal_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG round trip through the offline gate — the r4 "needs zlib"
+    NotImplementedError is closed by ext/png_py.py (RFC 2083 over the
+    stdlib zlib that ships with CPython): per document an RGBA image
+    (w = 4*(1 + digest[1]%3) so the pixel buffer is a whole number of
+    digest cycles, h = 2 + digest[0]%7, pixel bytes = the 16-byte digest
+    cycled) is ENCODED to a conforming chunk stream (IHDR/IDAT/IEND,
+    CRC-32) and DECODED back inside one mapInPandas kernel. PNG is
+    lossless, so this entry gets the BMP-strength oracle: the kernel
+    asserts decode(encode(x)) == x byte-exactly and reports sums OF THE
+    DECODED PIXELS, which the oracle recomputes arithmetically from the
+    md5 hex — a driver hash match certifies INFLATE, unfiltering, chunk
+    walking and the encoder layout, not just plumbing. (Compressed blob
+    size is deliberately NOT reported: zlib output bytes are
+    library-version-dependent.) Filter-type reconstruction (Sub/Up/
+    Average/Paeth) is pinned by hand-filtered streams in
+    tests/test_png_py.py. Same no-shuffle Arrow-batched scale shape as
+    the other decode entries."""
+    from glue_etl_framework_spark.ext.png_py import ensure_shipped
+
+    ensure_shipped(spark)
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import hashlib
+
+        import pandas as _pd
+
+        try:
+            from glue_etl_framework_spark.ext.png_py import decode_png, encode_png
+        except ImportError:  # executor worker: flat module shipped via addPyFile
+            from png_py import decode_png, encode_png
+
+        for batch in batches:
+            rows = []
+            for raw_id in batch["doc_id"]:
+                doc_id = int(raw_id)
+                dig = hashlib.md5(str(doc_id).encode()).digest()
+                w = 4 * (1 + dig[1] % 3)
+                h = 2 + dig[0] % 7
+                npix = w * h * 4
+                px = (dig * (npix // 16))[:npix]
+                blob = encode_png(w, h, px, n_channels=4)
+                img = decode_png(blob)
+                assert img["pixels"] == px, "png round-trip mismatch"
+                p2 = img["pixels"]
+                rows.append(
+                    (doc_id, img["width"], img["height"], img["n_channels"],
+                     len(p2), sum(p2))
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_channels",
+                    "n_bytes", "pixel_sum",
+                ],
+            )
+
+    return d.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id bigint, width int, height int, n_channels int, "
+            "n_bytes bigint, pixel_sum bigint"
+        ),
+    )
