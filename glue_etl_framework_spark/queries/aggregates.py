@@ -850,8 +850,20 @@ def agg_kmv_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.md5("shingle").alias("h"))
         .distinct()
     )
-    ka = sh.filter(F.col("source") == "src0").select("h").orderBy("h").limit(KMV_K)
-    kb = sh.filter(F.col("source") == "src1").select("h").orderBy("h").limit(KMV_K)
+    # pin each sketch (k hashes — bytes at ANY corpus size): without the
+    # checkpoint, ku and the stats joins replay the corpus-wide shingle
+    # distinct once per consumer (r5 plan audit: 5 TakeOrderedAndProject,
+    # 7 corpus scans in one plan). The exact/intersect branch below still
+    # scans the corpus by design — it is the test-scale error probe; at
+    # 100 TB only these pinned sketches ship.
+    ka = (
+        sh.filter(F.col("source") == "src0").select("h").orderBy("h").limit(KMV_K)
+        .localCheckpoint(eager=True)
+    )
+    kb = (
+        sh.filter(F.col("source") == "src1").select("h").orderBy("h").limit(KMV_K)
+        .localCheckpoint(eager=True)
+    )
     ku = ka.union(kb).distinct().orderBy("h").limit(KMV_K)
     stats = (
         ku.join(ka.withColumnRenamed("h", "ha"), ku.h == F.col("ha"), "left")

@@ -1132,7 +1132,18 @@ def curation_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("vec_id")
             .agg(F.min("dd").alias("mind"))
         )
-        nxt = mind.orderBy(F.col("mind").desc(), F.col("vec_id").asc()).limit(1)
+        # pin each round's 1-row argmax (the connected-components
+        # per-round discipline): without this, round i's lineage embeds
+        # every earlier round's TakeOrdered and the final union replays
+        # the whole greedy trajectory per selected point (the r5 plan
+        # audit measured 15 TakeOrderedAndProject / 19 corpus scans in
+        # ONE plan). After: one mind pass + one lookup pass per round at
+        # build time, and the final plan unions K one-row RDDs.
+        nxt = (
+            mind.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
         sel.append(
             nxt.select(
                 F.lit(i).cast("int").alias("sel_order"),
@@ -1144,7 +1155,7 @@ def curation_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             nxt.join(pts, "vec_id").select(
                 F.col("vec_id").alias("cid"), F.col("q").alias("cq")
             )
-        )
+        ).localCheckpoint(eager=True)
     out = sel[0]
     for s in sel[1:]:
         out = out.unionByName(s)
