@@ -11,9 +11,10 @@ Formats implemented:
   BGR rows padded to 4-byte boundaries. The uncompressed 24-bit profile is
   the format's lowest common denominator: every image tool can read the
   files these functions write (cross-checked by header-field tests).
-- **WAV**: RIFF/WAVE with a 16-byte PCM ``fmt `` chunk and a ``data``
-  chunk of little-endian signed 16-bit samples — the canonical PCM
-  profile.
+- **WAV**: RIFF/WAVE with a 16-byte ``fmt `` chunk and a ``data`` chunk:
+  PCM signed 16-bit (format 1) and G.711 mu-law (format 7, decoded to
+  linear 16-bit through the canonical CCITT expansion — pure integer
+  arithmetic, SQL-replicable).
 
 Both are byte-exact round-trip codecs (decode(encode(x)) == x, property-
 tested in tests/test_media_codecs.py). They intentionally reject
@@ -193,10 +194,69 @@ def decode_wav(blob: bytes) -> dict:
     audio_format, n_channels, sample_rate, _brate, _balign, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
-    if audio_format != 1 or bits != 16:
+    if audio_format == 1 and bits == 16:
+        n = len(data) // 2
+        samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    elif audio_format == 7 and bits == 8:  # G.711 mu-law
+        samples = [mulaw_decode_byte(b) for b in data]
+    else:
         raise ValueError(
-            f"wav: only PCM 16-bit supported (format={audio_format}, bits={bits})"
+            f"wav: only PCM 16-bit and mu-law 8-bit supported "
+            f"(format={audio_format}, bits={bits})"
         )
-    n = len(data) // 2
-    samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
     return {"sample_rate": sample_rate, "n_channels": n_channels, "samples": samples}
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law (WAV audio format 7) — ITU-T G.711 companding
+# ---------------------------------------------------------------------------
+
+_MULAW_BIAS = 0x84
+_MULAW_MAX = 32635
+
+
+def mulaw_decode_byte(b: int) -> int:
+    """Expand one G.711 mu-law byte to a linear signed 16-bit sample (the
+    canonical CCITT/Sun algorithm; pure integer arithmetic, so the decode
+    table is exactly replicable in SQL — the mu-law decode-stats oracle
+    relies on this)."""
+    if not 0 <= b <= 255:
+        raise ValueError("mulaw: byte out of range")
+    c = ~b & 0xFF
+    t = (((c & 0x0F) << 3) + _MULAW_BIAS) << ((c >> 4) & 0x07)
+    return _MULAW_BIAS - t if c & 0x80 else t - _MULAW_BIAS
+
+
+def mulaw_encode_sample(sample: int) -> int:
+    """Compress one linear signed 16-bit sample to a G.711 mu-law byte."""
+    if not -32768 <= sample <= 32767:
+        raise ValueError("mulaw: sample out of range")
+    sign = 0x80 if sample < 0 else 0
+    mag = min(-sample if sample < 0 else sample, _MULAW_MAX) + _MULAW_BIAS
+    exp = 7
+    mask = 0x4000
+    while exp > 0 and not mag & mask:
+        mask >>= 1
+        exp -= 1
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def encode_wav_mulaw(sample_rate: int, samples: list[int], n_channels: int = 1) -> bytes:
+    """Encode linear 16-bit samples as a G.711 mu-law WAV (format code 7,
+    8 bits per stored sample)."""
+    if sample_rate <= 0 or n_channels <= 0:
+        raise ValueError("wav: sample_rate and n_channels must be positive")
+    if len(samples) % n_channels:
+        raise ValueError("wav: sample count not divisible by channel count")
+    data = bytes(mulaw_encode_sample(s) for s in samples)
+    block_align = n_channels
+    fmt = struct.pack(
+        "<HHIIHH", 7, n_channels, sample_rate, sample_rate * block_align, block_align, 8
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -1157,3 +1157,100 @@ def multimodal_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bytes bigint, pixel_sum bigint"
         ),
     )
+
+
+def _mulaw_decode_oracle() -> str:
+    b = [_md5_byte_sql("hx", j) for j in range(16)]
+    # exact SQL replica of the G.711 expansion (pure integer bit math):
+    # c = 255-B; t = ((c%16)*8 + 132) << ((c//16)%8);
+    # sample = 132-t if c >= 128 else t-132
+    def dec(expr: str) -> str:
+        c = f"(255 - {expr})"
+        t = f"((({c} % 16) * 8 + 132) << (({c} // 16) % 8))"
+        return f"(CASE WHEN {c} >= 128 THEN 132 - {t} ELSE {t} - 132 END)"
+
+    samples = [dec(x) for x in b]
+    ssum = " + ".join(samples)
+    speak = "GREATEST(" + ", ".join(f"abs({s})" for s in samples) + ")"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+    ),
+    reps AS (
+      SELECT doc_id, hx, CAST(1 + ({b[0]} % 4) AS INT) AS r FROM d
+    )
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(16 * r AS BIGINT) AS n_samples,
+           CAST(r * ({ssum}) AS BIGINT) AS sample_sum,
+           CAST({speak} AS BIGINT) AS peak
+    FROM reps
+    """
+
+
+@register(
+    "multimodal_mulaw_decode_stats",
+    oracle=_mulaw_decode_oracle(),
+    category="multimodal",
+)
+def multimodal_mulaw_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 mu-law audio decode through the offline gate: per
+    document a mu-law WAV container (format code 7, 8-bit stored samples
+    = the md5 digest repeated 1 + digest[0]%4 times) is constructed and
+    DECODED by the RIFF walker + the canonical CCITT expansion
+    (ext/media_codecs.py). The expansion is pure integer bit arithmetic,
+    so the oracle recomputes every decoded sample exactly from the md5
+    hex with shifts — full BMP-strength certification of the companding
+    table, the format-7 fmt parsing, and the chunk walk (telephony-style
+    8 kHz narrowband is the classic speech-corpus encoding, so this is
+    the audio twin of the PNG entry's lossless guarantee). Same
+    no-shuffle Arrow-batched scale shape as the other decode entries."""
+    from glue_etl_framework_spark.ext.media_codecs import ensure_shipped
+
+    ensure_shipped(spark)
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import hashlib
+        import struct as _struct
+
+        import pandas as _pd
+
+        try:
+            from glue_etl_framework_spark.ext.media_codecs import decode_wav
+        except ImportError:  # executor worker: flat module shipped via addPyFile
+            from media_codecs import decode_wav
+
+        def container(data: bytes) -> bytes:
+            fmt = _struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+            body = (
+                b"WAVE"
+                + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                + b"data" + _struct.pack("<I", len(data)) + data
+            )
+            return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+        for batch in batches:
+            rows = []
+            for raw_id in batch["doc_id"]:
+                doc_id = int(raw_id)
+                dig = hashlib.md5(str(doc_id).encode()).digest()
+                reps = 1 + dig[0] % 4
+                wav = decode_wav(container(dig * reps))
+                s = wav["samples"]
+                rows.append(
+                    (doc_id, wav["sample_rate"], len(s), sum(s),
+                     max(abs(v) for v in s))
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_samples", "sample_sum", "peak"],
+            )
+
+    return d.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id bigint, sample_rate int, n_samples bigint, "
+            "sample_sum bigint, peak bigint"
+        ),
+    )

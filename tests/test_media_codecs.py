@@ -216,7 +216,75 @@ def test_default_decoders_still_gate_unknown_formats():
         default_image_decoder,
     )
 
-    with pytest.raises(NotImplementedError):
+    # PNG now has a real decoder: malformed PNG bytes are a decode ERROR
+    # (ValueError), not an unimplemented format
+    with pytest.raises(ValueError):
         default_image_decoder(b"\x89PNG\r\n\x1a\n garbage")
     with pytest.raises(NotImplementedError):
+        default_image_decoder(b"GIF89a garbage")
+    with pytest.raises(NotImplementedError):
         default_audio_decoder(b"ID3\x03 mp3 garbage")
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law
+# ---------------------------------------------------------------------------
+
+
+def test_mulaw_canonical_values():
+    from glue_etl_framework_spark.ext.media_codecs import (
+        mulaw_decode_byte,
+        mulaw_encode_sample,
+    )
+
+    # spec anchor points (CCITT G.711 / Sun g711.c)
+    assert mulaw_decode_byte(0xFF) == 0       # +0
+    assert mulaw_decode_byte(0x7F) == 0       # -0
+    assert mulaw_decode_byte(0x00) == -32124  # negative full scale
+    assert mulaw_decode_byte(0x80) == 32124   # positive full scale
+    assert mulaw_encode_sample(0) == 0xFF
+    assert mulaw_encode_sample(32767) == 0x80
+    assert mulaw_encode_sample(-32768) == 0x00
+
+
+def test_mulaw_decode_monotone_and_symmetric():
+    from glue_etl_framework_spark.ext.media_codecs import mulaw_decode_byte
+
+    pos = [mulaw_decode_byte(b) for b in range(0xFF, 0x7F, -1)]  # FF..80
+    assert pos == sorted(pos)  # increasing magnitude
+    for b in range(128):
+        assert mulaw_decode_byte(b) == -mulaw_decode_byte(b | 0x80)
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=100))
+@settings(max_examples=60, deadline=None)
+def test_mulaw_roundtrip_within_companding_error(samples):
+    from glue_etl_framework_spark.ext.media_codecs import (
+        mulaw_decode_byte,
+        mulaw_encode_sample,
+    )
+
+    for s in samples:
+        rec = mulaw_decode_byte(mulaw_encode_sample(s))
+        # segment quantization step is 2^(exp+3); worst relative error ~3%
+        assert abs(rec - max(-32635, min(32635, s))) <= max(16, abs(s) * 0.04)
+
+
+def test_wav_mulaw_container_roundtrip():
+    from glue_etl_framework_spark.ext.media_codecs import (
+        decode_wav,
+        encode_wav_mulaw,
+        mulaw_decode_byte,
+        mulaw_encode_sample,
+    )
+
+    samples = [0, 100, -100, 5000, -5000, 32767, -32768, 7, -7]
+    blob = encode_wav_mulaw(8000, samples, n_channels=1)
+    # header says format 7, 8 bits
+    fmt, ch, rate, _br, balign, bits = struct.unpack_from("<HHIIHH", blob, 20)
+    assert (fmt, ch, rate, balign, bits) == (7, 1, 8000, 1, 8)
+    out = decode_wav(blob)
+    assert out["sample_rate"] == 8000
+    assert out["samples"] == [
+        mulaw_decode_byte(mulaw_encode_sample(s)) for s in samples
+    ]
