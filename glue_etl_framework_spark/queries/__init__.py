@@ -105,42 +105,65 @@ _MODULES = [
 ]
 
 
-def _driver_checked_names() -> set[str]:
-    """Names already recorded by a past driver CORRECTNESS round.
+def _driver_history() -> tuple[set[str], set[str]]:
+    """(passed, failed) name sets from past driver CORRECTNESS rounds.
 
     The driver's correctness window is the first ~50 entries of ``queries()``
     per round, so rotation is the only way every operator eventually gets a
     driver row. Reading past CORRECTNESS_r*.json makes the rotation
-    self-maintaining: anything already checked sorts to the back.
+    self-maintaining. An entry whose LATEST driver row was red (hash/rows/
+    schema mismatch or an error) counts as FAILED, not checked — it must
+    re-enter the very next window so the fix gets its green row.
     """
     import json
     from pathlib import Path
 
     repo_root = Path(__file__).resolve().parents[2]
-    seen: set[str] = set()
+    latest: dict[str, bool] = {}
     for f in sorted(repo_root.glob("CORRECTNESS_r*.json")):
         try:
             data = json.loads(f.read_text())
         except (OSError, ValueError):
             continue
-        if isinstance(data, dict):
-            seen.update(data.keys())
-    return seen
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                latest[name] = True
+                continue
+            ok = row.get("err") is None and not any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            latest[name] = ok
+    passed = {n for n, ok in latest.items() if ok}
+    failed = {n for n, ok in latest.items() if not ok}
+    return passed, failed
 
 
 def load_registry() -> dict[str, QuerySpec]:
     """Import all query modules (idempotent) and return the registry,
-    ordered so never-driver-checked operators come first (module-priority
-    order, insertion order within a module) — see _driver_checked_names."""
+    ordered for the driver's windowed correctness check: previously-FAILED
+    entries first (their fix needs a green row immediately), then
+    never-checked entries (module-priority order, insertion order within a
+    module), then everything already green — see _driver_history."""
     for mod in _MODULES:
         importlib.import_module(f"glue_etl_framework_spark.queries.{mod}")
-    checked = _driver_checked_names()
+    passed, failed = _driver_history()
     mod_rank = {m: i for i, m in enumerate(_MODULES)}
     order = list(REGISTRY)
+
+    def tier(name: str) -> int:
+        if name in failed:
+            return 0
+        if name in passed:
+            return 2
+        return 1
+
     ranked = sorted(
         range(len(order)),
         key=lambda i: (
-            REGISTRY[order[i]].name in checked,
+            tier(order[i]),
             mod_rank.get(
                 REGISTRY[order[i]].fn.__module__.rsplit(".", 1)[-1], 99
             ),
