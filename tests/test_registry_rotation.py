@@ -1,0 +1,55 @@
+"""Pins the driver-window rotation: the driver records CORRECTNESS for the
+FIRST ~50 entries of ``queries()`` each round, so ``load_registry()``'s
+ordering IS the attestation schedule. These tests run against the repo's
+real CORRECTNESS_r*.json history."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from glue_etl_framework_spark.queries import REGISTRY, _driver_history, load_registry
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def test_failed_rows_outrank_everything():
+    """An entry whose latest driver row was red must re-enter the next
+    window ahead of never-checked entries — a fix that never gets its
+    green row stays red forever."""
+    passed, failed = _driver_history()
+    if not failed:
+        return  # nothing red on record; nothing to order
+    names = list(load_registry())
+    n_failed = len(failed)
+    assert set(names[:n_failed]) == failed, (
+        f"previously-failed entries {sorted(failed)} must occupy the first "
+        f"{n_failed} positions, got {names[:n_failed]}"
+    )
+
+
+def test_never_checked_precede_green():
+    passed, failed = _driver_history()
+    names = list(load_registry())
+    tiers = [0 if n in failed else 2 if n in passed else 1 for n in names]
+    assert tiers == sorted(tiers), "ordering must be failed < never-checked < green"
+
+
+def test_correctness_history_names_still_exist():
+    """Every name the driver ever recorded must still be a registry entry:
+    a rename would silently restart its attestation and strand the old
+    row as an orphan the rotation can never clear."""
+    load_registry()
+    recorded: set[str] = set()
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        data = json.loads(f.read_text())
+        if isinstance(data, dict):
+            recorded.update(data.keys())
+    missing = recorded - set(REGISTRY)
+    assert not missing, f"driver-recorded names no longer in registry: {sorted(missing)}"
+
+
+def test_window_is_deterministic():
+    """Two loads produce the identical order (the driver and our
+    pre-verification sweeps must see the same window)."""
+    assert list(load_registry()) == list(load_registry())
