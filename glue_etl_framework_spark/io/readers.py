@@ -21,7 +21,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-SUPPORTED_FORMATS = {"parquet", "csv", "json", "orc", "avro"}
+SUPPORTED_FORMATS = {"parquet", "csv", "json", "orc", "avro", "xml", "text"}
 
 # Glue format_options name -> Spark reader option name (README.md:45).
 _GLUE_OPTION_ALIASES = {

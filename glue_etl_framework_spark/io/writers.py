@@ -30,7 +30,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-SUPPORTED_FORMATS = {"parquet", "csv", "json", "orc", "avro"}
+SUPPORTED_FORMATS = {"parquet", "csv", "json", "orc", "avro", "xml", "text"}
 
 
 def _strip_scheme(path: str) -> str:

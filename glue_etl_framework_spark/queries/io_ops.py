@@ -1313,3 +1313,101 @@ def io_soft_delete_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     return live.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_live"), F.sum("c_custkey").alias("key_sum")
     )
+
+
+# --- xml format dispatch (native in Spark 4) --------------------------------
+
+_XML_ORACLE = """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+    FROM customer GROUP BY c_mktsegment
+"""
+
+
+@register("io_roundtrip_xml_records", oracle=_XML_ORACLE, category="io")
+def io_roundtrip_xml_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML format dispatch round-trip (spark-xml became a NATIVE Spark 4
+    datasource, so ``format: xml`` needs no extra jar — the sixth file
+    format behind the reference's dispatch surface): customers are
+    written as <row> records under a root tag and read back with an
+    explicit schema; per-segment counts and integer-cent balance sums
+    must survive the text encoding exactly. rowTag rides the same
+    Glue-style format_options passthrough as csv's separator."""
+    from glue_etl_framework_spark.io.readers import read_table
+    from glue_etl_framework_spark.io.writers import write_table
+
+    d, fresh = _workdir("xml", sf_dir)
+    loc = f"{d}/customer_xml"
+    if fresh:
+        c = t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        write_table(
+            c,
+            {
+                "target": "file",
+                "location": loc,
+                "format": "xml",
+                "format_options": {"rowTag": "customer", "rootTag": "customers"},
+                "refresh": "full",
+            },
+        )
+    back = read_table(
+        spark,
+        {
+            "name": "c",
+            "source": "file",
+            "location": loc,
+            "format": "xml",
+            "format_options": {"rowTag": "customer"},
+            "schema": "c_custkey long, c_mktsegment string, c_acctbal double",
+        },
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_cust"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("acctbal_cents"),
+    )
+
+
+# --- text format dispatch ---------------------------------------------------
+
+_TEXT_ORACLE = """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents GROUP BY lang
+"""
+
+
+@register("io_roundtrip_text_lines", oracle=_TEXT_ORACLE, category="io")
+def io_roundtrip_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented ``text`` format dispatch round-trip (the log-file /
+    raw-corpus ingestion shape): one delimited line per document written
+    through the sink, read back as raw ``value`` lines and re-parsed with
+    split(). Per-language line counts and id sums must match the fixture
+    exactly — certifying no line loss, reordering-insensitive."""
+    from glue_etl_framework_spark.io.readers import read_table
+    from glue_etl_framework_spark.io.writers import write_table
+
+    d, fresh = _workdir("textfmt", sf_dir)
+    loc = f"{d}/doc_lines"
+    if fresh:
+        lines = t(spark, sf_dir, "documents").select(
+            F.concat_ws("|", F.col("doc_id").cast("string"), "lang").alias("value")
+        )
+        write_table(
+            lines,
+            {"target": "file", "location": loc, "format": "text", "refresh": "full"},
+        )
+    back = read_table(
+        spark, {"name": "l", "source": "file", "location": loc, "format": "text"}
+    )
+    parsed = back.select(
+        F.split("value", r"\|").getItem(0).cast("long").alias("doc_id"),
+        F.split("value", r"\|").getItem(1).alias("lang"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("doc_id").alias("id_sum"),
+    )
