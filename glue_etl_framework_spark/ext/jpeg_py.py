@@ -592,8 +592,14 @@ def decode_jpeg(blob: bytes) -> dict:
             raise ValueError("jpeg: EOI before SOS")
         elif 0xD0 <= marker <= 0xD7:
             raise ValueError("jpeg: stray RST marker")
-        elif marker == 0x01 or marker == 0xFF:
-            continue  # TEM / fill byte
+        elif marker == 0x01:
+            continue  # TEM (standalone, no length)
+        elif marker == 0xFF:
+            # 0xFF is a FILL byte: a marker may be preceded by any number
+            # of them (B.1.1.2). Consume ONE byte, not two — an odd-length
+            # fill run would otherwise orphan the marker that follows it.
+            pos -= 1
+            continue
         else:  # APPn, COM, and anything else with a length
             pos += need_len(pos)
 

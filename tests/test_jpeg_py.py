@@ -209,3 +209,14 @@ def test_half_up_rounding_is_sql_replicable():
     rec = np.frombuffer(decode_jpeg(blob)["pixels"], np.uint8).reshape(8, 8, 3)
     assert (rec == rec[0, 0]).all()
     assert max(abs(int(rec[0, 0][k]) - v) for k, v in enumerate((rr, gg, bb))) <= 1
+
+
+@pytest.mark.parametrize("n_fill", [1, 2, 3])
+def test_fill_bytes_before_markers_skipped(n_fill):
+    """B.1.1.2: markers may be preceded by any number of 0xFF fill bytes —
+    odd-length runs must not orphan the marker that follows."""
+    blob = encode_jpeg(8, 8, bytes(8 * 8 * 3))
+    i = blob.find(b"\xff\xdb")  # splice fills before the first DQT
+    padded = blob[:i] + b"\xff" * n_fill + blob[i:]
+    out = decode_jpeg(padded)
+    assert (out["width"], out["height"]) == (8, 8)
