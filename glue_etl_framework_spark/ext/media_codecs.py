@@ -199,9 +199,11 @@ def decode_wav(blob: bytes) -> dict:
         samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
     elif audio_format == 7 and bits == 8:  # G.711 mu-law
         samples = [mulaw_decode_byte(b) for b in data]
+    elif audio_format == 6 and bits == 8:  # G.711 A-law
+        samples = [alaw_decode_byte(b) for b in data]
     else:
         raise ValueError(
-            f"wav: only PCM 16-bit and mu-law 8-bit supported "
+            f"wav: only PCM 16-bit and G.711 mu-law/A-law 8-bit supported "
             f"(format={audio_format}, bits={bits})"
         )
     return {"sample_rate": sample_rate, "n_channels": n_channels, "samples": samples}
@@ -253,6 +255,67 @@ def encode_wav_mulaw(sample_rate: int, samples: list[int], n_channels: int = 1) 
     block_align = n_channels
     fmt = struct.pack(
         "<HHIIHH", 7, n_channels, sample_rate, sample_rate * block_align, block_align, 8
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# G.711 A-law (WAV audio format 6) — the E1/European companding twin
+# ---------------------------------------------------------------------------
+
+
+def alaw_decode_byte(b: int) -> int:
+    """Expand one G.711 A-law byte to a linear signed 16-bit sample (the
+    canonical CCITT/Sun algorithm; pure integer arithmetic, SQL-replicable
+    like the mu-law twin)."""
+    if not 0 <= b <= 255:
+        raise ValueError("alaw: byte out of range")
+    c = b ^ 0x55  # even-bit inversion
+    mag = c & 0x7F
+    exp = mag >> 4
+    mant = mag & 0x0F
+    if exp == 0:
+        t = (mant << 4) + 8
+    else:
+        t = ((mant << 4) + 0x108) << (exp - 1)
+    return t if c & 0x80 else -t
+
+
+def alaw_encode_sample(sample: int) -> int:
+    """Compress one linear signed 16-bit sample to a G.711 A-law byte."""
+    if not -32768 <= sample <= 32767:
+        raise ValueError("alaw: sample out of range")
+    sign = 0x80 if sample >= 0 else 0
+    mag = min(sample if sample >= 0 else -sample, 32767)
+    if mag < 256:
+        byte = sign | (mag >> 4)
+    else:
+        exp = 0  # segment above the linear one: exp = floor(log2(mag)) - 8
+        m = mag >> 8
+        while m > 1:
+            m >>= 1
+            exp += 1
+        mant = (mag >> (exp + 4)) & 0x0F
+        byte = sign | ((exp + 1) << 4) | mant
+    return byte ^ 0x55
+
+
+def encode_wav_alaw(sample_rate: int, samples: list[int], n_channels: int = 1) -> bytes:
+    """Encode linear 16-bit samples as a G.711 A-law WAV (format code 6,
+    8 bits per stored sample)."""
+    if sample_rate <= 0 or n_channels <= 0:
+        raise ValueError("wav: sample_rate and n_channels must be positive")
+    if len(samples) % n_channels:
+        raise ValueError("wav: sample count not divisible by channel count")
+    data = bytes(alaw_encode_sample(s) for s in samples)
+    block_align = n_channels
+    fmt = struct.pack(
+        "<HHIIHH", 6, n_channels, sample_rate, sample_rate * block_align, block_align, 8
     )
     body = (
         b"WAVE"

@@ -1254,3 +1254,102 @@ def multimodal_mulaw_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             "sample_sum bigint, peak bigint"
         ),
     )
+
+
+def _alaw_decode_oracle() -> str:
+    b = [_md5_byte_sql("hx", j) for j in range(16)]
+    # exact SQL replica of the G.711 A-law expansion (even-bit inversion,
+    # then segment expansion): c = B xor 0x55; mag = c & 0x7F;
+    # exp = mag >> 4; mant = mag & 0x0F;
+    # t = mant*16+8 if exp == 0 else ((mant*16)+264) << (exp-1);
+    # sample = +t if c & 0x80 else -t
+    def dec(expr: str) -> str:
+        c = f"xor({expr}, 85)"
+        t = (f"(CASE WHEN ({c} % 128) // 16 = 0 "
+             f"THEN ({c} % 16) * 16 + 8 "
+             f"ELSE ((({c} % 16) * 16) + 264) << (({c} % 128) // 16 - 1) END)")
+        return f"(CASE WHEN {c} >= 128 THEN {t} ELSE -{t} END)"
+
+    samples = [dec(x) for x in b]
+    ssum = " + ".join(samples)
+    speak = "GREATEST(" + ", ".join(f"abs({s})" for s in samples) + ")"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+    ),
+    reps AS (
+      SELECT doc_id, hx, CAST(1 + ({b[1]} % 4) AS INT) AS r FROM d
+    )
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(16 * r AS BIGINT) AS n_samples,
+           CAST(r * ({ssum}) AS BIGINT) AS sample_sum,
+           CAST({speak} AS BIGINT) AS peak
+    FROM reps
+    """
+
+
+@register(
+    "multimodal_alaw_decode_stats",
+    oracle=_alaw_decode_oracle(),
+    category="multimodal",
+)
+def multimodal_alaw_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 A-law audio decode through the offline gate — the
+    European/E1 companding twin of multimodal_mulaw_decode_stats (same
+    construction: per document an A-law WAV container, format code 6,
+    stored samples = the md5 digest repeated 1 + digest[1]%4 times, is
+    decoded by the RIFF walker + the canonical even-bit-inverted segment
+    expansion). Pure integer bit math, so the oracle recomputes every
+    decoded sample exactly from the md5 hex — together the two entries
+    pin both G.711 variants' full decode tables through the driver
+    hash. Same no-shuffle Arrow-batched scale shape."""
+    from glue_etl_framework_spark.ext.media_codecs import ensure_shipped
+
+    ensure_shipped(spark)
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import hashlib
+        import struct as _struct
+
+        import pandas as _pd
+
+        try:
+            from glue_etl_framework_spark.ext.media_codecs import decode_wav
+        except ImportError:  # executor worker: flat module shipped via addPyFile
+            from media_codecs import decode_wav
+
+        def container(data: bytes) -> bytes:
+            fmt = _struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
+            body = (
+                b"WAVE"
+                + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                + b"data" + _struct.pack("<I", len(data)) + data
+            )
+            return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+        for batch in batches:
+            rows = []
+            for raw_id in batch["doc_id"]:
+                doc_id = int(raw_id)
+                dig = hashlib.md5(str(doc_id).encode()).digest()
+                reps = 1 + dig[1] % 4
+                wav = decode_wav(container(dig * reps))
+                s = wav["samples"]
+                rows.append(
+                    (doc_id, wav["sample_rate"], len(s), sum(s),
+                     max(abs(v) for v in s))
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_samples", "sample_sum", "peak"],
+            )
+
+    return d.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id bigint, sample_rate int, n_samples bigint, "
+            "sample_sum bigint, peak bigint"
+        ),
+    )

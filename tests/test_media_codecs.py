@@ -288,3 +288,63 @@ def test_wav_mulaw_container_roundtrip():
     assert out["samples"] == [
         mulaw_decode_byte(mulaw_encode_sample(s)) for s in samples
     ]
+
+
+# ---------------------------------------------------------------------------
+# G.711 A-law
+# ---------------------------------------------------------------------------
+
+
+def test_alaw_canonical_values_and_involution():
+    from glue_etl_framework_spark.ext.media_codecs import (
+        alaw_decode_byte,
+        alaw_encode_sample,
+    )
+
+    # spec anchors (CCITT G.711 / Sun g711.c, even bits inverted)
+    assert alaw_decode_byte(0x55) == -8     # smallest negative magnitude
+    assert alaw_decode_byte(0xD5) == 8      # smallest positive magnitude
+    assert alaw_decode_byte(0xAA) == 32256  # positive full scale
+    assert alaw_decode_byte(0x2A) == -32256 # negative full scale
+    # decoded values are segment midpoints: re-encoding returns the byte
+    for b in range(256):
+        assert alaw_encode_sample(alaw_decode_byte(b)) == b
+
+
+def test_alaw_decode_symmetric():
+    from glue_etl_framework_spark.ext.media_codecs import alaw_decode_byte
+
+    for b in range(128):
+        assert alaw_decode_byte(b) == -alaw_decode_byte(b | 0x80)
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=100))
+@settings(max_examples=60, deadline=None)
+def test_alaw_roundtrip_within_companding_error(samples):
+    from glue_etl_framework_spark.ext.media_codecs import (
+        alaw_decode_byte,
+        alaw_encode_sample,
+    )
+
+    for s in samples:
+        rec = alaw_decode_byte(alaw_encode_sample(s))
+        # segment 0 step is 16 (abs error <= 8); higher segments ~6% relative
+        assert abs(rec - max(-32767, min(32767, s))) <= max(8, abs(s) * 0.07)
+
+
+def test_wav_alaw_container_roundtrip():
+    from glue_etl_framework_spark.ext.media_codecs import (
+        alaw_decode_byte,
+        alaw_encode_sample,
+        decode_wav,
+        encode_wav_alaw,
+    )
+
+    samples = [0, 100, -100, 5000, -5000, 32767, -32768, 7, -7]
+    blob = encode_wav_alaw(8000, samples)
+    fmt, ch, rate, _br, balign, bits = struct.unpack_from("<HHIIHH", blob, 20)
+    assert (fmt, ch, rate, balign, bits) == (6, 1, 8000, 1, 8)
+    out = decode_wav(blob)
+    assert out["samples"] == [
+        alaw_decode_byte(alaw_encode_sample(s)) for s in samples
+    ]
