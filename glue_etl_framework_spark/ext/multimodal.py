@@ -100,10 +100,22 @@ def default_image_decoder(payload: bytes) -> dict:
             "n_channels": img["n_channels"],
             "mean_luma": (sum(px) / len(px)) / 255.0,
         }
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from glue_etl_framework_spark.ext.gif_py import decode_gif
+
+        img = decode_gif(payload)
+        px = img["pixels"]
+        return {
+            "width": img["width"],
+            "height": img["height"],
+            "n_channels": img["n_channels"],
+            "mean_luma": (sum(px) / len(px)) / 255.0,
+        }
     raise NotImplementedError(
         "unrecognized image container: BMP (media_codecs.py), baseline "
-        "JPEG (jpeg_py.py) and PNG (png_py.py) decode offline — inject a "
-        "decoder via extract_image_features(decoder=...) for other formats"
+        "JPEG (jpeg_py.py), PNG (png_py.py) and GIF (gif_py.py) decode "
+        "offline — inject a decoder via extract_image_features(decoder=...) "
+        "for other formats"
     )
 
 

@@ -1353,3 +1353,102 @@ def multimodal_alaw_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_sum bigint, peak bigint"
         ),
     )
+
+
+def _gif_decode_oracle() -> str:
+    b = [_md5_byte_sql("hx", j) for j in range(16)]
+    # palette color k = (dig[k], dig[k+1 mod 16], dig[k+2 mod 16]); pixel
+    # slot j uses index dig[j] % 16; pixels cycle the 16 slots, so the
+    # per-image sum is (w*h/16) * sum over slots of the indexed color sum
+    csums = ", ".join(
+        f"({b[k]} + {b[(k + 1) % 16]} + {b[(k + 2) % 16]})" for k in range(16)
+    )
+    slot_sum = " + ".join(f"cs[1 + ({b[j]} % 16)]" for j in range(16))
+    return f"""
+    WITH d AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+    ),
+    pal AS (
+      SELECT doc_id, hx, [{csums}] AS cs,
+             CAST(1 + ({b[0]} % 6) AS INT) AS h
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(16 AS INT) AS width,
+           h AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(1 AS BIGINT) AS n_frames,
+           CAST(h * ({slot_sum}) AS BIGINT) AS pixel_sum
+    FROM pal
+    """
+
+
+@register(
+    "multimodal_gif_decode_stats",
+    oracle=_gif_decode_oracle(),
+    category="multimodal",
+)
+def multimodal_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF round trip through the offline gate (ext/gif_py.py — full
+    LZW with dictionary resets, written from the public GIF89a spec): per
+    document a 16-color palettized image (palette color k = digest bytes
+    k..k+2 cyclic; pixel j's palette index = digest[j mod 16] % 16; 16 x
+    (1 + digest[0]%6)) is ENCODED to a conforming GIF89a stream and
+    DECODED back inside one mapInPandas kernel. GIF is lossless over
+    palettized content, so this entry gets the BMP/PNG-strength oracle:
+    the kernel asserts decode(encode(x)) == x byte-exactly on the RGB
+    pixels and reports sums OF THE DECODED PIXELS, which the oracle
+    recomputes arithmetically from the md5 hex via list indexing — a
+    driver hash match certifies the LZW coder/decoder pair, the palette
+    mapping, and the sub-block walk. Interlace and dictionary-reset
+    paths are pinned separately in tests/test_gif_py.py. Same no-shuffle
+    Arrow-batched scale shape as the other decode entries."""
+    from glue_etl_framework_spark.ext.gif_py import ensure_shipped
+
+    ensure_shipped(spark)
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import hashlib
+
+        import pandas as _pd
+
+        try:
+            from glue_etl_framework_spark.ext.gif_py import decode_gif, encode_gif
+        except ImportError:  # executor worker: flat module shipped via addPyFile
+            from gif_py import decode_gif, encode_gif
+
+        for batch in batches:
+            rows = []
+            for raw_id in batch["doc_id"]:
+                doc_id = int(raw_id)
+                dig = hashlib.md5(str(doc_id).encode()).digest()
+                pal = [
+                    bytes((dig[k], dig[(k + 1) % 16], dig[(k + 2) % 16]))
+                    for k in range(16)
+                ]
+                w, h = 16, 1 + dig[0] % 6
+                px = b"".join(pal[dig[j % 16] % 16] for j in range(w * h))
+                blob = encode_gif(w, h, px)
+                img = decode_gif(blob)
+                assert img["pixels"] == px, "gif round-trip mismatch"
+                p2 = img["pixels"]
+                rows.append(
+                    (doc_id, img["width"], img["height"], img["n_channels"],
+                     img["n_frames"], sum(p2))
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_channels",
+                    "n_frames", "pixel_sum",
+                ],
+            )
+
+    return d.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id bigint, width int, height int, n_channels int, "
+            "n_frames bigint, pixel_sum bigint"
+        ),
+    )
