@@ -84,6 +84,7 @@ HEADLINE = [
     "multimodal_image_resize_stats",  # decode -> stride-2 resize -> re-encode cycle
     "multimodal_jpeg_decode_stats",   # real baseline-JPEG encode+decode (T.81 kernel)
     "multimodal_png_decode_stats",    # real PNG encode+decode (zlib INFLATE + unfilter)
+    "multimodal_gif_decode_stats",    # real GIF encode+decode (full LZW w/ resets)
     "join_salted_skew_mitigation",    # (key,salt) join with S-way build replication
     # graph_triangle_copurchase is deliberately NOT benched: the wedge
     # join is inherently Theta(sum outdeg^2) — ~25s at sf0.1 on this box —
