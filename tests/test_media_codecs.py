@@ -216,12 +216,14 @@ def test_default_decoders_still_gate_unknown_formats():
         default_image_decoder,
     )
 
-    # PNG now has a real decoder: malformed PNG bytes are a decode ERROR
-    # (ValueError), not an unimplemented format
+    # PNG/GIF now have real decoders: malformed bytes in a RECOGNIZED
+    # container are a decode ERROR (ValueError), not an unimplemented format
     with pytest.raises(ValueError):
         default_image_decoder(b"\x89PNG\r\n\x1a\n garbage")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         default_image_decoder(b"GIF89a garbage")
+    with pytest.raises(NotImplementedError):
+        default_image_decoder(b"II*\x00 tiff garbage")
     with pytest.raises(NotImplementedError):
         default_audio_decoder(b"ID3\x03 mp3 garbage")
 
