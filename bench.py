@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints TWO
+JSON lines: first {"detail_queries": {name: sec}, "sf": ...} (also written
+to BENCH_DETAIL.json), then the FINAL compact summary line
+{"metric": ..., "value": total_sec, "unit": "sec", "sf": ...} — kept short
+because the driver's tail capture is ~2000 chars (r5's combined line
+overflowed it and recorded parsed:null).
 
 Each query is fully materialized through the noop sink (measures scan +
 compute + shuffle, not driver collection). Median of N_RUNS warm runs per
@@ -122,14 +125,26 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Per-query detail goes to its own (earlier) stdout line AND a file:
+    # the driver's tail capture is ~2000 chars, and r5 proved that 57
+    # queries x long names pushes a single combined line past it (the
+    # driver recorded parsed:null). The FINAL line is the compact
+    # machine-readable summary and must stay well under the window.
+    detail = {"detail_queries": timings, "sf": sf_val}
+    Path(__file__).with_name("BENCH_DETAIL.json").write_text(
+        json.dumps(detail, indent=2) + "\n"
+    )
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_seconds",
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "queries_detail_file": "BENCH_DETAIL.json",
             }
         )
     )

@@ -221,7 +221,16 @@ def _read_subblocks(blob: bytes, pos: int) -> tuple[bytes, int]:
 def decode_gif(blob: bytes) -> dict:
     """Decode a GIF; returns ``{"width", "height", "n_channels": 3,
     "pixels", "n_frames"}`` — the FIRST frame's opaque RGB pixels plus
-    the total image-descriptor count (animation length)."""
+    the total image-descriptor count (animation length).
+
+    Contract: only the FIRST frame is LZW-decoded, but the ENTIRE stream
+    must be structurally intact — every later frame's descriptor, color
+    table, and sub-block chain is walked (not decoded) to count
+    ``n_frames``, and any truncation raises ValueError rather than
+    silently under-reporting the frame count. This is deliberate
+    fail-loudly behavior: a corpus GIF whose tail is truncated is a
+    damaged asset, and the pipeline should quarantine it, not emit a
+    plausible-looking partial count."""
     if len(blob) < 13 or blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("gif: bad signature")
     _sw, _sh = struct.unpack_from("<HH", blob, 6)

@@ -654,6 +654,13 @@ def _decode_scan(blob, pos, frame, scan, qtabs, dc_tabs, ac_tabs, dri):
                                 if run != 15:
                                     raise ValueError("jpeg: bad AC symbol")
                                 k += 16  # ZRL
+                                if k > 63:
+                                    # a conforming encoder emits ZRL only when
+                                    # a nonzero coefficient follows, so the
+                                    # next index must still be <= 63; past it
+                                    # the stream is corrupt — fail loudly
+                                    # instead of continuing misaligned
+                                    raise ValueError("jpeg: AC index overflow")
                                 continue
                             k += run
                             if k > 63:

@@ -6197,9 +6197,10 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the vocab frame, but each pass is a SERIAL Spark job with a
     1-row collect — at a real 32k-merge vocabulary that is 32k serial
     jobs, which is NOT a production shape for a declarative engine; this
-    operator is the k=4 algorithm demo. The production path is batched
-    top-m non-conflicting merges per pass (m~64 cuts 32k rounds to
-    ~500) — see text_bpe_learn_merges_batched."""
+    operator is the k=4 algorithm demo and ORACLE ANCHOR ONLY — at any
+    real merge budget use text_bpe_learn_merges_batched, the designated
+    scale path (batched top-m non-conflicting merges per pass; m~64
+    cuts 32k rounds to ~500)."""
     merges, _ = _bpe_rounds(_bpe_repr0(spark, sf_dir), BPE_MERGES)
     return spark.createDataFrame(
         merges, "merge_order int, pair string, merged string, pair_count long"
@@ -6614,7 +6615,12 @@ KM_SCALE = 1_000_000
              (r.s * (k.n_risk - k.n_event)) // k.n_risk
       FROM km1 k JOIN rec r ON k.i = r.i + 1
     )
-    SELECT dur AS dur_days, n_risk, n_event, s AS surv_fp
+    -- CAST back to BIGINT: the window SUM in km1 widens n_risk to HUGEINT
+    -- (and s inherits it through the recursion); the driver's value-hash
+    -- renders HUGEINT as float ("995000.0") vs Spark's BIGINT ("995000"),
+    -- which was the r5 hash-mismatch root cause despite identical values.
+    SELECT dur AS dur_days, CAST(n_risk AS BIGINT) AS n_risk, n_event,
+           CAST(s AS BIGINT) AS surv_fp
     FROM rec WHERE n_event > 0
     """,
     category="events",

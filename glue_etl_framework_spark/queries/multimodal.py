@@ -411,7 +411,8 @@ def multimodal_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blob = encode_bmp(8, h, px)
                 img = decode_bmp(blob)
                 p2 = img["pixels"]
-                assert p2 == px, "bmp round-trip mismatch"
+                if p2 != px:
+                    raise ValueError("bmp round-trip mismatch")
                 rows.append(
                     (
                         doc_id,
@@ -525,7 +526,8 @@ def multimodal_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blob = encode_wav(rate, samples)
                 wav = decode_wav(blob)
                 s = wav["samples"]
-                assert s == samples, "wav round-trip mismatch"
+                if s != samples:
+                    raise ValueError("wav round-trip mismatch")
                 rows.append(
                     (
                         doc_id,
@@ -1033,9 +1035,13 @@ def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     subsample=sub, restart_interval=ri,
                 )
                 img = decode_jpeg(blob)
-                assert (img["width"], img["height"], img["n_channels"]) == (w, h, 3)
+                # explicit raise (not assert): the decoder-correctness contract
+                # must survive python -O / PYTHONOPTIMIZE, which strips asserts
+                if (img["width"], img["height"], img["n_channels"]) != (w, h, 3):
+                    raise ValueError("jpeg: decoded geometry mismatch")
                 px = _np.frombuffer(img["pixels"], _np.uint8).reshape(h, w, 3)
-                assert (px == px[0, 0]).all(), "jpeg: solid image decoded non-uniform"
+                if not (px == px[0, 0]).all():
+                    raise ValueError("jpeg: solid image decoded non-uniform")
                 # scalar DC-path replica (mirrored in the DuckDB oracle)
                 y = 0.299 * r + 0.587 * g + 0.114 * b
                 cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
@@ -1046,9 +1052,10 @@ def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     y2 - 0.344136 * (cb2 - 128.0) - 0.714136 * (cr2 - 128.0) + 0.5)))
                 bb = min(255, max(0, math.floor(y2 + 1.772 * (cb2 - 128.0) + 0.5)))
                 got = tuple(int(v) for v in px[0, 0])
-                assert max(abs(got[k] - v) for k, v in enumerate((rr, gg, bb))) <= 1, (
-                    f"jpeg decode drifted from DC replica: {got} vs {(rr, gg, bb)}"
-                )
+                if max(abs(got[k] - v) for k, v in enumerate((rr, gg, bb))) > 1:
+                    raise ValueError(
+                        f"jpeg decode drifted from DC replica: {got} vs {(rr, gg, bb)}"
+                    )
                 rows.append((doc_id, w, h, 3, rr, gg, bb, (rr + gg + bb) * w * h))
             yield _pd.DataFrame(
                 rows,
@@ -1136,7 +1143,8 @@ def multimodal_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px = (dig * (npix // 16))[:npix]
                 blob = encode_png(w, h, px, n_channels=4)
                 img = decode_png(blob)
-                assert img["pixels"] == px, "png round-trip mismatch"
+                if img["pixels"] != px:
+                    raise ValueError("png round-trip mismatch")
                 p2 = img["pixels"]
                 rows.append(
                     (doc_id, img["width"], img["height"], img["n_channels"],
@@ -1431,7 +1439,8 @@ def multimodal_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px = b"".join(pal[dig[j % 16] % 16] for j in range(w * h))
                 blob = encode_gif(w, h, px)
                 img = decode_gif(blob)
-                assert img["pixels"] == px, "gif round-trip mismatch"
+                if img["pixels"] != px:
+                    raise ValueError("gif round-trip mismatch")
                 p2 = img["pixels"]
                 rows.append(
                     (doc_id, img["width"], img["height"], img["n_channels"],

@@ -49,6 +49,28 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype class used for the driver-faithful strictness check.
+
+    The driver's value-hash renders each cell from the materialized frame,
+    so an int column on one side and a float column on the other hash
+    differently ("995000" vs "995000.0") even when every value is equal —
+    exactly the r5 `orders_survival_km_repeat_purchase` failure (DuckDB
+    HUGEINT -> pandas float64 vs Spark BIGINT -> Int64). Comparing coarse
+    kinds (not exact dtypes) still lets int32 vs int64 pass, which the
+    driver also renders identically.
+    """
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 @dataclass
 class CompareResult:
     name: str
@@ -83,6 +105,17 @@ def compare_query(
         res.mismatches.append(f"row count: spark={len(sdf)} oracle={len(odf)}")
         return res
     s, o = _normalize(sdf), _normalize(odf)
+    for col in s.columns:
+        ks, ko = _dtype_kind(s[col]), _dtype_kind(o[col])
+        if ks != ko:
+            res.ok = False
+            res.exact = False
+            res.mismatches.append(
+                f"{col}: dtype kind mismatch spark={s[col].dtype}({ks}) "
+                f"oracle={o[col].dtype}({ko}) — driver hash renders these differently"
+            )
+    if not res.ok:
+        return res
     for col in s.columns:
         sv, ov = s[col], o[col]
         if pd.api.types.is_float_dtype(sv) and pd.api.types.is_float_dtype(ov):

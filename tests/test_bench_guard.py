@@ -45,6 +45,14 @@ def _latest_bench() -> tuple[str, dict[str, float]] | None:
     data = json.loads(latest.read_text())
     queries = (data.get("parsed") or {}).get("queries") or data.get("queries")
     if not queries:
+        # r6+: bench.py's final line is a compact summary (the combined
+        # line outgrew the driver's tail capture in r5); per-query medians
+        # live in BENCH_DETAIL.json, rewritten by every bench run.
+        detail = REPO / "BENCH_DETAIL.json"
+        if detail.exists():
+            queries = json.loads(detail.read_text()).get("detail_queries")
+            if queries:
+                return f"{latest.name} (+BENCH_DETAIL.json)", queries
         return None
     return latest.name, queries
 

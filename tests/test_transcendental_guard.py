@@ -38,7 +38,7 @@ import pandas as pd
 import pytest
 
 from glue_etl_framework_spark.queries import REGISTRY, load_registry
-from oracle_harness import _normalize, duckdb_connection
+from tests.oracle_harness import _normalize, duckdb_connection
 
 SF_DIR = "/root/testdata/sf0.01"
 EPS = 1e-14
