@@ -169,7 +169,7 @@ except ImportError:  # pragma: no cover - older pyspark
     HAS_TRANSFORM_WITH_STATE = False
 
 
-def user_profile_stream(events: DataFrame) -> DataFrame:
+def user_profile_stream(events: DataFrame, require_runtime_deps: bool = True) -> DataFrame:
     """Per-user running (event count, distinct event types, value cents)
     via transformWithStateInPandas — the Spark 4 arbitrary-stateful API
     (typed state variables, timers, TTL) that supersedes
@@ -178,9 +178,28 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
     Requires a streaming input and the RocksDB state store provider:
     set spark.sql.streaming.stateStore.providerClass to
     ...RocksDBStateStoreProvider on the session before starting the query.
+
+    Also requires google.protobuf at EXECUTION time: the Python worker
+    talks to the JVM state server via proto messages
+    (pyspark.sql.streaming.proto.StateMessage_pb2). Without it the query
+    fails deep inside the worker, so the gate below fails fast instead —
+    an honest capability gate (the MP3-decode pattern): environments
+    lacking protobuf get the legacy applyInPandasWithState fold
+    (running_user_stats), which computes the same per-user profile shape.
+    Pass ``require_runtime_deps=False`` to build the (unrunnable) plan
+    anyway — schema and processor wiring validate at construction time.
     """
     if not HAS_TRANSFORM_WITH_STATE:  # pragma: no cover
         raise NotImplementedError("transformWithState needs pyspark >= 4")
+    if require_runtime_deps:
+        try:
+            from pyspark.sql.streaming.proto import StateMessage_pb2  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "transformWithStateInPandas needs google.protobuf (the state "
+                "server protocol); install protobuf or use running_user_stats "
+                "(applyInPandasWithState) for the same per-user fold"
+            ) from exc
     return (
         events.select("user_id", "event_type", "value")
         .groupBy("user_id")

@@ -477,11 +477,26 @@ def test_transform_with_state_plan_builds(tmp_path, spark, events):
     src = str(tmp_path / "twsp_src")
     events.limit(10).write.parquet(src)
     stream = ST.read_file_stream(spark, src, EVENTS_SCHEMA)
-    out = ST.user_profile_stream(stream)
+    out = ST.user_profile_stream(stream, require_runtime_deps=False)
     assert out.isStreaming
     assert [f.name for f in out.schema.fields] == [
         "user_id", "n_events", "n_event_types", "total_value_cents",
     ]
+
+
+@pytest.mark.skipif(
+    _has_protobuf(), reason="protobuf installed — runtime gate inactive"
+)
+def test_transform_with_state_gate_fails_fast_without_protobuf(tmp_path, spark, events):
+    """Without google.protobuf the transformWithState query would die deep
+    inside the Python worker at drain time; the capability gate must
+    instead raise a clear NotImplementedError at call time, pointing to
+    the applyInPandasWithState fallback (the honest-gate convention)."""
+    src = str(tmp_path / "twsg_src")
+    events.limit(10).write.parquet(src)
+    stream = ST.read_file_stream(spark, src, EVENTS_SCHEMA)
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        ST.user_profile_stream(stream)
 
 
 def test_stateful_fold_twins_agree():
