@@ -168,6 +168,11 @@ class _HuffDecoder:
     """Canonical Huffman decode table: (length -> {code: symbol})."""
 
     def __init__(self, bits: list[int], vals: list[int]):
+        # a truncated DHT segment yields short bits/vals lists; validate
+        # up front so corrupt streams raise ValueError (the module's
+        # fail-loudly contract), not IndexError mid-table-build
+        if len(bits) != 16 or len(vals) != sum(bits):
+            raise ValueError("jpeg: truncated DHT segment")
         self.by_len: list[dict[int, int]] = [dict() for _ in range(17)]
         code = 0
         k = 0
@@ -561,8 +566,14 @@ def decode_jpeg(blob: bytes) -> dict:
             comps = []
             p = pos + 8
             for _ in range(nc):
+                if p + 3 > len(blob):
+                    raise ValueError("jpeg: truncated SOF0 component list")
                 cid, hv, tq = blob[p], blob[p + 1], blob[p + 2]
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                ch, cv = hv >> 4, hv & 0x0F
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    # zero factors would divide-by-zero in the upsample step
+                    raise ValueError("jpeg: bad sampling factors")
+                comps.append((cid, ch, cv, tq))
                 p += 3
             frame = (h, w, comps)
             pos += ln
@@ -578,9 +589,13 @@ def decode_jpeg(blob: bytes) -> dict:
             scan = []
             p = pos + 3
             for _ in range(ns):
+                if p + 2 > len(blob):
+                    raise ValueError("jpeg: truncated SOS component list")
                 cs, tt = blob[p], blob[p + 1]
                 scan.append((cs, tt >> 4, tt & 0x0F))
                 p += 2
+            if p + 3 > len(blob):
+                raise ValueError("jpeg: truncated SOS header")
             ss, se, ahal = blob[p], blob[p + 1], blob[p + 2]
             if (ss, se) != (0, 63) or ahal != 0:
                 raise ValueError("jpeg: non-baseline spectral selection")
