@@ -391,26 +391,39 @@ def delete_by_keys(
     ones). The rewrite cost is the table scan — on a partitioned layout,
     pre-filter ``keys_df`` per partition and rewrite only affected
     partitions (partition pruning makes the anti-join scan skip the rest).
-    The deleted-row count comes from two ``observe`` metrics on the ONE
-    rewrite job (rows scanned minus rows surviving the anti-join) — no
-    separate before/after count jobs re-scanning the table (ADVICE r02).
+    The deleted-row count comes from ONE ``observe`` over the ONE rewrite
+    job — no separate before/after count jobs re-scanning the table
+    (ADVICE r02). Both metrics live in a SINGLE CollectMetrics node placed
+    ABOVE the join: AQE's empty-relation propagation replaces a
+    runtime-empty join subtree wholesale and completes any CollectMetrics
+    *inside* it with a schema-less row that Observation.get cannot decode
+    (hit when the table is already empty — found by the upsert/delete
+    replay property test), while the node above the join survives the
+    rewrite and reports zeros. The anti-join is therefore expressed as
+    LEFT OUTER against the (distinct) key set plus a match-marker filter
+    placed above the metrics — identical join-strategy choices for AQE,
+    and CollectMetrics is an optimizer barrier so the filter cannot be
+    pushed below the counts it must not affect.
     """
     from pyspark.sql import Observation
 
     location = _strip_scheme(location)
-    obs_scanned = Observation()
-    obs_kept = Observation()
-    old = (
-        spark.read.format(fmt)
-        .load(location)
-        .observe(obs_scanned, F.count(F.lit(1)).alias("n"))
-    )
-    key_set = keys_df.select(*keys).distinct()
-    survivors = old.join(key_set, keys, "left_anti").observe(
-        obs_kept, F.count(F.lit(1)).alias("n")
+    obs = Observation()
+    old = spark.read.format(fmt).load(location)
+    key_set = keys_df.select(*keys).distinct().withColumn("__hit", F.lit(1))
+    survivors = (
+        old.join(key_set, keys, "left")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("scanned"),
+            F.count(F.when(F.col("__hit").isNull(), 1)).alias("kept"),
+        )
+        .filter(F.col("__hit").isNull())
+        .drop("__hit")
     )
     staged_write(survivors, {"location": location, "format": fmt})
-    return obs_scanned.get["n"] - obs_kept.get["n"]
+    metrics = obs.get
+    return metrics["scanned"] - metrics["kept"]
 
 
 def scd2_merge(
