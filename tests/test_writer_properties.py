@@ -46,7 +46,12 @@ def test_upsert_delete_replay_matches_dict_model(steps, spark, tmp_path_factory)
             if not os.path.exists(loc):
                 continue
             df = spark.createDataFrame([(k,) for k in payload], "k long")
-            delete_by_keys(spark, loc, df, ["k"])
+            n_deleted = delete_by_keys(spark, loc, df, ["k"])
+            # the returned count must equal the model's removals exactly —
+            # duplicate keys in one batch count once, absent keys zero,
+            # and a delete against an already-empty table returns 0 (the
+            # AQE empty-relation case the single-observe rewrite fixed)
+            assert n_deleted == len({k for k in payload if k in model})
             for k in payload:
                 model.pop(k, None)
     import os
