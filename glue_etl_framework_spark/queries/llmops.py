@@ -6217,7 +6217,8 @@ def _bpe_compression_oracle() -> str:
     # the last CTE — .rstrip(")") would eat nested trailing parens if a
     # future edit to _bpe_oracle ends the last CTE differently.
     head = head.rstrip()
-    assert head.endswith(")"), "last CTE must end with a closing paren"
+    if not head.endswith(")"):  # explicit: must survive python -O
+        raise ValueError("last CTE must end with a closing paren")
     head = head[:-1] + "),"
     return (
         head
