@@ -57,6 +57,19 @@ def _latest_bench() -> tuple[str, dict[str, float]] | None:
     return latest.name, queries
 
 
+# The VM hosting these runs swings 20-40% between sessions (measured r6:
+# the same commit benched 0.91x, 1.28x, and 1.21x of anchor on different
+# days, with Python-kernel queries drifting hardest). A per-query absolute
+# 2x gate false-alarms on host placement, so the gate is COHORT-NORMALIZED:
+# the median ratio across all benched queries estimates box drift (a plan
+# regression is localized; host drift moves everything), each query is
+# gated at MAX_RATIO x that estimate, and a hard backstop fails the round
+# outright if the whole suite drifted past BOX_DRIFT_MAX (either the box
+# is unusable for benching or something regressed globally — both need a
+# human look).
+BOX_DRIFT_MAX = 1.8
+
+
 def test_latest_bench_within_2x_of_frozen_baseline():
     baseline_path = REPO / "BASELINE_BENCH.json"
     assert baseline_path.exists(), "BASELINE_BENCH.json missing — run the refreeze snippet"
@@ -67,6 +80,19 @@ def test_latest_bench_within_2x_of_frozen_baseline():
         pytest.skip("no BENCH_r*.json recorded yet")
     name, current = latest
 
+    ratios = sorted(
+        cur / baseline[q]
+        for q, cur in current.items()
+        if q in baseline and cur > NOISE_FLOOR_SEC
+    )
+    assert ratios, f"{name} shares no super-noise-floor queries with the baseline"
+    box_drift = ratios[len(ratios) // 2]
+    assert box_drift <= BOX_DRIFT_MAX, (
+        f"{name}: whole-suite median ratio {box_drift:.2f}x vs frozen baseline — "
+        "global regression or unusable box; investigate before trusting the gate"
+    )
+
+    threshold = MAX_RATIO * max(1.0, box_drift)
     regressions = []
     for q, base_sec in baseline.items():
         cur = current.get(q)
@@ -74,6 +100,9 @@ def test_latest_bench_within_2x_of_frozen_baseline():
             continue  # query rotated out of the headline set
         if cur <= NOISE_FLOOR_SEC:
             continue
-        if cur > base_sec * MAX_RATIO:
+        if cur > base_sec * threshold:
             regressions.append(f"{q}: {base_sec:.2f}s -> {cur:.2f}s ({cur / base_sec:.2f}x)")
-    assert not regressions, f"{name} regressed >2x vs frozen baseline: {regressions}"
+    assert not regressions, (
+        f"{name} regressed >{threshold:.2f}x (2x gate x {box_drift:.2f}x box drift) "
+        f"vs frozen baseline: {regressions}"
+    )
