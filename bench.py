@@ -104,6 +104,23 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def box_calibration_sec() -> float:
+    """Fixed pure-Python workload timed single-threaded: a deterministic
+    JPEG encode+decode through the repo's own codec. Recorded alongside
+    every bench so rounds are comparable across VM placements — the r6
+    sessions measured the SAME commit at 0.91x/1.28x/1.21x of anchor
+    purely from host speed, with Python-kernel queries drifting ~2x.
+    Ratio of two rounds' calibration ~= ratio of their Python-kernel
+    floor; it is NOT folded into the timings (raw seconds stay raw)."""
+    from glue_etl_framework_spark.ext.jpeg_py import decode_jpeg, encode_jpeg
+
+    px = bytes((x * 7 + y * 13 + c * 29) % 256 for y in range(48) for x in range(48) for c in range(3))
+    t0 = time.perf_counter()
+    for _ in range(8):
+        decode_jpeg(encode_jpeg(48, 48, px, quality=85, subsample="420"))
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     # Size shuffle partitions to the actual parallelism: at sf0.1 on a
     # 32-core local box, 200 (Spark's default) means tiny tasks and 6x the
@@ -131,7 +148,7 @@ def main() -> None:
     # queries x long names pushes a single combined line past it (the
     # driver recorded parsed:null). The FINAL line is the compact
     # machine-readable summary and must stay well under the window.
-    detail = {"detail_queries": timings, "sf": sf_val}
+    detail = {"detail_queries": timings, "sf": sf_val, "box_cal_sec": box_calibration_sec()}
     Path(__file__).with_name("BENCH_DETAIL.json").write_text(
         json.dumps(detail, indent=2) + "\n"
     )
@@ -144,6 +161,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "box_cal_sec": detail["box_cal_sec"],
                 "queries_detail_file": "BENCH_DETAIL.json",
             }
         )
