@@ -191,6 +191,8 @@ def decode_wav(blob: bytes) -> dict:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("wav: missing fmt/data chunk")
+    if len(fmt) < 16:  # PCM fmt chunk is >= 16 bytes; corrupt sizes leak struct.error otherwise
+        raise ValueError("wav: fmt chunk too short")
     audio_format, n_channels, sample_rate, _brate, _balign, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )

@@ -17,6 +17,7 @@ iteration counts are sized to run in a few seconds.
 from __future__ import annotations
 
 import random
+import zlib
 
 import pytest
 
@@ -73,7 +74,12 @@ def _samples():
 
 @pytest.mark.parametrize("name,blob,dec", _samples(), ids=lambda v: v if isinstance(v, str) else "")
 def test_mutated_streams_decode_or_valueerror(name, blob, dec):
-    rng = random.Random(hash(name) & 0xFFFF)
+    # zlib.crc32, NOT hash(): str hashing is salted per process, so the
+    # old seed silently made every run explore a different mutation set —
+    # useful fuzzing, but a flaky suite (a run-specific wav leak appeared
+    # once in dozens of runs). Randomized exploration belongs in the deep
+    # fuzz probes; the committed suite must be reproducible.
+    rng = random.Random(zlib.crc32(name.encode()) & 0xFFFF)
     for _ in range(N_MUTATIONS):
         b = bytearray(blob)
         for _ in range(rng.randrange(1, 4)):

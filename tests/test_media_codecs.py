@@ -188,6 +188,17 @@ def test_wav_rejects_truncated_chunk():
         decode_wav(bytes(tampered))
 
 
+def test_wav_rejects_short_fmt_chunk():
+    """A fmt chunk whose declared size is under the 16-byte PCM header
+    must raise ValueError, not leak struct.error from the header unpack
+    (found by the mutation fuzz: one byte flip, 0x10 -> 0x0F, at the fmt
+    size field)."""
+    blob = bytearray(encode_wav(8000, [1, 2, 3, 4]))
+    struct.pack_into("<I", blob, 16, 15)  # fmt chunk size: 16 -> 15
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        decode_wav(bytes(blob))
+
+
 # ---------------------------------------------------------------------------
 # Decoder dispatch in ext/multimodal
 # ---------------------------------------------------------------------------
