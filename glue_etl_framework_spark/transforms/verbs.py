@@ -16,6 +16,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _q(name: str) -> str:
+    """Backtick-quote an identifier for F.col, escaping embedded backticks
+    by doubling them (Spark's quoting rule). DynamicFrame-style data has
+    arbitrary field names — a literal backtick in a JSON key crashed the
+    bare f\"`{name}`\" interpolation with INVALID_ATTRIBUTE_NAME_SYNTAX
+    (found by randomized schema fuzzing)."""
+    return f"`{name.replace('`', '``')}`"
+
+
 def apply_mapping(df: DataFrame, mapping: Iterable[tuple[str, str, str]]) -> DataFrame:
     """ApplyMapping: [(src, dst, dst_type)] — rename + cast per column in one
     projection."""
@@ -145,12 +154,12 @@ def unnest(df: DataFrame, separator: str = ".") -> DataFrame:
             if isinstance(field.dataType, T.StructType):
                 for sub in field.dataType.fields:
                     cols.append(
-                        F.col(f"`{field.name}`.`{sub.name}`").alias(
+                        F.col(f"{_q(field.name)}.{_q(sub.name)}").alias(
                             f"{field.name}{separator}{sub.name}"
                         )
                     )
             else:
-                cols.append(F.col(f"`{field.name}`"))
+                cols.append(F.col(_q(field.name)))
         df = df.select(*cols)
 
 
@@ -170,7 +179,7 @@ def relationalize(
     for field in root.schema.fields:
         if isinstance(field.dataType, T.ArrayType):
             child = root.select(
-                id_col, F.posexplode_outer(F.col(f"`{field.name}`")).alias("index", "val")
+                id_col, F.posexplode_outer(F.col(_q(field.name))).alias("index", "val")
             )
             if isinstance(field.dataType.elementType, T.StructType):
                 child = unnest(child)
@@ -185,10 +194,10 @@ def drop_null_fields(df: DataFrame) -> DataFrame:
     scan to count non-nulls (distributed), then a projection — the only
     driver-side data is one count per column."""
     counts = df.agg(
-        *[F.count(F.col(f"`{c}`")).alias(c) for c in df.columns]
+        *[F.count(F.col(_q(c))).alias(c) for c in df.columns]
     ).collect()[0]
     keep = [c for c in df.columns if counts[c] > 0]
-    return df.select(*[F.col(f"`{c}`") for c in keep])
+    return df.select(*[F.col(_q(c)) for c in keep])
 
 
 def fill_missing_values(df: DataFrame, values: Mapping[str, Any] | Any) -> DataFrame:

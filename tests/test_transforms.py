@@ -92,6 +92,37 @@ def test_relationalize(spark):
     assert (0, 10) in got and (1, 20) in got and (None, None) in got  # outer explode
 
 
+def test_unnest_relationalize_hostile_names(spark):
+    """Column/field names containing backticks, dots, and spaces must
+    flatten cleanly — DynamicFrame-style data has arbitrary JSON keys. A
+    literal backtick used to crash the identifier interpolation with
+    INVALID_ATTRIBUTE_NAME_SYNTAX (found by randomized schema fuzzing)."""
+    schema = T.StructType(
+        [
+            T.StructField("a`b", T.LongType()),
+            T.StructField(
+                "s.t",
+                T.StructType(
+                    [
+                        T.StructField("x y", T.LongType()),
+                        T.StructField("q`", T.ArrayType(T.LongType())),
+                    ]
+                ),
+            ),
+        ]
+    )
+    df = spark.createDataFrame([(1, (2, [7, 8])), (3, (4, []))], schema)
+    flat = X.unnest(df)
+    assert set(flat.columns) == {"a`b", "s.t.x y", "s.t.q`"}
+    assert sorted(r["s.t.x y"] for r in flat.collect()) == [2, 4]
+    frames = X.relationalize(df, "root")
+    assert set(frames) == {"root", "root.s.t.q`"}
+    vals = {r["val"] for r in frames["root.s.t.q`"].collect()}
+    assert vals == {7, 8, None}
+    kept = X.drop_null_fields(df.withColumn("dead`col", F.lit(None).cast("string")))
+    assert "dead`col" not in kept.columns and "a`b" in kept.columns
+
+
 def test_drop_null_fields(spark):
     df = spark.createDataFrame([(1, None, "x"), (2, None, None)], "a int, b string, c string")
     out = X.drop_null_fields(df)
