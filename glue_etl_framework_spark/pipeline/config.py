@@ -17,7 +17,6 @@ Maps the reference's config model (/root/reference/glue/glue_etl_framework.py):
 
 from __future__ import annotations
 
-import re
 import string
 from pathlib import Path
 from typing import Any
@@ -75,13 +74,18 @@ def interpolate(value: Any, variables: dict[str, str]) -> Any:
 
 
 def prepare_sql(sql: str, variables: dict[str, str]) -> str:
-    """Variable-expand the SQL text (reference :178). The reference also
-    collapses whitespace (:172) and rewrites ' -> " (:175); both corrupt
-    valid SQL (literals with apostrophes, ``--`` comments) so we only strip
-    comments safely and normalize trailing semicolons."""
-    sql = interpolate(sql, variables)
-    sql = re.sub(r"^\s*--[^\n]*$", "", sql, flags=re.MULTILINE)
-    return sql.strip().rstrip(";").strip()
+    """Variable-expand the SQL text (reference :178) and trim whitespace —
+    NOTHING else. The reference also collapses whitespace (:172) and
+    rewrites ' -> " (:175); both corrupt valid SQL (literals with
+    apostrophes, ``--`` comments). An earlier version of this function
+    stripped full comment lines and trailing semicolons here, but that is
+    the same corruption class one level subtler: a multiline string
+    literal whose continuation line starts with ``--`` was mangled
+    (``'a\\n--x\\nb'`` -> ``'a\\n\\nb'``). Spark's parser natively accepts
+    ``--`` comments, trailing semicolons, and even a semicolon followed by
+    a trailing comment (probed on 4.1.2), so the only lexing-free-safe
+    transformation is none at all."""
+    return interpolate(sql, variables).strip()
 
 
 def resolve_sql_text(config: dict[str, Any], variables: dict[str, str], base_dir: str | Path | None = None) -> str:

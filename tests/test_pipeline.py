@@ -109,9 +109,17 @@ def test_apostrophe_literal_survives(spark):
     assert spark.sql(sql).count() == 1
 
 
-def test_comment_stripping_and_semicolon():
+def test_comments_semicolons_and_multiline_literals_survive(spark):
+    """prepare_sql must be interpolation + trim ONLY: Spark's parser
+    accepts comments and trailing semicolons natively, and any textual
+    comment/semicolon stripping corrupts multiline string literals (the
+    same class as the reference's quote-rewrite bug)."""
     sql = prepare_sql("-- header comment\nSELECT {n} AS v;\n", {"n": "42"})
-    assert sql == "SELECT 42 AS v"
+    assert sql == "-- header comment\nSELECT 42 AS v;"
+    assert spark.sql(sql).first()["v"] == 42
+    lit = "SELECT 'a\n--not a comment\nb' AS x"
+    assert prepare_sql(lit, {}) == lit
+    assert spark.sql(lit).first()["x"] == "a\n--not a comment\nb"
 
 
 def test_interpolate_nested():
