@@ -307,31 +307,54 @@ def _read_header(buf: io.BytesIO) -> tuple[dict[str, bytes], bytes]:
 
 
 def decode_container(blob: bytes) -> tuple[dict[str, Any], list[dict[str, Any]]]:
-    """Decode one container file -> (parsed avro schema, records)."""
-    buf = io.BytesIO(blob)
-    meta, sync = _read_header(buf)
-    schema = json.loads(meta["avro.schema"].decode("utf-8"))
-    codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate"):
-        raise AvroSchemaError(f"unsupported avro codec {codec!r}")
-    decode = _make_decoder(schema)
-    records: list[dict[str, Any]] = []
-    while True:
-        head = buf.read(1)
-        if not head:
-            break
-        buf.seek(-1, os.SEEK_CUR)
-        count = _read_long(buf)
-        size = _read_long(buf)
-        payload = buf.read(size)
-        if codec == "deflate":
-            payload = zlib.decompress(payload, -15)
-        block = io.BytesIO(payload)
-        for _ in range(count):
-            records.append(decode(block))
-        if buf.read(SYNC_SIZE) != sync:
-            raise ValueError("sync marker mismatch (corrupt avro block)")
-    return schema, records
+    """Decode one container file -> (parsed avro schema, records).
+
+    Fail-loudly contract (same as the image/audio codecs): corrupt bytes
+    raise ValueError; AvroSchemaError stays distinct for honest
+    capability gaps (unsupported codec/type). Without the normalization
+    below, corruption fuzzing showed raw UnicodeDecodeError /
+    JSONDecodeError / zlib.error / KeyError / IndexError / EOFError
+    escaping — which a Spark task surfaces as an inscrutable executor
+    crash instead of "corrupt avro". One documented limit, inherent to
+    the format: Avro containers are block-oriented with no row-count
+    footer, so truncation AT a block boundary yields fewer rows with no
+    error — mitigate operationally (length/checksum manifests, as the
+    multimodal content-address entries do)."""
+    try:
+        buf = io.BytesIO(blob)
+        meta, sync = _read_header(buf)
+        schema = json.loads(meta["avro.schema"].decode("utf-8"))
+        codec = meta.get("avro.codec", b"null").decode("utf-8")
+        if codec not in ("null", "deflate"):
+            raise AvroSchemaError(f"unsupported avro codec {codec!r}")
+        decode = _make_decoder(schema)
+        records: list[dict[str, Any]] = []
+        while True:
+            head = buf.read(1)
+            if not head:
+                break
+            buf.seek(-1, os.SEEK_CUR)
+            count = _read_long(buf)
+            size = _read_long(buf)
+            payload = buf.read(size)
+            if codec == "deflate":
+                payload = zlib.decompress(payload, -15)
+            block = io.BytesIO(payload)
+            for _ in range(count):
+                records.append(decode(block))
+            if buf.read(SYNC_SIZE) != sync:
+                raise ValueError("sync marker mismatch (corrupt avro block)")
+        return schema, records
+    except (UnicodeDecodeError, json.JSONDecodeError) as e:
+        # ValueError subclasses, so typed-correct either way — but the raw
+        # message ("can't decode byte 0x9a...") hides WHAT is corrupt when
+        # it surfaces from a Spark task; name the file format explicitly
+        raise ValueError(f"corrupt avro container: {type(e).__name__}: {e}") from e
+    except (ValueError, AvroSchemaError):
+        raise  # already actionable
+    except (EOFError, KeyError, IndexError, TypeError, OverflowError,
+            MemoryError, zlib.error, struct.error) as e:
+        raise ValueError(f"corrupt avro container: {type(e).__name__}: {e}") from e
 
 
 def encode_container(
@@ -517,8 +540,21 @@ def read_avro(spark, path: str):
         raise FileNotFoundError(f"no .avro files under {path!r}")
     with open(matches[0], "rb") as fh:
         head = io.BytesIO(fh.read(1 << 20))
-    meta, _ = _read_header(head)
-    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    try:  # same fail-loudly normalization as decode_container: the sniff
+        # parses untrusted header bytes on the driver, and a corrupt
+        # schema blob otherwise leaks raw UnicodeDecodeError/KeyError
+        meta, _ = _read_header(head)
+        schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    except (ValueError, AvroSchemaError) as e:
+        if isinstance(e, (UnicodeDecodeError, json.JSONDecodeError)):
+            raise ValueError(
+                f"corrupt avro header in {matches[0]!r}: {type(e).__name__}: {e}"
+            ) from e
+        raise
+    except (EOFError, KeyError, IndexError, struct.error) as e:
+        raise ValueError(
+            f"corrupt avro header in {matches[0]!r}: {type(e).__name__}: {e}"
+        ) from e
     out_type = spark_type_of(schema)
     columns = [f.name for f in out_type.fields]
     _ensure_shipped(spark)

@@ -97,3 +97,42 @@ def test_every_truncation_decodes_or_valueerror(name, blob, dec):
             dec(blob[:cut])
         except ValueError:
             pass
+
+
+def test_avro_container_mutations_fail_typed():
+    """Same contract for the pure-Python Avro container codec: corrupt
+    bytes raise ValueError (UnicodeDecodeError/JSONDecodeError are
+    ValueError subclasses), capability gaps raise AvroSchemaError —
+    nothing else (fuzzing originally leaked raw zlib.error / KeyError /
+    IndexError / EOFError from deep in the block walk). Known format
+    limit, asserted separately below: truncation AT a block boundary is
+    undetectable (Avro has no row-count footer)."""
+    from glue_etl_framework_spark.io.avro_py import (
+        AvroSchemaError,
+        decode_container,
+        encode_container,
+    )
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "vals", "type": {"type": "array", "items": "double"}},
+    ]}
+    rows = [{"id": i, "name": None if i % 3 == 0 else f"n{i}", "vals": [i * 0.5]}
+            for i in range(20)]
+    blob = bytes(encode_container(schema, rows))
+    rng = random.Random(zlib.crc32(b"avro") & 0xFFFF)
+    for _ in range(N_MUTATIONS):
+        b = bytearray(blob)
+        for _ in range(rng.randrange(1, 4)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            decode_container(bytes(b))
+        except (ValueError, AvroSchemaError):
+            pass
+    for cut in range(1, len(blob)):
+        try:
+            _, recs = decode_container(blob[:cut])
+            assert len(recs) <= len(rows)  # block-boundary cuts lose rows silently
+        except (ValueError, AvroSchemaError):
+            pass
