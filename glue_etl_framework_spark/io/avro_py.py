@@ -353,7 +353,14 @@ def decode_container(blob: bytes) -> tuple[dict[str, Any], list[dict[str, Any]]]
     except (ValueError, AvroSchemaError):
         raise  # already actionable
     except (EOFError, KeyError, IndexError, TypeError, OverflowError,
-            MemoryError, zlib.error, struct.error) as e:
+            RecursionError, zlib.error, struct.error) as e:
+        # RecursionError: a hostile deeply-nested schema in the (untrusted)
+        # container header blows the stack inside _make_decoder — still
+        # "corrupt input", so it belongs under the fail-loudly contract.
+        # MemoryError is deliberately NOT wrapped: a genuine OOM is not
+        # corruption, and relabeling it would mislead the operator (and
+        # building the wrapping f-string under memory pressure can itself
+        # fail) — let it propagate raw (ADVICE r06).
         raise ValueError(f"corrupt avro container: {type(e).__name__}: {e}") from e
 
 
@@ -545,17 +552,19 @@ def read_avro(spark, path: str):
         # schema blob otherwise leaks raw UnicodeDecodeError/KeyError
         meta, _ = _read_header(head)
         schema = json.loads(meta["avro.schema"].decode("utf-8"))
+        # inside the try: spark_type_of recurses over the untrusted schema
+        # too, so a hostile deeply-nested header RecursionErrors here
+        out_type = spark_type_of(schema)
     except (ValueError, AvroSchemaError) as e:
         if isinstance(e, (UnicodeDecodeError, json.JSONDecodeError)):
             raise ValueError(
                 f"corrupt avro header in {matches[0]!r}: {type(e).__name__}: {e}"
             ) from e
         raise
-    except (EOFError, KeyError, IndexError, struct.error) as e:
+    except (EOFError, KeyError, IndexError, RecursionError, struct.error) as e:
         raise ValueError(
             f"corrupt avro header in {matches[0]!r}: {type(e).__name__}: {e}"
         ) from e
-    out_type = spark_type_of(schema)
     columns = [f.name for f in out_type.fields]
     _ensure_shipped(spark)
 

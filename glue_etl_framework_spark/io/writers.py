@@ -410,16 +410,22 @@ def delete_by_keys(
     location = _strip_scheme(location)
     obs = Observation()
     old = spark.read.format(fmt).load(location)
-    key_set = keys_df.select(*keys).distinct().withColumn("__hit", F.lit(1))
+    # Marker must not collide with a real table column (arbitrary field
+    # names are in-scope): a table that already has "__hit" would make the
+    # post-join reference ambiguous and the drop() would destroy user data.
+    marker = "__hit"
+    while marker in old.columns:
+        marker += "_"
+    key_set = keys_df.select(*keys).distinct().withColumn(marker, F.lit(1))
     survivors = (
         old.join(key_set, keys, "left")
         .observe(
             obs,
             F.count(F.lit(1)).alias("scanned"),
-            F.count(F.when(F.col("__hit").isNull(), 1)).alias("kept"),
+            F.count(F.when(F.col(marker).isNull(), 1)).alias("kept"),
         )
-        .filter(F.col("__hit").isNull())
-        .drop("__hit")
+        .filter(F.col(marker).isNull())
+        .drop(marker)
     )
     staged_write(survivors, {"location": location, "format": fmt})
     metrics = obs.get

@@ -180,3 +180,61 @@ def test_pipeline_reader_and_writer_fall_back_to_python_codec(spark, tmp_path):
         spark, {"name": "nation", "source": "file", "location": loc, "format": "avro"}
     )
     assert again.count() == src.count()
+
+
+def _hostile_container(schema_json: str) -> bytes:
+    """Hand-build a container header around an arbitrary schema string
+    (encode_container would itself recurse over a hostile schema)."""
+    from glue_etl_framework_spark.io.avro_py import MAGIC, _write_bytes, _write_long
+
+    out = bytearray()
+    out.extend(MAGIC)
+    meta = {
+        "avro.schema": schema_json.encode("utf-8"),
+        "avro.codec": b"null",
+    }
+    _write_long(out, len(meta))
+    for key, value in meta.items():
+        _write_bytes(out, key.encode("utf-8"))
+        _write_bytes(out, value)
+    _write_long(out, 0)  # end of metadata map
+    out.extend(b"\x00" * 16)  # sync marker
+    return bytes(out)
+
+
+def test_hostile_deeply_nested_schema_normalized_to_value_error():
+    """A 100k-deep nested-record schema in an untrusted container header
+    must surface as the documented ValueError('corrupt avro container...'),
+    not a raw RecursionError escaping _make_decoder / json.loads
+    (ADVICE r06)."""
+    nested = '"long"'
+    for i in range(100_000):
+        nested = (
+            '{"type":"record","name":"r%d","fields":[{"name":"f","type":%s}]}'
+            % (i, nested)
+        )
+    blob = _hostile_container(nested)
+    with pytest.raises(ValueError, match="corrupt avro"):
+        decode_container(blob)
+
+
+def test_memory_error_propagates_raw(monkeypatch):
+    """A genuine MemoryError during block decompression is NOT corruption
+    and must not be relabeled 'corrupt avro container' (ADVICE r06)."""
+    import zlib
+
+    from glue_etl_framework_spark.io import avro_py
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    blob = encode_container(schema, [{"x": 1}], codec="deflate")
+
+    def boom(*a, **k):
+        raise MemoryError("simulated OOM")
+
+    monkeypatch.setattr(avro_py.zlib, "decompress", boom)
+    with pytest.raises(MemoryError):
+        decode_container(blob)

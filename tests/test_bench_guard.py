@@ -6,25 +6,18 @@ benchmark rounds (local[32], sf0.1). This test diffs the LATEST recorded
 regression > 2x — the driver's "within 2x of BASELINE" gate made executable
 against a real anchor instead of the reference's (nonexistent) numbers.
 
-Refreezing after a deliberate perf change:
-
-    python - <<'PY'
-    import json, statistics, glob
-    rounds = [json.load(open(f))["parsed"]["queries"]
-              for f in sorted(glob.glob("BENCH_r*.json"))]
-    names = sorted({n for r in rounds for n in r})
-    base = {n: round(statistics.median([r[n] for r in rounds if n in r]), 4)
-            for n in names}
-    json.dump({"frozen_from": sorted(glob.glob("BENCH_r*.json")), "sf": 0.1,
-               "note": "per-query median seconds; standing 2x-gate anchor",
-               "queries": base, "total": round(sum(base.values()), 4)},
-              open("BASELINE_BENCH.json", "w"), indent=1)
-    PY
+Refreezing after a deliberate perf change: `python tools_refreeze_baseline.py`
+— the ONE sanctioned path (VERDICT r06 item 4). It refuses when the
+contributing run's box calibration deviates >25% from the anchor's recorded
+`box_cal_sec_at_refreeze`, and when any query would be anchored from a
+single sample (never only from the round under judgment). The rule is
+written in BASELINE.md and unit-tested below.
 """
 
 from __future__ import annotations
 
 import json
+import statistics
 from pathlib import Path
 
 import pytest
@@ -86,7 +79,7 @@ def test_latest_bench_within_2x_of_frozen_baseline():
         if q in baseline and cur > NOISE_FLOOR_SEC
     )
     assert ratios, f"{name} shares no super-noise-floor queries with the baseline"
-    box_drift = ratios[len(ratios) // 2]
+    box_drift = statistics.median(ratios)
     assert box_drift <= BOX_DRIFT_MAX, (
         f"{name}: whole-suite median ratio {box_drift:.2f}x vs frozen baseline — "
         "global regression or unusable box; investigate before trusting the gate"
@@ -106,3 +99,71 @@ def test_latest_bench_within_2x_of_frozen_baseline():
         f"{name} regressed >{threshold:.2f}x (2x gate x {box_drift:.2f}x box drift) "
         f"vs frozen baseline: {regressions}"
     )
+
+# ---- refreeze-rule codification (VERDICT r06 item 4) ----------------------
+# The r6 drift saga as a mechanical rule: BASELINE_BENCH.json must carry the
+# calibration of the box that produced its newest samples, and the only
+# sanctioned refreeze path (tools_refreeze_baseline.py) refuses when the new
+# run's calibration deviates >25% from it or when any query's anchor would
+# come from a single sample.
+
+
+def test_baseline_records_refreeze_calibration():
+    baseline = json.loads((REPO / "BASELINE_BENCH.json").read_text())
+    cal = baseline.get("box_cal_sec_at_refreeze")
+    assert isinstance(cal, float) and cal > 0, (
+        "BASELINE_BENCH.json must record box_cal_sec_at_refreeze — the box "
+        "calibration of the run contributing its newest samples; refreeze "
+        "via tools_refreeze_baseline.py"
+    )
+
+
+def _guard_fixture():
+    sources = {
+        "BENCH_rA.json": {"q1": 1.0, "q2": 2.0},
+        "BENCH_rB.json": {"q1": 1.2, "q2": 1.8},
+    }
+    prior = {
+        "queries": {"q1": 1.1, "q2": 2.2},
+        "box_cal_sec_at_refreeze": 0.10,
+    }
+    return sources, prior
+
+
+def test_refreeze_refuses_calibration_drift():
+    from tools_refreeze_baseline import MAX_CAL_DRIFT, RefreezeRefused, build_refreeze
+
+    sources, prior = _guard_fixture()
+    with pytest.raises(RefreezeRefused, match="deviates"):
+        build_refreeze(sources, prior, 0.10 * (1 + MAX_CAL_DRIFT) * 1.05)
+    with pytest.raises(RefreezeRefused, match="deviates"):
+        build_refreeze(sources, prior, 0.10 * (1 - MAX_CAL_DRIFT) * 0.95)
+
+
+def test_refreeze_refuses_uncalibrated_prior_anchor():
+    from tools_refreeze_baseline import RefreezeRefused, build_refreeze
+
+    sources, prior = _guard_fixture()
+    del prior["box_cal_sec_at_refreeze"]
+    with pytest.raises(RefreezeRefused, match="box_cal_sec_at_refreeze"):
+        build_refreeze(sources, prior, 0.10)
+
+
+def test_refreeze_refuses_single_sample_queries():
+    from tools_refreeze_baseline import RefreezeRefused, build_refreeze
+
+    sources, prior = _guard_fixture()
+    sources["BENCH_rB.json"]["q_new_this_round"] = 5.0  # only source for it
+    with pytest.raises(RefreezeRefused, match="single sample"):
+        build_refreeze(sources, prior, 0.10)
+
+
+def test_refreeze_medianizes_and_records_provenance():
+    from tools_refreeze_baseline import build_refreeze
+
+    sources, prior = _guard_fixture()
+    anchor = build_refreeze(sources, prior, 0.11)
+    assert anchor["queries"] == {"q1": 1.1, "q2": 2.0}  # medians incl. prior
+    assert anchor["box_cal_sec_at_refreeze"] == 0.11
+    assert "prior_anchor" in anchor["frozen_from"]
+    assert anchor["total"] == round(sum(anchor["queries"].values()), 4)

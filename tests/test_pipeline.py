@@ -709,6 +709,28 @@ def test_delete_by_keys_erases_and_survives_crash(tmp_path, spark):
     assert spark.read.parquet(loc).count() == 97
 
 
+def test_delete_by_keys_table_with_marker_named_column(tmp_path, spark):
+    """A table whose own schema contains '__hit' (arbitrary field names are
+    in-scope) must not collide with the join marker: the user's column
+    survives the delete and the deleted-count is still exact (ADVICE r06)."""
+    from glue_etl_framework_spark.io.writers import delete_by_keys
+
+    loc = str(tmp_path / "marked")
+    src = spark.range(50).selectExpr(
+        "id AS user_id", "id % 2 = 0 AS __hit", "id * 3 AS `__hit_`"
+    )
+    src.write.parquet(loc)
+    doomed = spark.createDataFrame([(1,), (4,)], "user_id long")
+
+    n = delete_by_keys(spark, loc, doomed, ["user_id"])
+    assert n == 2
+    left = spark.read.parquet(loc)
+    assert set(left.columns) == {"user_id", "__hit", "__hit_"}
+    assert left.count() == 48
+    row = left.filter("user_id = 6").first()
+    assert row["__hit"] is True and row["__hit_"] == 18
+
+
 def test_read_merges_evolving_schema(tmp_path, spark):
     """Schema evolution on file sources: batches written with a column
     added later must read back as one table with nulls for the old rows
