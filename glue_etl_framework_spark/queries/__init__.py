@@ -37,16 +37,21 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # None => non-SQL-expressible; driver does rows-only
     category: str
+    # Tie-break WITHIN the never-checked tier of load_registry(): entries
+    # added while an attestation backlog exists set this >0 so they queue
+    # BEHIND the backlog in the driver window and can never displace it
+    # (VERDICT r06 item 5).
+    window_rank: int = 0
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, category: str):
+def register(name: str, oracle: str | None, category: str, window_rank: int = 0):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name, fn, oracle, category)
+        REGISTRY[name] = QuerySpec(name, fn, oracle, category, window_rank)
         return fn
     return deco
 
@@ -164,6 +169,7 @@ def load_registry() -> dict[str, QuerySpec]:
         range(len(order)),
         key=lambda i: (
             tier(order[i]),
+            REGISTRY[order[i]].window_rank,
             mod_rank.get(
                 REGISTRY[order[i]].fn.__module__.rsplit(".", 1)[-1], 99
             ),

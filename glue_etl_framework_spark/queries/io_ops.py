@@ -1480,3 +1480,101 @@ def io_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"name": "m", "source": "jdbc", "url": url,
          "dbtable": tbl, "driver": driver},
     )
+
+
+# --- JDBC partitioned (parallel) scan against embedded Derby ----------------
+
+_JDBC_PART_ORACLE = """
+    SELECT CAST(o_custkey % 16 AS BIGINT) AS bucket,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           CAST(SUM(total_cents) AS BIGINT) AS total_cents,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_custkey,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_custkey
+    FROM (
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+        FROM orders
+        GROUP BY o_custkey
+    )
+    GROUP BY 1
+"""
+
+
+@register("io_jdbc_partitioned_read", oracle=_JDBC_PART_ORACLE, category="io",
+          window_rank=1)
+def io_jdbc_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC PARTITIONED scan certification (SURVEY §2.1; VERDICT r06 item 5):
+    the scale path io_jdbc_roundtrip only documents — Spark's
+    partitionColumn/lowerBound/upperBound/numPartitions splitting — is
+    exercised for real against embedded Derby and hash-certified. Per-customer
+    order stats are written through write_table (target=jdbc), then read back
+    through read_table with a 4-way partitioned scan on the key column: Spark
+    generates one stride-bounded WHERE clause per partition, so a bug in the
+    stride arithmetic (dropped boundary row, double-read overlap) would break
+    the value hash, not just slow things down. The post-read aggregate is
+    computed Spark-side FROM the partitioned scan, so every row must arrive
+    exactly once.
+
+    The reference's JDBC surface is a 2-line placeholder
+    (glue/glue_etl_framework.py:119-120); this maps its intent onto Spark's
+    real parallel-read contract. Scale note: on a warehouse-grade endpoint the
+    same four options fan the scan across executors — numPartitions bounds
+    the connection count, and the partition column should be indexed and
+    near-uniform (else stride skew serializes the tail; salt via a MOD
+    expression pushed into ``dbtable`` as a subquery when it isn't).
+
+    Derby quirks: Spark quotes identifiers in the DDL it generates, and Derby
+    upcases UNQUOTED references, so the table and the partition column are
+    spelled UPPERCASE end-to-end (partitionColumn is embedded unquoted into
+    each per-partition WHERE clause)."""
+    from glue_etl_framework_spark.io.readers import read_table
+    from glue_etl_framework_spark.io.writers import write_table
+
+    d, fresh = _workdir("jdbc_part", sf_dir)
+    url = f"jdbc:derby:{d}/derbydb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    tbl = "CUST_ORDERS"
+    if fresh:
+        per_cust = (
+            t(spark, sf_dir, "orders")
+            .groupBy(F.col("o_custkey").alias("C_KEY"))
+            .agg(
+                F.count("*").alias("N_ORDERS"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .alias("TOTAL_CENTS"),
+            )
+            .coalesce(1)  # embedded Derby: serialize the small insert
+        )
+        write_table(
+            per_cust,
+            {"target": "jdbc", "url": url, "dbtable": tbl,
+             "driver": driver, "refresh": "full"},
+        )
+    bounds = (
+        t(spark, sf_dir, "orders")
+        .agg(F.min("o_custkey"), F.max("o_custkey"))
+        .first()
+    )  # 1-row scalar bounds — metadata-sized, the JDBC-read contract needs them
+    back = read_table(
+        spark,
+        {"name": "co", "source": "jdbc", "url": url, "dbtable": tbl,
+         "driver": driver,
+         "options": {
+             "partitionColumn": "C_KEY",
+             "lowerBound": int(bounds[0]),
+             "upperBound": int(bounds[1]) + 1,  # upperBound is exclusive
+             "numPartitions": 4,
+         }},
+    )
+    return (
+        back.groupBy((F.col("C_KEY") % 16).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("N_ORDERS").alias("n_orders"),
+            F.sum("TOTAL_CENTS").alias("total_cents"),
+            F.min("C_KEY").alias("min_custkey"),
+            F.max("C_KEY").alias("max_custkey"),
+        )
+    )

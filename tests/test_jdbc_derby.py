@@ -142,3 +142,45 @@ output_table:
     )
     rows = {r.label: r.qty2 for r in out.collect()}
     assert rows == {"alpha": 200, "beta": 400, "gamma": 600}
+
+
+def test_jdbc_partitioned_read_splits_and_matches(tmp_path, spark):
+    """partitionColumn/lowerBound/upperBound/numPartitions through
+    read_table: the scan really fans out to numPartitions input partitions,
+    and the union of the per-partition stride reads is exactly the table —
+    no boundary row dropped, none double-read (VERDICT r06 item 5)."""
+    url = _url(tmp_path)
+    src = spark.range(1, 201).selectExpr(
+        "id AS K", "id * 7 AS V"
+    ).coalesce(1)
+    write_table(
+        src,
+        {"target": "jdbc", "url": url, "dbtable": "PARTED",
+         "driver": DERBY_DRIVER, "refresh": "full"},
+    )
+    base = {"name": "p", "source": "jdbc", "url": url,
+            "dbtable": "PARTED", "driver": DERBY_DRIVER}
+    whole = read_table(spark, base)
+    parted = read_table(
+        spark,
+        {**base, "options": {"partitionColumn": "K", "lowerBound": 1,
+                             "upperBound": 201, "numPartitions": 5}},
+    )
+    assert parted.rdd.getNumPartitions() == 5
+    assert sorted(map(tuple, parted.collect())) == sorted(map(tuple, whole.collect()))
+    assert parted.count() == 200
+
+
+def test_jdbc_partitioned_entry_queues_behind_attestation_backlog():
+    """The r7 sanctioned entry must sort AFTER every never-driver-checked
+    backlog entry in the driver window (window_rank=1), so it cannot
+    displace the attestation rotation (VERDICT r06 items 1+5)."""
+    from glue_etl_framework_spark.queries import REGISTRY, _driver_history, load_registry
+
+    names = list(load_registry())
+    passed, failed = _driver_history()
+    never = [n for n in names if n not in passed and n not in failed]
+    assert "io_jdbc_partitioned_read" in never or "io_jdbc_partitioned_read" in passed
+    if "io_jdbc_partitioned_read" in never:
+        assert never[-1] == "io_jdbc_partitioned_read"
+    assert REGISTRY["io_jdbc_partitioned_read"].window_rank == 1
