@@ -1557,14 +1557,16 @@ def io_jdbc_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("o_custkey"), F.max("o_custkey"))
         .first()
     )  # 1-row scalar bounds — metadata-sized, the JDBC-read contract needs them
+    lo = 0 if bounds[0] is None else int(bounds[0])  # empty source: any stride
+    hi = lo + 1 if bounds[1] is None else int(bounds[1]) + 1  # upper exclusive
     back = read_table(
         spark,
         {"name": "co", "source": "jdbc", "url": url, "dbtable": tbl,
          "driver": driver,
          "options": {
              "partitionColumn": "C_KEY",
-             "lowerBound": int(bounds[0]),
-             "upperBound": int(bounds[1]) + 1,  # upperBound is exclusive
+             "lowerBound": lo,
+             "upperBound": hi,
              "numPartitions": 4,
          }},
     )
