@@ -413,8 +413,13 @@ def delete_by_keys(
     # Marker must not collide with a real table column (arbitrary field
     # names are in-scope): a table that already has "__hit" would make the
     # post-join reference ambiguous and the drop() would destroy user data.
+    # Compared case-insensitively: Spark resolves columns case-insensitively
+    # by default (spark.sql.caseSensitive=false), so a table column "__HIT"
+    # collides with marker "__hit" even though the Python strings differ
+    # (ADVICE r07).
     marker = "__hit"
-    while marker in old.columns:
+    lowered = {c.lower() for c in old.columns}
+    while marker.lower() in lowered:
         marker += "_"
     key_set = keys_df.select(*keys).distinct().withColumn(marker, F.lit(1))
     survivors = (

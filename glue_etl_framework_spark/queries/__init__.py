@@ -37,10 +37,12 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # None => non-SQL-expressible; driver does rows-only
     category: str
-    # Tie-break WITHIN the never-checked tier of load_registry(): entries
-    # added while an attestation backlog exists set this >0 so they queue
-    # BEHIND the backlog in the driver window and can never displace it
-    # (VERDICT r06 item 5).
+    # Tie-break within the never-checked and green tiers of
+    # load_registry(): entries added while an attestation backlog exists
+    # set this >0 so they queue BEHIND the backlog in the driver window
+    # and can never displace it (VERDICT r06 item 5), and once green they
+    # stay at the registry tail. Ignored for FAILED entries — a failure
+    # re-enters the very next window regardless of rank (ADVICE r07).
     window_rank: int = 0
 
 
@@ -169,7 +171,15 @@ def load_registry() -> dict[str, QuerySpec]:
         range(len(order)),
         key=lambda i: (
             tier(order[i]),
-            REGISTRY[order[i]].window_rank,
+            # window_rank queues late additions behind the attestation
+            # backlog (never-checked tier) and keeps already-green late
+            # additions at the registry tail — but a FAILED entry must
+            # re-enter the very next window regardless of its rank
+            # (ADVICE r07: a failed rank>0 entry otherwise sorts behind
+            # every failed rank-0 entry, deviating from the documented
+            # "failed re-enters immediately" intent if the failed set
+            # ever exceeds the window).
+            0 if tier(order[i]) == 0 else REGISTRY[order[i]].window_rank,
             mod_rank.get(
                 REGISTRY[order[i]].fn.__module__.rsplit(".", 1)[-1], 99
             ),

@@ -30,62 +30,73 @@ NOISE_FLOOR_SEC = 0.3
 MAX_RATIO = 2.0
 
 
-def _latest_bench() -> tuple[str, dict[str, float]] | None:
+def _latest_bench() -> tuple[str, dict[str, float], float | None] | None:
+    """(name, per-query seconds, box_cal_sec of the run) for the newest
+    recorded bench. For r5+ summary-format rounds the per-query numbers AND
+    the calibration both come from BENCH_DETAIL.json so they describe the
+    same run (BENCH_r*.json stays frozen while a later local bench may
+    rewrite the detail file)."""
     benches = sorted(REPO.glob("BENCH_r*.json"))
     if not benches:
         return None
     latest = benches[-1]
     data = json.loads(latest.read_text())
-    queries = (data.get("parsed") or {}).get("queries") or data.get("queries")
+    parsed = data.get("parsed") or {}
+    queries = parsed.get("queries") or data.get("queries")
     if not queries:
         # r6+: bench.py's final line is a compact summary (the combined
         # line outgrew the driver's tail capture in r5); per-query medians
         # live in BENCH_DETAIL.json, rewritten by every bench run.
         detail = REPO / "BENCH_DETAIL.json"
         if detail.exists():
-            queries = json.loads(detail.read_text()).get("detail_queries")
-            if queries:
-                return f"{latest.name} (+BENCH_DETAIL.json)", queries
+            d = json.loads(detail.read_text())
+            if d.get("detail_queries"):
+                return (
+                    f"{latest.name} (+BENCH_DETAIL.json)",
+                    d["detail_queries"],
+                    d.get("box_cal_sec"),
+                )
         return None
-    return latest.name, queries
+    return latest.name, queries, parsed.get("box_cal_sec")
 
 
 # The VM hosting these runs swings 20-40% between sessions (measured r6:
 # the same commit benched 0.91x, 1.28x, and 1.21x of anchor on different
-# days, with Python-kernel queries drifting hardest). A per-query absolute
-# 2x gate false-alarms on host placement, so the gate is COHORT-NORMALIZED:
-# the median ratio across all benched queries estimates box drift (a plan
-# regression is localized; host drift moves everything), each query is
-# gated at MAX_RATIO x that estimate, and a hard backstop fails the round
-# outright if the whole suite drifted past BOX_DRIFT_MAX (either the box
-# is unusable for benching or something regressed globally — both need a
-# human look).
-BOX_DRIFT_MAX = 1.8
+# days). Cohort-median normalization (r6-r7) removed the false alarms but
+# left a documented blind spot: a UNIFORM plan regression looks identical
+# to host drift and rode free up to 1.8x. Now that every bench run records
+# box_cal_sec (a pure-Python kernel timed on the same box) and the anchor
+# records box_cal_sec_at_refreeze, the gate normalizes by the MEASURED
+# calibration ratio instead of inferring drift from the queries themselves
+# (VERDICT r07 item 2): host drift moves the calibration kernel; a plan
+# regression cannot. The residual backstop tightens 1.8 -> 1.4: a uniform
+# suite-wide slowdown beyond 1.4x at equal calibration now fails.
+BOX_DRIFT_RESIDUAL_MAX = 1.4
 
 
-def test_latest_bench_within_2x_of_frozen_baseline():
-    baseline_path = REPO / "BASELINE_BENCH.json"
-    assert baseline_path.exists(), "BASELINE_BENCH.json missing — run the refreeze snippet"
-    baseline = json.loads(baseline_path.read_text())["queries"]
+def evaluate_bench_gate(
+    baseline: dict[str, float],
+    current: dict[str, float],
+    cal_ratio: float,
+) -> tuple[float, float, list[str]]:
+    """Pure calibration-normalized gate (unit-tested below).
 
-    latest = _latest_bench()
-    if latest is None:
-        pytest.skip("no BENCH_r*.json recorded yet")
-    name, current = latest
-
+    cal_ratio = current run's box_cal_sec / anchor's
+    box_cal_sec_at_refreeze, clamped to >= 1.0: a slower box raises the
+    per-query threshold; a faster box never loosens it (a regression
+    masked by faster hardware is still caught by the absolute 2x gate).
+    Returns (residual_median, per_query_threshold, regressions).
+    """
+    norm = max(1.0, cal_ratio)
     ratios = sorted(
         cur / baseline[q]
         for q, cur in current.items()
         if q in baseline and cur > NOISE_FLOOR_SEC
     )
-    assert ratios, f"{name} shares no super-noise-floor queries with the baseline"
-    box_drift = statistics.median(ratios)
-    assert box_drift <= BOX_DRIFT_MAX, (
-        f"{name}: whole-suite median ratio {box_drift:.2f}x vs frozen baseline — "
-        "global regression or unusable box; investigate before trusting the gate"
-    )
-
-    threshold = MAX_RATIO * max(1.0, box_drift)
+    if not ratios:
+        raise ValueError("no super-noise-floor queries shared with the baseline")
+    residual = statistics.median(ratios) / norm
+    threshold = MAX_RATIO * norm
     regressions = []
     for q, base_sec in baseline.items():
         cur = current.get(q)
@@ -95,10 +106,91 @@ def test_latest_bench_within_2x_of_frozen_baseline():
             continue
         if cur > base_sec * threshold:
             regressions.append(f"{q}: {base_sec:.2f}s -> {cur:.2f}s ({cur / base_sec:.2f}x)")
+    return residual, threshold, regressions
+
+
+def test_latest_bench_within_2x_of_frozen_baseline():
+    baseline_path = REPO / "BASELINE_BENCH.json"
+    assert baseline_path.exists(), "BASELINE_BENCH.json missing — run the refreeze snippet"
+    anchor = json.loads(baseline_path.read_text())
+    baseline = anchor["queries"]
+
+    latest = _latest_bench()
+    if latest is None:
+        pytest.skip("no BENCH_r*.json recorded yet")
+    name, current, box_cal = latest
+
+    anchor_cal = anchor.get("box_cal_sec_at_refreeze")
+    if box_cal and anchor_cal:
+        cal_ratio = box_cal / anchor_cal
+        basis = f"measured calibration ratio {cal_ratio:.2f}x"
+    else:
+        # Legacy pre-r5 bench format without a recorded calibration: fall
+        # back to cohort-median drift inference (the r6-r7 gate).
+        ratios = sorted(
+            cur / baseline[q]
+            for q, cur in current.items()
+            if q in baseline and cur > NOISE_FLOOR_SEC
+        )
+        assert ratios, f"{name} shares no super-noise-floor queries with the baseline"
+        cal_ratio = statistics.median(ratios)
+        basis = f"cohort-median drift estimate {cal_ratio:.2f}x (no calibration recorded)"
+
+    residual, threshold, regressions = evaluate_bench_gate(baseline, current, cal_ratio)
+    assert residual <= BOX_DRIFT_RESIDUAL_MAX, (
+        f"{name}: suite median is {residual:.2f}x the frozen baseline AFTER "
+        f"normalizing by {basis} — a uniform residual this size is a global "
+        "regression, not host drift; investigate before trusting the gate"
+    )
     assert not regressions, (
-        f"{name} regressed >{threshold:.2f}x (2x gate x {box_drift:.2f}x box drift) "
+        f"{name} regressed >{threshold:.2f}x (2x gate x {basis}) "
         f"vs frozen baseline: {regressions}"
     )
+
+
+def test_gate_fails_uniform_regression_at_equal_calibration():
+    """The blind spot the calibration-normalized gate exists to close
+    (VERDICT r07 item 2): a synthetic uniform 1.5x slowdown with the box
+    calibration UNCHANGED must fail the residual backstop — under
+    cohort-median normalization it rode free (1.5 < 1.8 and every
+    per-query ratio equals the inferred 'drift')."""
+    baseline = {f"q{i}": 1.0 + i / 10 for i in range(10)}
+    slowed = {q: sec * 1.5 for q, sec in baseline.items()}
+    residual, _, regressions = evaluate_bench_gate(baseline, slowed, cal_ratio=1.0)
+    assert residual > BOX_DRIFT_RESIDUAL_MAX  # backstop catches it
+    assert not regressions  # per-query 2x gate alone would NOT have
+
+
+def test_gate_tolerates_measured_host_drift():
+    """The same uniform 1.5x, but the calibration kernel also measured
+    1.5x — host placement, not a regression: gate stays green."""
+    baseline = {f"q{i}": 1.0 + i / 10 for i in range(10)}
+    slowed = {q: sec * 1.5 for q, sec in baseline.items()}
+    residual, _, regressions = evaluate_bench_gate(baseline, slowed, cal_ratio=1.5)
+    assert residual <= BOX_DRIFT_RESIDUAL_MAX
+    assert not regressions
+
+
+def test_gate_catches_localized_regression_despite_drift():
+    """A single query 4x slower on a box measured 1.2x slower: the
+    per-query gate (2x x 1.2) fires on that query alone."""
+    baseline = {f"q{i}": 1.0 for i in range(10)}
+    current = {q: sec * 1.2 for q, sec in baseline.items()}
+    current["q3"] = 4.0
+    residual, threshold, regressions = evaluate_bench_gate(baseline, current, cal_ratio=1.2)
+    assert residual <= BOX_DRIFT_RESIDUAL_MAX
+    assert len(regressions) == 1 and regressions[0].startswith("q3:")
+
+
+def test_gate_faster_box_never_loosens():
+    """cal_ratio < 1 clamps to 1.0 — a faster box must not raise the
+    per-query threshold or deflate the residual."""
+    baseline = {f"q{i}": 1.0 for i in range(10)}
+    current = {q: 2.5 for q in baseline}
+    residual, threshold, regressions = evaluate_bench_gate(baseline, current, cal_ratio=0.5)
+    assert threshold == MAX_RATIO
+    assert residual == 2.5
+    assert len(regressions) == 10
 
 # ---- refreeze-rule codification (VERDICT r06 item 4) ----------------------
 # The r6 drift saga as a mechanical rule: BASELINE_BENCH.json must carry the
@@ -156,6 +248,20 @@ def test_refreeze_refuses_single_sample_queries():
     sources["BENCH_rB.json"]["q_new_this_round"] = 5.0  # only source for it
     with pytest.raises(RefreezeRefused, match="single sample"):
         build_refreeze(sources, prior, 0.10)
+
+
+def test_refreeze_carries_forward_prior_anchor_only_queries():
+    """A query that exists only in the prior anchor (every parsable bench
+    source lost it — e.g. summary-format rounds) is carried forward
+    unchanged rather than refused: keeping an existing anchor value cannot
+    be influenced by the round under judgment (ADVICE r07)."""
+    from tools_refreeze_baseline import build_refreeze
+
+    sources, prior = _guard_fixture()
+    prior["queries"]["q_legacy"] = 7.7
+    anchor = build_refreeze(sources, prior, 0.10)
+    assert anchor["queries"]["q_legacy"] == 7.7
+    assert anchor["carried_forward"] == ["q_legacy"]
 
 
 def test_refreeze_medianizes_and_records_provenance():

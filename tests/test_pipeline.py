@@ -731,6 +731,29 @@ def test_delete_by_keys_table_with_marker_named_column(tmp_path, spark):
     assert row["__hit"] is True and row["__hit_"] == 18
 
 
+def test_delete_by_keys_marker_collision_is_case_insensitive(tmp_path, spark):
+    """Spark resolves columns case-insensitively by default, so a table
+    column '__HIT' collides with marker '__hit' even though the Python
+    strings differ — the collision check must compare case-insensitively
+    or the post-join marker reference is ambiguous (ADVICE r07)."""
+    from glue_etl_framework_spark.io.writers import delete_by_keys
+
+    loc = str(tmp_path / "upper_marked")
+    src = spark.range(50).selectExpr(
+        "id AS user_id", "id % 2 = 0 AS __HIT", "id * 3 AS `__HIT_`"
+    )
+    src.write.parquet(loc)
+    doomed = spark.createDataFrame([(1,), (4,)], "user_id long")
+
+    n = delete_by_keys(spark, loc, doomed, ["user_id"])
+    assert n == 2
+    left = spark.read.parquet(loc)
+    assert set(left.columns) == {"user_id", "__HIT", "__HIT_"}
+    assert left.count() == 48
+    row = left.filter("user_id = 6").first()
+    assert row["__HIT"] is True and row["__HIT_"] == 18
+
+
 def test_read_merges_evolving_schema(tmp_path, spark):
     """Schema evolution on file sources: batches written with a column
     added later must read back as one table with nulls for the old rows

@@ -53,3 +53,29 @@ def test_window_is_deterministic():
     """Two loads produce the identical order (the driver and our
     pre-verification sweeps must see the same window)."""
     assert list(load_registry()) == list(load_registry())
+
+
+def test_failed_entry_with_window_rank_still_leads(monkeypatch):
+    """window_rank queues late additions behind the never-checked backlog
+    and keeps green late additions at the tail — but it must NOT delay a
+    FAILED entry's re-entry (ADVICE r07): simulate the rank-1 JDBC entry
+    going red and assert it sorts to position 0."""
+    import glue_etl_framework_spark.queries as q
+
+    load_registry()
+    ranked_name = "io_jdbc_partitioned_read"
+    assert REGISTRY[ranked_name].window_rank > 0  # the premise
+    others = set(REGISTRY) - {ranked_name}
+    monkeypatch.setattr(q, "_driver_history", lambda: (others, {ranked_name}))
+    assert list(q.load_registry())[0] == ranked_name
+
+
+def test_green_entry_with_window_rank_stays_at_tail(monkeypatch):
+    """Once green, a rank>0 entry keeps the registry tail so it never
+    displaces the staleness-refresh window."""
+    import glue_etl_framework_spark.queries as q
+
+    load_registry()
+    ranked_name = "io_jdbc_partitioned_read"
+    monkeypatch.setattr(q, "_driver_history", lambda: (set(REGISTRY), set()))
+    assert list(q.load_registry())[-1] == ranked_name

@@ -68,14 +68,29 @@ def build_refreeze(
             pools.setdefault(q, []).append(float(sec))
     for q, sec in prior_queries.items():
         pools.setdefault(q, []).append(float(sec))
-    thin = sorted(q for q, vals in pools.items() if len(vals) < 2)
+    # Two distinct thin-pool cases (ADVICE r07): a query whose ONLY value
+    # is the prior anchor (it dropped out of every parsable bench source —
+    # e.g. a round recorded in the r05+ summary format) is CARRIED FORWARD
+    # unchanged — keeping an existing anchor value cannot be influenced by
+    # the round under judgment. Only a query that is genuinely new (absent
+    # from the prior anchor, exactly one recorded sample) refuses the
+    # refreeze, because its anchor would come solely from the round being
+    # judged.
+    carried = sorted(
+        q for q, vals in pools.items()
+        if len(vals) < 2 and q in prior_queries
+    )
+    thin = sorted(
+        q for q, vals in pools.items()
+        if len(vals) < 2 and q not in prior_queries
+    )
     if thin:
         raise RefreezeRefused(
             f"{len(thin)} queries would be anchored from a single sample "
             f"(never refreeze only from the round under judgment): {thin[:5]}..."
         )
     base = {q: round(statistics.median(vals), 4) for q, vals in sorted(pools.items())}
-    return {
+    out = {
         "frozen_from": sorted(sources) + ["prior_anchor"],
         "sf": 0.1,
         "note": (
@@ -89,6 +104,9 @@ def build_refreeze(
         "total": round(sum(base.values()), 4),
         "box_cal_sec_at_refreeze": round(float(new_box_cal_sec), 4),
     }
+    if carried:
+        out["carried_forward"] = carried
+    return out
 
 
 def main() -> int:
@@ -108,6 +126,15 @@ def main() -> int:
         queries = (data.get("parsed") or {}).get("queries") or data.get("queries")
         if queries:
             sources[Path(f).name] = queries
+        else:
+            # r05+ rounds record only the compact summary line (per-query
+            # numbers lived in BENCH_DETAIL.json, rewritten by every run) —
+            # say so instead of silently narrowing the median pool
+            # (ADVICE r07).
+            print(
+                f"note: {Path(f).name} skipped as a median source "
+                "(summary format, no per-query data)"
+            )
     sources["BENCH_DETAIL.json"] = detail["detail_queries"]
     try:
         anchor = build_refreeze(sources, prior, new_cal)
