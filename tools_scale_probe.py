@@ -20,6 +20,27 @@ Replication semantics (realistic fact growth, not 10-way exact dupes):
 
 Usage: python tools_scale_probe.py [N_REPLICAS] [query ...]
 Writes the inflated tables to /tmp/scale_probe_<N>x (reused if present).
+
+REALISTIC MODE (VERDICT r07 item 3): `--realistic` builds a documents-only
+corpus with a ~1% planted near-dup rate instead of the 100% replica-sibling
+rate above. The replica construction makes every doc a TRUE near-dup of its
+n-1 siblings — honest for output-driven operators at 10x, but at 100x it
+hands a pair-emitting operator a ~5,000x output blow-up no real corpus has
+(SCALING.md, r7 DNF analysis). Realistic replicas instead:
+- overwrite every word at position i = r (mod 3) with a replica-tagged
+  filler token, which destroys EVERY original word-3-gram (any 3
+  consecutive positions hit one overwritten slot), so cross-replica
+  Jaccard is ~0 — replicas are fresh documents, not dups;
+- the shared filler keeps within-replica shingle document frequencies
+  heavy (boilerplate-like `(a, zzN, b)` trigrams), so prefix-filter
+  candidate buckets still grow with the corpus — the actual 100 TB
+  stressor;
+- ~1% of each replica's docs are planted near-dups of an in-replica
+  partner (partner text + a short tail, Jaccard ~ m/(m+7) >> tau=0.5),
+  so TRUE pairs grow linearly with volume: a constant dup RATE, the way a
+  real scraped corpus grows.
+Only `documents.parquet` is built (plus untouched passthroughs of the
+small fixed tables), so realistic probes accept document-only queries.
 """
 
 from __future__ import annotations
@@ -100,21 +121,80 @@ def build(spark, n: int, out_dir: str) -> None:
     )
 
 
+def build_realistic(spark, n: int, out_dir: str) -> None:
+    """Documents-only corpus at n x volume with a ~1% planted near-dup
+    rate (module docstring, REALISTIC MODE). Deterministic end to end:
+    the filler token, planting condition, and partner choice are pure
+    functions of (doc_id, replica)."""
+    from pyspark.sql import Window as W
+
+    for name in ("region", "nation"):
+        t(spark, SRC, name).write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+    base = t(spark, SRC, "documents")
+    reps = []
+    for r in range(n):
+        if r == 0:
+            reps.append(base)
+            continue
+        rep = base.withColumn("doc_id", F.col("doc_id") + r * KEY_OFFSET)
+        # Overwrite every word at position i = r (mod 3) with the replica
+        # filler: no original 3-gram survives (every window of 3 positions
+        # contains one overwritten slot), and two replicas never share a
+        # filler-bearing shingle (different tag or different alignment).
+        rep = rep.withColumn(
+            "text",
+            F.array_join(
+                F.expr(
+                    f"transform(split(text, ' '), (w, i) -> "
+                    f"IF(i % 3 = {r % 3}, 'zz{r}', w))"
+                ),
+                " ",
+            ),
+        )
+        # Plant ~1% near-dups WITHIN the replica: partner = the previous
+        # doc in a hash-bucket scan order; planted text = partner text +
+        # a short tail (appending never destroys existing 3-grams, so the
+        # planted doc's shingle set is a superset: J = m/(m+~7) >> 0.5).
+        # Cluster size is 2 and partners are replica-local, so true pairs
+        # grow LINEARLY with corpus volume — a constant ~1% dup rate.
+        w = W.partitionBy(F.pmod(F.col("doc_id"), F.lit(97))).orderBy("doc_id")
+        partner = F.lag("text").over(w)
+        planted = (F.pmod(F.col("doc_id"), F.lit(100)) == 1) & partner.isNotNull()
+        rep = rep.withColumn(
+            "text",
+            F.when(
+                planted, F.concat(partner, F.lit(f" planted tail qq{r} ww ee"))
+            ).otherwise(F.col("text")),
+        )
+        reps.append(rep)
+    out = reps[0]
+    for rep in reps[1:]:
+        out = out.unionByName(rep)
+    out.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    queries = sys.argv[2:] or DEFAULT_QUERIES
-    out_dir = f"/tmp/scale_probe_{n}x"
+    argv = [a for a in sys.argv[1:] if a != "--realistic"]
+    realistic = "--realistic" in sys.argv[1:]
+    n = int(argv[0]) if argv else 10
+    queries = argv[1:] or (
+        ["dedup_prefix_filter_jaccard"] if realistic else DEFAULT_QUERIES
+    )
+    out_dir = f"/tmp/scale_probe_{n}x_realistic" if realistic else f"/tmp/scale_probe_{n}x"
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
     spark = get_spark(app_name="scale_probe", shuffle_partitions=cpus)
     reg = load_registry()
     done_marker = f"{out_dir}/_BUILD_COMPLETE"
     if not os.path.exists(done_marker):
         print(f"building {n}x tables in {out_dir} ...", flush=True)
-        build(spark, n, out_dir)
+        (build_realistic if realistic else build)(spark, n, out_dir)
         Path(done_marker).touch()
 
     def run(fn, sf_dir):
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    import math
 
     for name in queries:
         fn = reg[name].fn
@@ -131,10 +211,17 @@ def main() -> None:
             run(fn, out_dir)
             big.append(time.perf_counter() - t0)
         b, g = statistics.median(base), statistics.median(big)
-        print(
-            f"{name}: sf0.1 {b:.2f}s  {n}x {g:.2f}s  ratio {g / b:.1f}",
-            flush=True,
-        )
+        line = f"{name}: sf0.1 {b:.2f}s  {n}x {g:.2f}s  ratio {g / b:.1f}"
+        if realistic:
+            # SCALING.md's exponent convention: wall ~ volume^e.
+            exp = math.log(g / b) / math.log(n)
+            rows_base = fn(spark, SRC).count()
+            rows_big = fn(spark, out_dir).count()
+            line += (
+                f"  exponent {exp:.2f}  output {rows_base} -> {rows_big} "
+                f"({rows_big / max(rows_base, 1):.0f}x)"
+            )
+        print(line, flush=True)
 
 
 if __name__ == "__main__":
