@@ -152,11 +152,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped on both engines before the self-join (see the constant's
     comment for the k^2-pairs rationale and recall trade). The DF filter
     is a shingle-partitioned window, so its shuffle key matches the
-    self-join key."""
+    self-join key. Shingles are hashed to 64-bit tokens before the first
+    shuffle (token-dictionary compression — rationale, losslessness, and
+    collision arithmetic in dedup_prefix_filter_jaccard's docstring; the
+    oracle stays string-exact, so the driver certifies the equivalence)."""
     from pyspark.sql import Window as W
 
     sh = (
         _shingles(spark, sf_dir)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
         .withColumn("df_ct", F.count("*").over(W.partitionBy("shingle")))
         .filter(F.col("df_ct") <= SHINGLE_DF_CAP)
         .drop("df_ct")
@@ -968,7 +972,8 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     via a fixed x3 offset explode — no range join, no skew (ranks are
     unique within a bucket). Verification joins candidates doc-keyed to
     sorted shingle arrays: O(candidates) = O(n), never a shingle-keyed
-    pair blowup."""
+    pair blowup. Verify arrays hold 64-bit hashed tokens, not shingle
+    strings (see dedup_prefix_filter_jaccard's compression note)."""
     from pyspark.sql import Window as W
 
     d = t(spark, sf_dir, "documents")
@@ -995,7 +1000,9 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sh = _shingles(spark, sf_dir)
+    sh = _shingles(spark, sf_dir).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
     union_n = F.col("na") + F.col("nb") - F.col("n_common")
     jac = F.col("n_common").cast("double") / union_n.cast("double")
     return (

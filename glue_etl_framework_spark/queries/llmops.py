@@ -3126,13 +3126,18 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     k^2 candidate pairs) are dropped from BOTH the numerator and the
     denominator on both engines; see dedup.SHINGLE_DF_CAP for the recall
     trade. Directional: (A,B) and (B,A) both emitted with their own
-    denominators."""
+    denominators. Trigrams are hashed to 64-bit tokens before the first
+    shuffle (token-dictionary compression — rationale and collision
+    arithmetic in dedup.dedup_prefix_filter_jaccard's docstring; the
+    oracle stays string-exact, so the driver certifies the equivalence)."""
     from pyspark.sql import Window as W
 
     d = t(spark, sf_dir, "documents")
-    g0 = d.select(
-        "doc_id", F.explode(F.expr(TRIGRAM_REGEX)).alias("g")
-    ).distinct()
+    g0 = (
+        d.select("doc_id", F.explode(F.expr(TRIGRAM_REGEX)).alias("g"))
+        .distinct()
+        .select("doc_id", F.xxhash64("g").alias("g"))
+    )
     # DF ceiling via a shingle-partitioned window: one shuffle on g, which
     # the candidate self-join below reuses (same key).
     g = (

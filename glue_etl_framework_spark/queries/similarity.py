@@ -1008,10 +1008,17 @@ def similarity_tfidf_shingle_cosine(spark: SparkSession, sf_dir: str) -> DataFra
     ~0 anyway: the cap and the weighting agree), per-doc norms keyed on
     doc_id, no data-sized broadcast (the N scalar is a 1-row cross
     join). Candidate volume bounds and the hot-key rationale are
-    SHINGLE_DF_CAP's comment in dedup.py."""
+    SHINGLE_DF_CAP's comment in dedup.py. Shingles are hashed to 64-bit
+    tokens before the first shuffle (token-dictionary compression —
+    rationale and collision arithmetic in dedup_prefix_filter_jaccard's
+    docstring; a collision would merge two shingles' df counts and
+    weights, p ~ 1e-15 here — the oracle stays string-exact, so the
+    driver certifies the equivalence)."""
     from glue_etl_framework_spark.queries.dedup import _shingles
 
-    sh = _shingles(spark, sf_dir)
+    sh = _shingles(spark, sf_dir).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
     nd = sh.agg(F.count_distinct("doc_id").alias("n"))
     dfs = (
         sh.groupBy("shingle")
