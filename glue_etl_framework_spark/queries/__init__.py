@@ -112,8 +112,8 @@ _MODULES = [
 ]
 
 
-def _driver_history() -> tuple[set[str], set[str]]:
-    """(passed, failed) name sets from past driver CORRECTNESS rounds.
+def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
+    """(passed, failed, last_pass_round) from past driver CORRECTNESS rounds.
 
     The driver's correctness window is the first ~50 entries of ``queries()``
     per round, so rotation is the only way every operator eventually gets a
@@ -121,13 +121,22 @@ def _driver_history() -> tuple[set[str], set[str]]:
     self-maintaining. An entry whose LATEST driver row was red (hash/rows/
     schema mismatch or an error) counts as FAILED, not checked — it must
     re-enter the very next window so the fix gets its green row.
+
+    ``last_pass_round`` maps each passed name to the (1-based) index of the
+    most recent round whose row for it was green — the green tier sorts by
+    it ascending (STALEST first), so once the whole registry is green the
+    window keeps rotating as a staleness refresh instead of freezing on the
+    first modules forever (round-9 change; before it, an all-green registry
+    re-attested the same tpch/io head every round and the tail never got a
+    fresh row).
     """
     import json
     from pathlib import Path
 
     repo_root = Path(__file__).resolve().parents[2]
     latest: dict[str, bool] = {}
-    for f in sorted(repo_root.glob("CORRECTNESS_r*.json")):
+    last_pass: dict[str, int] = {}
+    for rnd, f in enumerate(sorted(repo_root.glob("CORRECTNESS_r*.json")), 1):
         try:
             data = json.loads(f.read_text())
         except (OSError, ValueError):
@@ -137,15 +146,18 @@ def _driver_history() -> tuple[set[str], set[str]]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 latest[name] = True
+                last_pass[name] = rnd
                 continue
             ok = row.get("err") is None and not any(
                 row.get(k) is False
                 for k in ("rows_match", "schema_match", "hash_match")
             )
             latest[name] = ok
+            if ok:
+                last_pass[name] = rnd
     passed = {n for n, ok in latest.items() if ok}
     failed = {n for n, ok in latest.items() if not ok}
-    return passed, failed
+    return passed, failed, last_pass
 
 
 def load_registry() -> dict[str, QuerySpec]:
@@ -153,10 +165,12 @@ def load_registry() -> dict[str, QuerySpec]:
     ordered for the driver's windowed correctness check: previously-FAILED
     entries first (their fix needs a green row immediately), then
     never-checked entries (module-priority order, insertion order within a
-    module), then everything already green — see _driver_history."""
+    module), then everything already green ordered STALEST-ATTESTATION-FIRST
+    (so the window rotates through the whole registry as a staleness
+    refresh once everything is green) — see _driver_history."""
     for mod in _MODULES:
         importlib.import_module(f"glue_etl_framework_spark.queries.{mod}")
-    passed, failed = _driver_history()
+    passed, failed, last_pass = _driver_history()
     mod_rank = {m: i for i, m in enumerate(_MODULES)}
     order = list(REGISTRY)
 
@@ -180,6 +194,10 @@ def load_registry() -> dict[str, QuerySpec]:
             # "failed re-enters immediately" intent if the failed set
             # ever exceeds the window).
             0 if tier(order[i]) == 0 else REGISTRY[order[i]].window_rank,
+            # Staleness: green entries with the OLDEST last green row come
+            # first, so every entry's driver attestation stays at most
+            # ~ceil(322/42) rounds old. 0 for non-green tiers (no effect).
+            last_pass.get(order[i], 0) if tier(order[i]) == 2 else 0,
             mod_rank.get(
                 REGISTRY[order[i]].fn.__module__.rsplit(".", 1)[-1], 99
             ),

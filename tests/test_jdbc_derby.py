@@ -178,7 +178,7 @@ def test_jdbc_partitioned_entry_queues_behind_attestation_backlog():
     from glue_etl_framework_spark.queries import REGISTRY, _driver_history, load_registry
 
     names = list(load_registry())
-    passed, failed = _driver_history()
+    passed, failed, _last_pass = _driver_history()
     never = [n for n in names if n not in passed and n not in failed]
     assert "io_jdbc_partitioned_read" in never or "io_jdbc_partitioned_read" in passed
     if "io_jdbc_partitioned_read" in never:

@@ -17,7 +17,7 @@ def test_failed_rows_outrank_everything():
     """An entry whose latest driver row was red must re-enter the next
     window ahead of never-checked entries — a fix that never gets its
     green row stays red forever."""
-    passed, failed = _driver_history()
+    passed, failed, _last_pass = _driver_history()
     if not failed:
         return  # nothing red on record; nothing to order
     names = list(load_registry())
@@ -29,7 +29,7 @@ def test_failed_rows_outrank_everything():
 
 
 def test_never_checked_precede_green():
-    passed, failed = _driver_history()
+    passed, failed, _last_pass = _driver_history()
     names = list(load_registry())
     tiers = [0 if n in failed else 2 if n in passed else 1 for n in names]
     assert tiers == sorted(tiers), "ordering must be failed < never-checked < green"
@@ -55,6 +55,40 @@ def test_window_is_deterministic():
     assert list(load_registry()) == list(load_registry())
 
 
+def test_green_tier_orders_stalest_attestation_first():
+    """Once green, entries rotate through the window oldest-attestation
+    first (round 9): among rank-0 green entries, last-pass rounds must be
+    non-decreasing in registry order, so every entry's driver row stays at
+    most ~ceil(|green|/window) rounds old instead of the window freezing
+    on the first modules forever."""
+    passed, failed, last_pass = _driver_history()
+    names = list(load_registry())
+    green_rounds = [
+        last_pass[n]
+        for n in names
+        if n in passed and REGISTRY[n].window_rank == 0
+    ]
+    assert green_rounds == sorted(green_rounds), (
+        "green tier must be ordered stalest-first by last green round"
+    )
+
+
+def test_staleness_rotation_synthetic(monkeypatch):
+    """An entry last green in round 2 must enter the window before one
+    last green in round 7, regardless of module order."""
+    import glue_etl_framework_spark.queries as q
+
+    load_registry()
+    names = list(REGISTRY)
+    rank0 = [n for n in names if REGISTRY[n].window_rank == 0]
+    stale, fresh = rank0[-1], rank0[0]  # reversed module order on purpose
+    last = dict.fromkeys(names, 5)
+    last[stale], last[fresh] = 2, 7
+    monkeypatch.setattr(q, "_driver_history", lambda: (set(names), set(), last))
+    ordered = list(q.load_registry())
+    assert ordered.index(stale) < ordered.index(fresh)
+
+
 def test_failed_entry_with_window_rank_still_leads(monkeypatch):
     """window_rank queues late additions behind the never-checked backlog
     and keeps green late additions at the tail — but it must NOT delay a
@@ -66,7 +100,9 @@ def test_failed_entry_with_window_rank_still_leads(monkeypatch):
     ranked_name = "io_jdbc_partitioned_read"
     assert REGISTRY[ranked_name].window_rank > 0  # the premise
     others = set(REGISTRY) - {ranked_name}
-    monkeypatch.setattr(q, "_driver_history", lambda: (others, {ranked_name}))
+    monkeypatch.setattr(
+        q, "_driver_history", lambda: (others, {ranked_name}, dict.fromkeys(others, 1))
+    )
     assert list(q.load_registry())[0] == ranked_name
 
 
@@ -77,5 +113,9 @@ def test_green_entry_with_window_rank_stays_at_tail(monkeypatch):
 
     load_registry()
     ranked_name = "io_jdbc_partitioned_read"
-    monkeypatch.setattr(q, "_driver_history", lambda: (set(REGISTRY), set()))
+    monkeypatch.setattr(
+        q,
+        "_driver_history",
+        lambda: (set(REGISTRY), set(), dict.fromkeys(REGISTRY, 1)),
+    )
     assert list(q.load_registry())[-1] == ranked_name
