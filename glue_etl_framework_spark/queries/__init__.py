@@ -40,13 +40,43 @@ class QuerySpec:
     # Tie-break within the never-checked and green tiers of
     # load_registry(): entries added while an attestation backlog exists
     # set this >0 so they queue BEHIND the backlog in the driver window
-    # and can never displace it (VERDICT r06 item 5), and once green they
-    # stay at the registry tail. Ignored for FAILED entries — a failure
-    # re-enters the very next window regardless of rank (ADVICE r07).
+    # and can never displace it (VERDICT r06 item 5). Once green they stay
+    # at the registry tail only while RECENTLY attested: when the green
+    # row is >= STALE_OVERRIDE_AGE rounds old the rank is overridden so
+    # the entry re-enters the staleness refresh (ADVICE r09). Ignored for
+    # FAILED entries — a failure re-enters the very next window
+    # regardless of rank (ADVICE r07).
     window_rank: int = 0
 
 
 REGISTRY: dict[str, QuerySpec] = {}
+
+# One full staleness rotation is ~ceil(322 green entries / 42-slot window)
+# ≈ 8 rounds. A green window_rank>0 entry older than this re-enters the
+# staleness refresh like any rank-0 entry (see load_registry).
+STALE_OVERRIDE_AGE = 8
+
+# Queries whose plans aggregate over an exploded (doc_a, doc_b)
+# candidate-pair stream — the class whose partial-aggregation buffers
+# violated the per-task memory floor in the r9 100x probe
+# (session.PAIR_EMITTER_FLOOR_GIB_PER_CORE; SCALING.md sixth probe).
+# tools_scale_probe.py warns before running one of these on a below-floor
+# local JVM. Extend when adding a new pair emitter.
+PAIR_EMITTING_QUERIES = frozenset({
+    "dedup_ngram_jaccard",
+    "dedup_containment_pairs",
+    "dedup_prefix_filter_jaccard",
+    "dedup_sorted_neighborhood",
+    "dedup_minhash_lsh",
+    "dedup_minhash_verified",
+    "dedup_minhash_against_corpus",
+    "dedup_simhash_pairs",
+    "dedup_ngram_contamination",
+    "similarity_tfidf_shingle_cosine",
+    "similarity_neardup_pairs",
+    "similarity_lsh_hyperplane_pairs",
+    "graph_link_prediction_jaccard",
+})
 
 
 def register(name: str, oracle: str | None, category: str, window_rank: int = 0):
@@ -131,12 +161,23 @@ def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
     fresh row).
     """
     import json
+    import re
     from pathlib import Path
 
     repo_root = Path(__file__).resolve().parents[2]
     latest: dict[str, bool] = {}
     last_pass: dict[str, int] = {}
-    for rnd, f in enumerate(sorted(repo_root.glob("CORRECTNESS_r*.json")), 1):
+    # Sort and number rounds by the EXTRACTED round number, not filename
+    # lexicographic order — zero-padded names break at r100 (r100 would sort
+    # between r10 and r11), mis-ordering both latest-wins and the staleness
+    # ranking (ADVICE r09). Rounds may be missing (r08 never ran): last_pass
+    # stores the true round number, so staleness gaps are measured honestly.
+    rounds = sorted(
+        (int(m.group(1)), f)
+        for f in repo_root.glob("CORRECTNESS_r*.json")
+        if (m := re.search(r"_r(\d+)\.json$", f.name))
+    )
+    for rnd, f in rounds:
         try:
             data = json.loads(f.read_text())
         except (OSError, ValueError):
@@ -173,6 +214,7 @@ def load_registry() -> dict[str, QuerySpec]:
     passed, failed, last_pass = _driver_history()
     mod_rank = {m: i for i, m in enumerate(_MODULES)}
     order = list(REGISTRY)
+    latest_round = max(last_pass.values(), default=0)
 
     def tier(name: str) -> int:
         if name in failed:
@@ -181,22 +223,34 @@ def load_registry() -> dict[str, QuerySpec]:
             return 2
         return 1
 
+    def effective_rank(name: str, tr: int) -> int:
+        # window_rank queues late additions behind the attestation backlog
+        # (never-checked tier) and keeps a RECENTLY-green late addition at
+        # the registry tail — but it must not exclude an entry from the
+        # staleness refresh forever. Two overrides:
+        # - a FAILED entry re-enters the very next window regardless of
+        #   rank (ADVICE r07: a failed rank>0 entry otherwise sorts behind
+        #   every failed rank-0 entry);
+        # - a GREEN entry whose attestation is at least STALE_OVERRIDE_AGE
+        #   rounds old drops its rank so staleness governs (ADVICE r09: a
+        #   permanently-excluded green ranked entry would go stale forever,
+        #   breaking the "at most ~one rotation period old" guarantee).
+        if tr == 0:
+            return 0
+        if tr == 2 and latest_round - last_pass.get(name, latest_round) >= STALE_OVERRIDE_AGE:
+            return 0
+        return REGISTRY[name].window_rank
+
     ranked = sorted(
         range(len(order)),
         key=lambda i: (
             tier(order[i]),
-            # window_rank queues late additions behind the attestation
-            # backlog (never-checked tier) and keeps already-green late
-            # additions at the registry tail — but a FAILED entry must
-            # re-enter the very next window regardless of its rank
-            # (ADVICE r07: a failed rank>0 entry otherwise sorts behind
-            # every failed rank-0 entry, deviating from the documented
-            # "failed re-enters immediately" intent if the failed set
-            # ever exceeds the window).
-            0 if tier(order[i]) == 0 else REGISTRY[order[i]].window_rank,
+            effective_rank(order[i], tier(order[i])),
             # Staleness: green entries with the OLDEST last green row come
             # first, so every entry's driver attestation stays at most
-            # ~ceil(322/42) rounds old. 0 for non-green tiers (no effect).
+            # ~ceil(322/42) rounds old — including ranked entries, whose
+            # rank is overridden once their age reaches STALE_OVERRIDE_AGE
+            # (effective_rank above). 0 for non-green tiers (no effect).
             last_pass.get(order[i], 0) if tier(order[i]) == 2 else 0,
             mod_rank.get(
                 REGISTRY[order[i]].fn.__module__.rsplit(".", 1)[-1], 99

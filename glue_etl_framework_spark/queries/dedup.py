@@ -818,7 +818,8 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-similarity self-join via PREFIX FILTERING (Chaudhuri et al.
     SSJoin / Bayardo et al. All-Pairs; same family as PPJoin): order each
     document's shingles by ascending global document frequency (rarest
-    first, shingle text as the deterministic tie-break) and probe with
+    first, the 64-bit hashed shingle token as the deterministic
+    tie-break — still total and engine-independent) and probe with
     only the first |S| - ceil(τ·|S|) + 1 of them. Two documents with
     Jaccard >= τ MUST share a prefix shingle under a common global order,
     so the filter is LOSSLESS — which the oracle proves end-to-end: it is

@@ -13,6 +13,7 @@ on ``local[N]``.
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Mapping
 
 from pyspark.sql import SparkSession
@@ -73,6 +74,77 @@ def assemble_conf(
     if extra_conf:
         conf.update({str(k): str(v) for k, v in extra_conf.items()})
     return conf
+
+
+# Empirical per-task memory floor for PAIR-EMITTING aggregates (group-by
+# over an exploded (doc_a, doc_b) candidate-pair stream): the r9 100x
+# ngram-Jaccard probe OOM'd (UNABLE_TO_ACQUIRE_MEMORY) at 16 GiB / 32 cores
+# = 0.5 GiB/core — 32 concurrent partial-aggregation buffers starved the
+# unified pool before spill could engage — and completed cleanly at 2 GiB/
+# core (SCALING.md, sixth probe). Below-floor runs are not wrong, just at
+# OOM risk once the pair stream outgrows toy scale.
+PAIR_EMITTER_FLOOR_GIB_PER_CORE = 2.0
+
+_MEM_UNIT_GIB = {"k": 1 / 1024**2, "m": 1 / 1024, "g": 1.0, "t": 1024.0}
+
+
+def parse_memory_gib(mem: str) -> float:
+    """JVM memory string ('16g', '65536m', '2t', bare bytes) -> GiB."""
+    s = mem.strip().lower()
+    if s and s[-1] in _MEM_UNIT_GIB:
+        return float(s[:-1]) * _MEM_UNIT_GIB[s[-1]]
+    return float(s) / 1024**3
+
+
+def local_core_count(master: str) -> int | None:
+    """Task-slot count of a local[N] master; None for cluster masters
+    (executors own their memory there — the driver-heap floor is inert)."""
+    if master == "local":
+        return 1
+    m = re.fullmatch(r"local\[(\*|\d+)(,\d+)?\]", master)
+    if not m:
+        return None
+    g = m.group(1)
+    return (os.cpu_count() or 1) if g == "*" else int(g)
+
+
+def pair_emitter_memory_warning(
+    master: str, driver_memory: str, query_name: str
+) -> str | None:
+    """Return a warning string when a pair-emitting query is about to run
+    on a local[N] JVM whose heap/core ratio is below
+    PAIR_EMITTER_FLOOR_GIB_PER_CORE; None when the floor holds or the
+    master is a cluster (mechanical form of the SCALING.md sixth-probe
+    finding — VERDICT r09 item 7)."""
+    cores = local_core_count(master)
+    if cores is None:
+        return None
+    gib = parse_memory_gib(driver_memory)
+    per_core = gib / max(cores, 1)
+    if per_core >= PAIR_EMITTER_FLOOR_GIB_PER_CORE:
+        return None
+    return (
+        f"pair-emitting query {query_name!r} on {master} with "
+        f"{gib:.1f} GiB driver heap = {per_core:.2f} GiB/core, below the "
+        f"{PAIR_EMITTER_FLOOR_GIB_PER_CORE} GiB/core floor for pair-emitting "
+        f"aggregates (SCALING.md sixth probe: 100x run OOM'd at 0.5 GiB/core, "
+        f"completed at 2 GiB/core). Raise SPARK_GRAFT_DRIVER_MEMORY or lower "
+        f"SPARK_GRAFT_CPUS for beyond-toy-scale inputs."
+    )
+
+
+def warn_if_below_pair_emitter_floor(spark: SparkSession, query_name: str) -> str | None:
+    """Emit (and return) the floor warning for a live session, once per
+    query name per process. Reads the session's actual master and driver
+    memory, so it reflects what the JVM really got."""
+    import warnings
+
+    master = spark.conf.get("spark.master", "")
+    mem = spark.conf.get("spark.driver.memory", "1g")
+    msg = pair_emitter_memory_warning(master, mem, query_name)
+    if msg is not None:
+        warnings.warn(msg, ResourceWarning, stacklevel=2)
+    return msg
 
 
 def get_spark(

@@ -107,8 +107,8 @@ def test_failed_entry_with_window_rank_still_leads(monkeypatch):
 
 
 def test_green_entry_with_window_rank_stays_at_tail(monkeypatch):
-    """Once green, a rank>0 entry keeps the registry tail so it never
-    displaces the staleness-refresh window."""
+    """Once green and RECENTLY attested, a rank>0 entry keeps the registry
+    tail so it never displaces the staleness-refresh window."""
     import glue_etl_framework_spark.queries as q
 
     load_registry()
@@ -119,3 +119,54 @@ def test_green_entry_with_window_rank_stays_at_tail(monkeypatch):
         lambda: (set(REGISTRY), set(), dict.fromkeys(REGISTRY, 1)),
     )
     assert list(q.load_registry())[-1] == ranked_name
+
+
+def test_stale_green_ranked_entry_reenters_refresh(monkeypatch):
+    """ADVICE r09: a green rank>0 entry must NOT be excluded from the
+    staleness refresh forever. Once its attestation is STALE_OVERRIDE_AGE
+    rounds old, the rank is overridden and it sorts by staleness like any
+    other green entry — here it is the stalest, so it must lead the
+    green tier (position 0, no failed/never-checked entries)."""
+    import glue_etl_framework_spark.queries as q
+
+    load_registry()
+    ranked_name = "io_jdbc_partitioned_read"
+    assert REGISTRY[ranked_name].window_rank > 0  # the premise
+    latest = 20
+    last = dict.fromkeys(REGISTRY, latest)
+    last[ranked_name] = latest - q.STALE_OVERRIDE_AGE
+    monkeypatch.setattr(
+        q, "_driver_history", lambda: (set(REGISTRY), set(), last)
+    )
+    assert list(q.load_registry())[0] == ranked_name
+
+
+def test_round_numbers_sort_numerically(tmp_path, monkeypatch):
+    """ADVICE r09: round order must come from the extracted round number,
+    not filename lexicographic order — r100 sorts between r10 and r11
+    lexicographically, which would let a stale r10 row overwrite the
+    r100 verdict in latest-wins."""
+    import json
+
+    import glue_etl_framework_spark.queries as q
+
+    green = {"x": {"err": None, "rows_match": True, "hash_match": True}}
+    red = {"x": {"err": "boom"}}
+    (tmp_path / "CORRECTNESS_r10.json").write_text(json.dumps(red))
+    (tmp_path / "CORRECTNESS_r100.json").write_text(json.dumps(green))
+
+    import pathlib
+
+    real_glob = pathlib.Path.glob
+
+    def fake_glob(self, pattern):
+        if pattern == "CORRECTNESS_r*.json":
+            return real_glob(tmp_path, pattern)
+        return real_glob(self, pattern)
+
+    monkeypatch.setattr(pathlib.Path, "glob", fake_glob)
+    passed, failed, last_pass = q._driver_history()
+    assert "x" in passed and "x" not in failed, (
+        "r100 (the true latest round) must win over r10"
+    )
+    assert last_pass["x"] == 100
