@@ -132,11 +132,14 @@ def pipeline_training_data_curation(
     from glue_etl_framework_spark.queries.dedup import _minhash_sig_cols
 
     sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
+    # xxhash64 band keys where the oracle keys on md5 strings — identical
+    # buckets over the same md5-exact signature pairs (see
+    # dedup._minhash_candidates, round 10).
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat(F.col(f"s{2*b}"), F.col(f"s{2*b+1}"))).alias("bh"),
+                F.xxhash64(F.concat(F.col(f"s{2*b}"), F.col(f"s{2*b+1}"))).alias("bh"),
             )
             for b in range(N_MINHASH // BAND_SIZE)
         ]
@@ -521,13 +524,14 @@ def curation_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
+    # xxhash64 band keys (see dedup._minhash_candidates, round 10)
     band_rows = []
     for b in range(N_MINHASH // BAND_SIZE):
         band_rows.append(
             sig.select(
                 "doc_id",
                 F.lit(b).alias("band"),
-                F.md5(F.concat(F.col(f"s{2*b}"), F.col(f"s{2*b+1}"))).alias("bh"),
+                F.xxhash64(F.concat(F.col(f"s{2*b}"), F.col(f"s{2*b+1}"))).alias("bh"),
             )
         )
     bands = band_rows[0]

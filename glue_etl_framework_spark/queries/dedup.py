@@ -233,13 +233,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_candidates(sh: DataFrame) -> DataFrame:
     """Banded-LSH candidate pairs from a (doc_id, shingle) frame (the body
     of dedup_minhash_lsh, reusable against a shared/materialized shingle
-    set — see dedup_minhash_verified)."""
+    set — see dedup_minhash_verified).
+
+    Band-key compression (round 10, VERDICT r09 item 6): the bucket key is
+    xxhash64 of the band's signature pair — an 8-byte long — where the
+    oracle keys on md5(s_2b || s_2b+1), a 32-char string. Both are
+    injective-in-practice functions of the SAME signature pair (which
+    stays md5-of-shingle-string, reproduced exactly by the oracle), so the
+    bucket partitions are identical and the output pair set matches the
+    oracle's unless two distinct signature pairs collide in 64 bits within
+    one band (p ~ n_docs^2/2^65 per band — the same documented trade as
+    the r9 shingle-token hashing, certified end-to-end by the driver
+    hash-match). The self-join shuffle moves ~4x less key volume and skips
+    4 md5 digests per doc."""
     sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat(F.col(f"s{2*b}"), F.col(f"s{2*b+1}"))).alias("bh"),
+                F.xxhash64(F.concat(F.col(f"s{2*b}"), F.col(f"s{2*b+1}"))).alias("bh"),
             )
             for b in range(N_MINHASH // BAND_SIZE)
         ]
@@ -432,11 +444,20 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir).localCheckpoint(eager=True)
     cand = _minhash_candidates(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("sh_b"))
+    # Verify-stage token compression (round 10, VERDICT r09 item 6): the
+    # exact-Jaccard verify only needs intersection COUNTS, so both verify
+    # sides shuffle xxhash64 tokens (8-byte longs) instead of ~30-byte
+    # shingle strings — the r9 token trick, applied downstream of the
+    # signature stage, which stays md5-of-STRING so the oracle reproduces
+    # it bit-exactly. Same collision arithmetic as
+    # dedup_prefix_filter_jaccard's docstring; the string-exact oracle
+    # certifies the equivalence through the driver hash-match.
+    sh_tok = sh.select("doc_id", F.xxhash64("shingle").alias("tok"))
+    a = sh_tok.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
+    b = sh_tok.select(F.col("doc_id").alias("b_id"), F.col("tok").alias("tok_b"))
     inter = (
         cand.join(a, "doc_a")
-        .join(b, (F.col("doc_b") == F.col("b_id")) & (F.col("sh_a") == F.col("sh_b")))
+        .join(b, (F.col("doc_b") == F.col("b_id")) & (F.col("tok_a") == F.col("tok_b")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )

@@ -954,12 +954,15 @@ def dedup_minhash_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def bands_of(side_filter):
+        # Band keys are xxhash64 longs where the oracle keys on md5
+        # strings — identical bucket partitions over the same md5-exact
+        # signature pairs (see dedup._minhash_candidates, round 10).
         sig = sh.filter(side_filter).groupBy("doc_id").agg(*_minhash_sig_cols())
         band_structs = F.array(
             *[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.md5(F.concat(F.col(f"s{2*b}"), F.col(f"s{2*b+1}"))).alias("bh"),
+                    F.xxhash64(F.concat(F.col(f"s{2*b}"), F.col(f"s{2*b+1}"))).alias("bh"),
                 )
                 for b in range(N_MINHASH // BAND_SIZE)
             ]
@@ -981,11 +984,17 @@ def dedup_minhash_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("a_id"), F.col("shingle").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("sh_b"))
+    # Verify-stage token compression (round 10): exact-Jaccard counts over
+    # xxhash64 tokens instead of shingle strings — 8-byte longs through
+    # both verify shuffles; signatures upstream stay md5-of-string (see
+    # dedup.dedup_minhash_verified and the collision arithmetic in
+    # dedup.dedup_prefix_filter_jaccard's docstring).
+    sh_tok = sh.select("doc_id", F.xxhash64("shingle").alias("tok"))
+    a = sh_tok.select(F.col("doc_id").alias("a_id"), F.col("tok").alias("tok_a"))
+    b = sh_tok.select(F.col("doc_id").alias("b_id"), F.col("tok").alias("tok_b"))
     inter = (
         cand.join(a, F.col("doc_id") == F.col("a_id"))
-        .join(b, (F.col("corpus_doc_id") == F.col("b_id")) & (F.col("sh_a") == F.col("sh_b")))
+        .join(b, (F.col("corpus_doc_id") == F.col("b_id")) & (F.col("tok_a") == F.col("tok_b")))
         .groupBy("doc_id", "corpus_doc_id")
         .agg(F.count("*").alias("n_common"))
     )
