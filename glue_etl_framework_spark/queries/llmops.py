@@ -3157,12 +3157,33 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
     ga = g.select(F.col("doc_id").alias("doc_a"), "g")
     gb = g.select(F.col("doc_id").alias("doc_b"), "g")
-    inter = (
+    # shared-count is symmetric, so aggregate each unordered pair ONCE
+    # (doc_a < doc_b applied inside the join probe) and emit the two
+    # directional rows AFTER the aggregate with a 2-element explode —
+    # halves the pair-stream shuffle into the groupBy, the operator's
+    # dominant exchange, without a union (one subtree, nothing recomputed).
+    inter_sym = (
         ga.join(gb, "g")
-        .filter(F.col("doc_a") != F.col("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))
     )
+    inter = inter_sym.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_a"),
+                    F.col("doc_b").alias("doc_b"),
+                    F.col("shared").alias("shared"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_a"),
+                    F.col("doc_a").alias("doc_b"),
+                    F.col("shared").alias("shared"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.doc_a", "x.doc_b", "x.shared")
     contain = F.col("shared").cast("double") / F.col("n_a")
     return (
         inter.join(
