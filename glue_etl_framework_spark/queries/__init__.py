@@ -189,7 +189,20 @@ def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
                 latest[name] = True
                 last_pass[name] = rnd
                 continue
-            ok = row.get("err") is None and not any(
+            # err == "no_oracle" with a recorded row count is the
+            # documented rows-only contract SUCCEEDING for a live
+            # streaming drain (its value certification is the hash-green
+            # _parity twin), not a failure: counting it as failed pinned
+            # all 8 streaming entries to the window head every round
+            # (r07, r09), spending 8 of 50 slots re-running checks that
+            # can never get stronger. Green rows rotate by staleness.
+            err = row.get("err")
+            rows_only_ok = (
+                err == "no_oracle"
+                and isinstance(row.get("spark_rows"), int)
+                and row["spark_rows"] >= 0
+            )
+            ok = (err is None or rows_only_ok) and not any(
                 row.get(k) is False
                 for k in ("rows_match", "schema_match", "hash_match")
             )

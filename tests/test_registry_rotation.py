@@ -170,3 +170,35 @@ def test_round_numbers_sort_numerically(tmp_path, monkeypatch):
         "r100 (the true latest round) must win over r10"
     )
     assert last_pass["x"] == 100
+
+
+def test_rows_only_streaming_row_counts_as_green(tmp_path, monkeypatch):
+    """A successful rows-only check (err == 'no_oracle' with a recorded
+    spark_rows) is the documented contract for live streaming drains, not
+    a failure — counting it as failed pinned the 8 streaming entries to
+    the window head every round. A no_oracle row WITHOUT a row count (the
+    drain itself errored) must still count as failed."""
+    import json
+    import pathlib
+
+    import glue_etl_framework_spark.queries as q
+
+    data = {
+        "stream_ok": {"rows_match": None, "hash_match": None,
+                      "spark_rows": 3375, "err": "no_oracle"},
+        "stream_broken": {"rows_match": None, "hash_match": None,
+                          "spark_rows": None, "err": "no_oracle"},
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(data))
+    real_glob = pathlib.Path.glob
+
+    def fake_glob(self, pattern):
+        if pattern == "CORRECTNESS_r*.json":
+            return real_glob(tmp_path, pattern)
+        return real_glob(self, pattern)
+
+    monkeypatch.setattr(pathlib.Path, "glob", fake_glob)
+    passed, failed, last_pass = q._driver_history()
+    assert "stream_ok" in passed and "stream_ok" not in failed
+    assert last_pass["stream_ok"] == 1
+    assert "stream_broken" in failed
