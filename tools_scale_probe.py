@@ -39,8 +39,12 @@ hands a pair-emitting operator a ~5,000x output blow-up no real corpus has
   partner (partner text + a short tail, Jaccard ~ m/(m+7) >> tau=0.5),
   so TRUE pairs grow linearly with volume: a constant dup RATE, the way a
   real scraped corpus grows.
-Only `documents.parquet` is built (plus untouched passthroughs of the
-small fixed tables), so realistic probes accept document-only queries.
+`documents.parquet` and (since round 10) `embeddings.parquet` are built
+(plus untouched passthroughs of the small fixed tables), so realistic
+probes accept document- and embedding-only queries. Realistic embeddings
+use a per-replica orthogonal sign-flip: within-replica cosines are
+preserved bit-exactly (constant true-pair rate, linear growth) while
+cross-replica cosines scramble to ~0 (see build_realistic_embeddings).
 """
 
 from __future__ import annotations
@@ -174,6 +178,43 @@ def build_realistic(spark, n: int, out_dir: str) -> None:
     out.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
 
+def build_realistic_embeddings(spark, n: int, out_dir: str) -> None:
+    """Realistic n x embeddings: each replica r>0 applies a deterministic
+    per-(replica, coordinate) +-1 sign pattern — an orthogonal reflection —
+    so WITHIN-replica cosines are preserved bit-exactly (float negation is
+    exact; the base corpus's true near-dup pairs replicate at a constant
+    RATE, linear true-pair growth) while CROSS-replica cosines scramble to
+    ~0 (~half the coordinate products flip sign), so replicas are fresh
+    vectors, not dups of each other — the embedding-space analogue of the
+    filler-token documents corpus above."""
+    base = t(spark, SRC, "embeddings")
+    reps = []
+    for r in range(n):
+        if r == 0:
+            reps.append(base)
+            continue
+        def make_flipper(rep_idx):
+            # closure (not a default arg: F.transform counts parameters,
+            # and a 3-parameter lambda is rejected for arrays)
+            def flipper(x, i):
+                sign_src = F.format_string(f"%d:{rep_idx}", i)
+                return F.when(
+                    F.pmod(F.xxhash64(sign_src), F.lit(2)) == 0, -x
+                ).otherwise(x)
+
+            return flipper
+
+        flip = F.transform("embedding", make_flipper(r))
+        reps.append(
+            base.withColumn("vec_id", F.col("vec_id") + r * KEY_OFFSET)
+            .withColumn("embedding", flip)
+        )
+    out = reps[0]
+    for rep in reps[1:]:
+        out = out.unionByName(rep)
+    out.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
 def main() -> None:
     argv = [a for a in sys.argv[1:] if a != "--realistic"]
     realistic = "--realistic" in sys.argv[1:]
@@ -190,6 +231,11 @@ def main() -> None:
         print(f"building {n}x tables in {out_dir} ...", flush=True)
         (build_realistic if realistic else build)(spark, n, out_dir)
         Path(done_marker).touch()
+    if realistic and not os.path.exists(f"{out_dir}/embeddings.parquet"):
+        # embeddings were added to realistic mode in round 10; backfill
+        # into corpora built before that without a full rebuild
+        print(f"building {n}x realistic embeddings in {out_dir} ...", flush=True)
+        build_realistic_embeddings(spark, n, out_dir)
 
     def run(fn, sf_dir):
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
