@@ -164,6 +164,12 @@ def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
     import re
     from pathlib import Path
 
+    # The rows-only gate below consults REGISTRY[name].category, so the
+    # query modules must be imported regardless of whether the caller went
+    # through load_registry() first (idempotent).
+    for mod in _MODULES:
+        importlib.import_module(f"glue_etl_framework_spark.queries.{mod}")
+
     repo_root = Path(__file__).resolve().parents[2]
     latest: dict[str, bool] = {}
     last_pass: dict[str, int] = {}
@@ -197,10 +203,20 @@ def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
             # (r07, r09), spending 8 of 50 slots re-running checks that
             # can never get stronger. Green rows rotate by staleness.
             err = row.get("err")
+            # Restricted to registered streaming entries — the only
+            # category whose rows-only contract is value-certified by a
+            # hash-green *_parity twin. A future oracle-less entry in any
+            # other category must NOT rotate out on a bare row count
+            # (ADVICE r10). bool is excluded explicitly: it subclasses int.
+            sr = row.get("spark_rows")
+            spec = REGISTRY.get(name)
             rows_only_ok = (
                 err == "no_oracle"
-                and isinstance(row.get("spark_rows"), int)
-                and row["spark_rows"] >= 0
+                and spec is not None
+                and spec.category == "streaming"
+                and isinstance(sr, int)
+                and not isinstance(sr, bool)
+                and sr >= 0
             )
             ok = (err is None or rows_only_ok) and not any(
                 row.get(k) is False

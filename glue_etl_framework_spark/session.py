@@ -85,12 +85,24 @@ def assemble_conf(
 # OOM risk once the pair stream outgrows toy scale.
 PAIR_EMITTER_FLOOR_GIB_PER_CORE = 2.0
 
-_MEM_UNIT_GIB = {"k": 1 / 1024**2, "m": 1 / 1024, "g": 1.0, "t": 1024.0}
+_MEM_UNIT_GIB = {
+    "k": 1 / 1024**2,
+    "m": 1 / 1024,
+    "g": 1.0,
+    "t": 1024.0,
+    "p": 1024.0**2,
+}
 
 
 def parse_memory_gib(mem: str) -> float:
-    """JVM memory string ('16g', '65536m', '2t', bare bytes) -> GiB."""
+    """JVM memory string -> GiB, accepting every suffix Spark's JavaUtils
+    does: bare bytes, 'b', and k/m/g/t/p with an optional trailing 'b'
+    ('16g', '16gb', '65536m', '1024mb', '2t', '1tb')."""
     s = mem.strip().lower()
+    if s.endswith("b") and len(s) > 1 and s[-2] in _MEM_UNIT_GIB:
+        s = s[:-1]
+    elif s.endswith("b"):
+        s = s[:-1]  # plain byte count: '1073741824b'
     if s and s[-1] in _MEM_UNIT_GIB:
         return float(s[:-1]) * _MEM_UNIT_GIB[s[-1]]
     return float(s) / 1024**3
@@ -119,7 +131,12 @@ def pair_emitter_memory_warning(
     cores = local_core_count(master)
     if cores is None:
         return None
-    gib = parse_memory_gib(driver_memory)
+    try:
+        gib = parse_memory_gib(driver_memory)
+    except ValueError:
+        # Advisory path: an unparseable memory string must never abort the
+        # caller's run (ADVICE r10 — '16gb' used to crash tools_scale_probe).
+        return None
     per_core = gib / max(cores, 1)
     if per_core >= PAIR_EMITTER_FLOOR_GIB_PER_CORE:
         return None
@@ -143,7 +160,10 @@ def warn_if_below_pair_emitter_floor(spark: SparkSession, query_name: str) -> st
     mem = spark.conf.get("spark.driver.memory", "1g")
     msg = pair_emitter_memory_warning(master, mem, query_name)
     if msg is not None:
-        warnings.warn(msg, ResourceWarning, stacklevel=2)
+        # UserWarning: shown by default warning filters (ResourceWarning is
+        # silenced by default, so callers other than the probe tool never
+        # saw the advisory — ADVICE r10).
+        warnings.warn(msg, UserWarning, stacklevel=2)
     return msg
 
 

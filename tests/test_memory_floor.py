@@ -22,10 +22,22 @@ from glue_etl_framework_spark.session import (
 @pytest.mark.parametrize(
     ("mem", "gib"),
     [("16g", 16.0), ("65536m", 64.0), ("2t", 2048.0), ("512m", 0.5),
-     ("1048576k", 1.0), (str(2**30), 1.0)],
+     ("1048576k", 1.0), (str(2**30), 1.0),
+     # Spark's JavaUtils accepts an optional trailing 'b' and 'p'
+     # (ADVICE r10: '16gb' used to raise and abort the probe's advisory)
+     ("16gb", 16.0), ("1024mb", 1.0), ("1tb", 1024.0), ("1p", 1024.0**2),
+     (f"{2**30}b", 1.0), ("16GB", 16.0)],
 )
 def test_parse_memory_gib(mem, gib):
     assert parse_memory_gib(mem) == pytest.approx(gib)
+
+
+def test_unparseable_memory_is_advisory_not_fatal():
+    """pair_emitter_memory_warning is an advisory path: a memory string it
+    can't parse returns None (no warning) instead of raising (ADVICE r10)."""
+    assert pair_emitter_memory_warning("local[32]", "lots", "q") is None
+    with pytest.raises(ValueError):
+        parse_memory_gib("lots")
 
 
 @pytest.mark.parametrize(
@@ -59,7 +71,8 @@ def test_cluster_master_is_exempt():
 def test_live_session_warning_path(spark):
     """warn_if_below_pair_emitter_floor reads the running session's actual
     master/heap; the shared test session is local[N] at 16g = below floor,
-    so the ResourceWarning path must fire."""
+    so the warning path must fire — as UserWarning, which default filters
+    actually display (ResourceWarning is silenced by default; ADVICE r10)."""
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         msg = warn_if_below_pair_emitter_floor(spark, "dedup_ngram_jaccard")
@@ -68,7 +81,7 @@ def test_live_session_warning_path(spark):
     per_core = parse_memory_gib(spark.conf.get("spark.driver.memory", "1g")) / cores
     if per_core < PAIR_EMITTER_FLOOR_GIB_PER_CORE:
         assert msg is not None
-        assert any(issubclass(w.category, ResourceWarning) for w in caught)
+        assert any(issubclass(w.category, UserWarning) for w in caught)
     else:
         assert msg is None and not caught
 

@@ -177,17 +177,37 @@ def test_rows_only_streaming_row_counts_as_green(tmp_path, monkeypatch):
     spark_rows) is the documented contract for live streaming drains, not
     a failure — counting it as failed pinned the 8 streaming entries to
     the window head every round. A no_oracle row WITHOUT a row count (the
-    drain itself errored) must still count as failed."""
+    drain itself errored) must still count as failed. The gate is
+    restricted (ADVICE r10): only entries REGISTERED with
+    category='streaming' qualify — an oracle-less entry in any other
+    category, an unregistered name, or a bool masquerading as a row count
+    must NOT rotate out on a bare row count."""
     import json
     import pathlib
 
     import glue_etl_framework_spark.queries as q
+
+    def spec(name, category):
+        return q.QuerySpec(name, lambda s, d: None, None, category)
+
+    for nm, cat in [("stream_ok", "streaming"), ("stream_broken", "streaming"),
+                    ("batch_no_oracle", "dedup"), ("stream_bool_rows", "streaming")]:
+        monkeypatch.setitem(q.REGISTRY, nm, spec(nm, cat))
 
     data = {
         "stream_ok": {"rows_match": None, "hash_match": None,
                       "spark_rows": 3375, "err": "no_oracle"},
         "stream_broken": {"rows_match": None, "hash_match": None,
                           "spark_rows": None, "err": "no_oracle"},
+        # non-streaming category: rows-only must NOT count as green
+        "batch_no_oracle": {"rows_match": None, "hash_match": None,
+                            "spark_rows": 42, "err": "no_oracle"},
+        # never recorded in the registry at all
+        "unregistered_stream": {"rows_match": None, "hash_match": None,
+                                "spark_rows": 7, "err": "no_oracle"},
+        # bool subclasses int — must not satisfy the row-count check
+        "stream_bool_rows": {"rows_match": None, "hash_match": None,
+                             "spark_rows": True, "err": "no_oracle"},
     }
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(data))
     real_glob = pathlib.Path.glob
@@ -202,3 +222,6 @@ def test_rows_only_streaming_row_counts_as_green(tmp_path, monkeypatch):
     assert "stream_ok" in passed and "stream_ok" not in failed
     assert last_pass["stream_ok"] == 1
     assert "stream_broken" in failed
+    assert "batch_no_oracle" in failed
+    assert "unregistered_stream" in failed
+    assert "stream_bool_rows" in failed
