@@ -292,3 +292,152 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+# ------------------------------------------- banded hyperplane LSH ----
+# Parameterized production path for embedding near-dup PAIR emitters
+# (VERDICT r10 item 1). The registry entry
+# queries/similarity.similarity_lsh_hyperplane_pairs pins the banding
+# constants (2 bands x 8 bits) because its DuckDB oracle must reproduce
+# them bit-for-bit; the r10 ninth scale probe showed what that costs at
+# volume: with a FIXED bucket count (2 x 256), bucket occupancy grows
+# linearly with the corpus, so in-bucket candidate pairs grow ~n^2
+# (measured: 10,183x output at 100x volume). These builders take the
+# banding shape as ARGUMENTS so production callers scale signature bits
+# with corpus size — buckets ~ n holds expected occupancy (and therefore
+# per-bucket pair volume) constant, keeping total candidates linear in n.
+# Sizing rule: band_bits = ceil(log2(n / target_rows_per_bucket)) — see
+# scaled_band_bits and RECIPES.md ("Scale LSH signature bits with the
+# corpus").
+
+QUANT_SCALE = 1 << 20  # matches queries/similarity.SCALE: exact BIGINT dots
+
+
+def hyperplane_signs(plane: int, dim: int = 64) -> list[int]:
+    """Deterministic pseudo-random +-1 hyperplane components: sign of the
+    top bit of md5("plane:i"), i 1-based — the identical construction the
+    oracle-pinned registry entry bakes into both its Spark plan and its
+    DuckDB SQL (queries/similarity.py), shared here so every banding shape
+    draws from one hyperplane family."""
+    import hashlib
+
+    return [
+        1 if hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[0] >= "8" else -1
+        for i in range(1, dim + 1)
+    ]
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, q, nq): embedding scaled by 2^20 and rounded to BIGINT, plus
+    the exact integer squared norm — dot products become order-independent
+    integer sums (< 2^53), so downstream cosines are deterministic doubles
+    on any partitioning."""
+    q = F.transform(F.col(vec_col), lambda x: F.round(x.cast("double") * QUANT_SCALE).cast("long"))
+    out = df.select(F.col(id_col).alias("vec_id"), q.alias("q"))
+    nq = F.aggregate(
+        F.transform(F.col("q"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return out.select("vec_id", "q", nq.alias("nq"))
+
+
+def banded_signatures(
+    qdf: DataFrame,
+    n_bands: int = 2,
+    band_bits: int = 8,
+    dim: int = 64,
+    q_col: str = "q",
+) -> DataFrame:
+    """(vec_id, bidx, bv): the band values of an (n_bands * band_bits)-bit
+    random-hyperplane signature, one row per vector per band. Band b uses
+    planes [b*band_bits, (b+1)*band_bits) of the shared hyperplane family,
+    so (n_bands=2, band_bits=8) reproduces the registry entry's signature
+    frame exactly. Pure column expressions over the quantized array — the
+    whole signature stays in codegen; only (vec_id, bidx, bv) triples reach
+    the candidate shuffle."""
+    band_cols = []
+    for b in range(n_bands):
+        bits = []
+        for k in range(band_bits):
+            signs = F.array(*[F.lit(s) for s in hyperplane_signs(b * band_bits + k, dim)])
+            proj = F.aggregate(
+                F.zip_with(F.col(q_col), signs, lambda x, s: x * s.cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0)))
+        band_cols.append(sum(bits[1:], bits[0]).alias(f"band{b}"))
+    return qdf.select(
+        "vec_id", F.posexplode(F.array(*band_cols)).alias("bidx", "bv")
+    )
+
+
+def scaled_band_bits(
+    n_rows: int,
+    target_rows_per_bucket: int = 32,
+    min_bits: int = 8,
+    max_bits: int = 28,
+) -> int:
+    """Signature bits PER BAND so expected bucket occupancy stays constant
+    as the corpus grows: band_bits = ceil(log2(n / target)), i.e. bucket
+    count 2^bits ~ n/target. Occupancy n/2^bits then lands in
+    (target/2, target] for every n, so expected in-bucket pairs per vector
+    — and total candidate volume — grow LINEARLY in n instead of
+    quadratically (the r10 ninth-probe finding). min_bits keeps toy corpora
+    at the oracle-pinned shape; max_bits caps plan width (28 bits = 268M
+    buckets — beyond that, shard the corpus)."""
+    if n_rows <= 0:
+        return min_bits
+    bits = math.ceil(math.log2(max(n_rows / target_rows_per_bucket, 1.0)))
+    return max(min_bits, min(max_bits, bits))
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 2,
+    band_bits: int | None = None,
+    dim: int = 64,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (vec_a, vec_b, cosine >= threshold)
+    via banded random-hyperplane LSH with a PARAMETERIZED banding shape —
+    the production form of the registry entry
+    similarity_lsh_hyperplane_pairs (which pins n_bands=2, band_bits=8 for
+    its oracle). band_bits=None sizes the bands from the corpus:
+    scaled_band_bits(n_rows or df.count()) — pass n_rows when the count is
+    already known to avoid the extra scan. Candidates come from ONE
+    self-join keyed on (band index, band value); verification is the exact
+    quantized cosine, so the emitted pairs are deterministic on any
+    partitioning. Raising band_bits with log2(n) holds candidate volume
+    linear in n; raising n_bands trades recall for candidates."""
+    if band_bits is None:
+        band_bits = scaled_band_bits(n_rows if n_rows is not None else df.count())
+    v = quantize_embeddings(df, id_col, vec_col)
+    sig = banded_signatures(v, n_bands=n_bands, band_bits=band_bits, dim=dim)
+    cand = (
+        sig.select(F.col("vec_id").alias("vec_a"), "bidx", "bv")
+        .join(sig.select(F.col("vec_id").alias("vec_b"), "bidx", "bv"), ["bidx", "bv"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    x = v.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("nq").alias("na"))
+    y = v.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("nq").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x_: acc + x_,
+    )
+    cosine = dot / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+    return (
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
+        .filter(cosine >= threshold)
+        .select("vec_a", "vec_b", F.round(cosine, 9).alias("cosine"))
+    )

@@ -288,18 +288,23 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_HYPERPLANES = 16  # signature bits; bands of 8 -> 2 bands
 _BAND_BITS = 8
+# The banding shape above is ORACLE-PINNED: the DuckDB SQL bakes these
+# hyperplanes in as literals, so the registry entry cannot scale them.
+# Production callers use the parameterized ext API instead
+# (ext.similarity.lsh_neardup_pairs / scaled_band_bits: signature bits
+# grow with log2(corpus) so candidate volume stays linear — r10 ninth
+# probe; RECIPES.md "Scale LSH signature bits with the corpus").
 
 
 def _hyperplane_signs(j: int, dim: int = 64) -> list[int]:
     """Deterministic pseudo-random +-1 hyperplane components: sign of the
     top bit of md5("j:i") — reproducible in any engine/language, baked into
-    both the Spark plan and the oracle SQL as literals."""
-    import hashlib
+    both the Spark plan and the oracle SQL as literals. Shared with the
+    parameterized ext builders (one hyperplane family for every banding
+    shape)."""
+    from glue_etl_framework_spark.ext.similarity import hyperplane_signs
 
-    return [
-        1 if hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0] >= "8" else -1
-        for i in range(1, dim + 1)
-    ]
+    return hyperplane_signs(j, dim)
 
 
 def _band_exprs_sql() -> list[str]:
@@ -321,23 +326,12 @@ def _band_exprs_sql() -> list[str]:
 def _hyperplane_sig(v: DataFrame) -> DataFrame:
     """(vec_id, bidx, bv): the 8-bit band values of the 16-bit hyperplane
     signature, one row per vector per band — the LSH index frame shared by
-    the pairs join and the multi-probe query path."""
-    band_cols = []
-    for b in range(N_HYPERPLANES // _BAND_BITS):
-        bits = []
-        for k in range(_BAND_BITS):
-            j = b * _BAND_BITS + k
-            signs = F.array(*[F.lit(s) for s in _hyperplane_signs(j)])
-            proj = F.aggregate(
-                F.zip_with(F.col("q"), signs, lambda x, s: x * s.cast("long")),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0)))
-        band_cols.append(sum(bits[1:], bits[0]).alias(f"band{b}"))
-    return v.select(
-        "vec_id",
-        F.posexplode(F.array(*band_cols)).alias("bidx", "bv"),
+    the pairs join and the multi-probe query path. Thin pin over the
+    parameterized ext builder at the oracle's banding shape."""
+    from glue_etl_framework_spark.ext.similarity import banded_signatures
+
+    return banded_signatures(
+        v, n_bands=N_HYPERPLANES // _BAND_BITS, band_bits=_BAND_BITS
     )
 
 
