@@ -143,3 +143,103 @@ def dedup_keep_representative(
     labels = connected_component_labels(df, pairs, id_col, max_iterations)
     keep = labels.filter(F.col("node") == F.col("label")).select(F.col("node").alias(id_col))
     return df.join(keep, id_col, "left_semi")
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star operation (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): every node connects its strictly-LARGER
+    neighbors to the minimum of its closed neighborhood. One groupBy + one
+    join per application; strictly decreases large-neighbor potential."""
+    sym = _symmetrize(edges)
+    m = sym.groupBy("src").agg(F.least(F.first("src"), F.min("dst")).alias("m"))
+    return (
+        sym.filter(F.col("dst") > F.col("src"))
+        .join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star operation: key every edge on its LARGER endpoint; each
+    node connects its smaller-or-equal neighbors (and itself) to the
+    minimum among them."""
+    directed = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    m = directed.groupBy("src").agg(F.min("dst").alias("m"))
+    nbr = (
+        directed.join(m, "src")
+        .filter(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_edge = m.select("src", F.col("m").alias("dst"))
+    return nbr.union(self_edge).distinct()
+
+
+def connected_component_labels_twophase(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, label) via alternating large-star/small-star (Kiveris et al.
+    2014) — the diameter-proof alternative to connected_component_labels:
+    min-id propagation needs O(component diameter) rounds, which is fine
+    for near-dup clusters (near-cliques, diameter ~2) but degenerates on
+    chain-shaped graphs; star contraction converges in O(log^2 n) rounds
+    REGARDLESS of diameter, so this is the variant to reach for when the
+    dup graph's shape is unknown at 100 TB. Same contract as
+    connected_component_labels: label = min id in the node's component,
+    isolated nodes label themselves. Each round is two groupBy+join
+    passes over the (dup-graph-only) edge set with lineage truncated per
+    round; convergence is detected on a one-row (count, xxhash64-XOR)
+    fingerprint of the canonical edge set — no driver-side graph. XOR (not
+    SUM) because the edge set is distinct, XOR is order-independent, and
+    it cannot overflow under ANSI arithmetic."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    graph_nodes = (
+        _symmetrize(edges).select(F.col("src").alias("node")).distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(e: DataFrame):
+        canon = e.select(
+            F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
+        ).distinct()
+        row = canon.select(F.xxhash64("a", "b").alias("x")).agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(x)").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    fp = fingerprint(edges)
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_fp = fingerprint(edges)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    # Converged edge set is a star per component: (node, root) with
+    # root < node. Roots and isolated nodes label themselves.
+    star = edges.select(
+        F.greatest("src", "dst").alias("node"), F.least("src", "dst").alias("label")
+    ).distinct()
+    labels = graph_nodes.join(star, "node", "left").select(
+        "node", F.coalesce("label", F.col("node")).alias("label")
+    )
+    all_nodes = nodes.select(F.col(id_col).alias("node")).distinct()
+    return all_nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("label", F.col("node")).alias("label")
+    )
