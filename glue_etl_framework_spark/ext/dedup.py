@@ -243,3 +243,102 @@ def connected_component_labels_twophase(
     return all_nodes.join(labels, "node", "left").select(
         "node", F.coalesce("label", F.col("node")).alias("label")
     )
+
+
+# ------------------------------------------- banded SimHash (parameterized)
+# Same structural fix as ext.similarity's banded hyperplane LSH (RECIPES.md
+# "Scale LSH signature bits with the corpus"): the registry entry
+# dedup_simhash_pairs bands on the top 16 bits of a 32-bit signature — a
+# FIXED bucket count, so in-bucket candidate pairs grow ~n^2 (the r10 ninth
+# probe measured its output growing 2683x at 100x volume). These builders
+# take the banding shape as arguments. Bands are WORD-ALIGNED independent
+# mini-signatures (band b's bits come from digests salted by (b, chunk)),
+# which gives two properties fixed top-bits banding lacks:
+#   - full recall by pigeonhole: two docs within Hamming distance d over
+#     the concatenated signature agree exactly on >= 1 of n_bands bands
+#     whenever n_bands > d (default n_bands = hamming_max + 1);
+#   - unbounded scaling: total signature bits = n_bands * band_bits can
+#     grow past 64 (array-of-longs representation), so band_bits can keep
+#     tracking log2(corpus) at any volume.
+
+
+def simhash_band_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 7,
+    band_bits: int = 16,
+) -> DataFrame:
+    """(id, sig): sig is an array of n_bands longs, word b holding band
+    b's band_bits-bit simhash. Bit k of band b votes +-1 per DISTINCT
+    token by a hex digit of md5("b:chunk:" || token) (chunk = k div 32:
+    one digest yields 32 bits, so a band costs ceil(band_bits/32) digests
+    per token). Pure column expressions — one groupBy(id) aggregate, no
+    UDFs."""
+    if not 1 <= band_bits <= 64:
+        raise ValueError("band_bits must be in [1, 64]")
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .distinct()
+    )
+    votes = []
+    for b in range(n_bands):
+        for k in range(band_bits):
+            chunk, pos = divmod(k, 32)
+            digit = F.substring(F.md5(F.concat(F.lit(f"{b}:{chunk}:"), F.col("token"))), pos + 1, 1)
+            votes.append(
+                F.sum(F.when(digit >= "8", 1).otherwise(-1)).alias(f"v_{b}_{k}")
+            )
+    sums = toks.groupBy("doc_id").agg(*votes)
+    words = []
+    for b in range(n_bands):
+        word = F.lit(0).cast("long")
+        for k in range(band_bits):
+            word = word + F.when(
+                F.col(f"v_{b}_{k}") > 0, F.lit(1 << k).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        words.append(word)
+    return sums.select("doc_id", F.array(*words).alias("sig"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    hamming_max: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int | None = None,
+    band_bits: int = 16,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — candidate pairs from per-band equi-joins,
+    verified by exact Hamming distance over the full concatenated
+    signature. n_bands defaults to hamming_max + 1, which by pigeonhole
+    makes candidate recall EXACT (every pair within the Hamming budget
+    shares at least one full band). Scale band_bits with log2(corpus)
+    (ext.similarity.scaled_band_bits) to hold bucket occupancy — and so
+    candidate volume — linear in n; total signature bits grow as
+    (hamming_max + 1) * band_bits with no 64-bit ceiling."""
+    if n_bands is None:
+        n_bands = hamming_max + 1
+    sig = simhash_band_signatures(df, id_col, text_col, n_bands, band_bits)
+    sig = sig.localCheckpoint(eager=True)  # one signature build, three consumers
+    bands = sig.select("doc_id", F.posexplode("sig").alias("bidx", "bv"))
+    cand = (
+        bands.select(F.col("doc_id").alias("doc_a"), "bidx", "bv")
+        .join(bands.select(F.col("doc_id").alias("doc_b"), "bidx", "bv"), ["bidx", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    hamming = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= hamming_max)
+    )

@@ -336,8 +336,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash candidate pairs: band on the top 16 bits (equi-join — no
     cross product), verify Hamming distance <= 6 via bit_count(xor).
     Banding makes this approximate (pairs differing in the top band are
-    missed) — the standard recall/cost trade; multiple rotated bands raise
-    recall (ext.dedup)."""
+    missed), and the single fixed band means bucket occupancy grows with
+    the corpus (r10 ninth probe). The production path is
+    ext.dedup.simhash_neardup_pairs: hamming_max+1 word-aligned bands give
+    FULL candidate recall by pigeonhole, and band_bits scales with
+    log2(corpus) per the RECIPES.md banding rule."""
     sig = dedup_simhash(spark, sf_dir)
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))

@@ -1,0 +1,105 @@
+"""Parameterized banded SimHash (ext.dedup) — the second fixed-banding
+emitter class closed after the hyperplane one (RECIPES.md round-11 rule).
+Pins (a) the pigeonhole FULL-recall guarantee of n_bands = hamming_max + 1
+word-aligned bands, (b) that wider bands shrink candidate volume, and
+(c) determinism across partitionings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from glue_etl_framework_spark.ext.dedup import (
+    simhash_band_signatures,
+    simhash_neardup_pairs,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+
+
+def _exact_hamming_pairs(spark, hamming_max, n_bands, band_bits):
+    """Brute-force ground truth over the SAME signature: every unordered
+    pair within the Hamming budget (500 docs -> 125k scored pairs)."""
+    sig = simhash_band_signatures(_docs(spark), n_bands=n_bands, band_bits=band_bits)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    hamming = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= hamming_max)
+    )
+
+
+def test_pigeonhole_full_recall(spark):
+    """With n_bands = hamming_max + 1, a pair within the Hamming budget
+    differs in at most hamming_max bands, so at least one band matches
+    exactly — the banded join must surface EVERY true pair."""
+    hamming_max, band_bits = 6, 8
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_neardup_pairs(
+            _docs(spark), hamming_max=hamming_max, band_bits=band_bits
+        ).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in _exact_hamming_pairs(
+            spark, hamming_max, n_bands=hamming_max + 1, band_bits=band_bits
+        ).collect()
+    }
+    assert banded == exact
+    assert len(exact) > 0, "fixture must contain at least one near-dup pair"
+
+
+def test_wider_bands_shrink_candidates(spark):
+    """Growing band_bits (the log2(n) scaling knob) must not change the
+    verified answer's correctness class but must cut candidate volume:
+    count raw band collisions at 8 vs 16 bits."""
+    docs = _docs(spark)
+
+    def n_candidates(band_bits):
+        sig = simhash_band_signatures(docs, n_bands=7, band_bits=band_bits)
+        bands = sig.select("doc_id", F.posexplode("sig").alias("bidx", "bv"))
+        return (
+            bands.select(F.col("doc_id").alias("a"), "bidx", "bv")
+            .join(bands.select(F.col("doc_id").alias("b"), "bidx", "bv"), ["bidx", "bv"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+            .count()
+        )
+
+    assert n_candidates(16) < n_candidates(8)
+
+
+def test_banded_pairs_deterministic_across_partitioning(spark):
+    docs = _docs(spark)
+    one = {
+        tuple(r)
+        for r in simhash_neardup_pairs(docs.repartition(1), band_bits=8).collect()
+    }
+    many = {
+        tuple(r)
+        for r in simhash_neardup_pairs(docs.repartition(13), band_bits=8).collect()
+    }
+    assert one == many
+
+
+def test_band_bits_bounds():
+    import pytest
+
+    from glue_etl_framework_spark.ext.dedup import simhash_band_signatures
+
+    with pytest.raises(ValueError):
+        simhash_band_signatures(None, band_bits=0)
+    with pytest.raises(ValueError):
+        simhash_band_signatures(None, band_bits=65)
