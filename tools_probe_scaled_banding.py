@@ -13,8 +13,17 @@ ext.similarity.lsh_neardup_pairs with band_bits = scaled_band_bits(n):
 bits grow with log2(n), bucket count tracks the corpus, expected occupancy
 — and therefore candidate volume per vector — stays constant.
 
-Usage: python tools_probe_scaled_banding.py [growth ...]   (default: 10 100)
-Reuses /tmp/scale_probe_<n>x_realistic corpora when present.
+Usage: python tools_probe_scaled_banding.py [--simhash] [growth ...]
+(default growths: 10 100). Reuses /tmp/scale_probe_<n>x_realistic corpora
+when present.
+
+`--simhash` probes the OTHER parameterized emitter instead
+(ext.dedup.simhash_neardup_pairs on the realistic documents corpus —
+filler-token replicas + ~1% planted near-dups, the sixth-probe corpus):
+hamming_max=6, n_bands=7 (full pigeonhole recall), band_bits =
+scaled_band_bits(n_docs). The registry entry's fixed top-16-of-32 banding
+measured exponent 0.86 with 2683x output growth at 100x (ninth probe);
+this run shows what the scaling rule does to the same workload.
 """
 
 from __future__ import annotations
@@ -50,23 +59,44 @@ def timed(df_builder, runs: int = 3) -> float:
 
 
 def main() -> None:
-    growths = [int(a) for a in sys.argv[1:]] or [10, 100]
+    argv = [a for a in sys.argv[1:] if a != "--simhash"]
+    simhash = "--simhash" in sys.argv[1:]
+    growths = [int(a) for a in argv] or [10, 100]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
     spark = get_spark(app_name="scaled_banding_probe", shuffle_partitions=cpus)
-    msg = warn_if_below_pair_emitter_floor(spark, "ext.lsh_neardup_pairs")
+    msg = warn_if_below_pair_emitter_floor(
+        spark, "ext.simhash_neardup_pairs" if simhash else "ext.lsh_neardup_pairs"
+    )
     if msg:
         print(f"WARNING: {msg}", flush=True)
 
+    if simhash:
+        from glue_etl_framework_spark.ext.dedup import simhash_neardup_pairs
+
+        table, ensure = "documents", "build_realistic"
+
+        def query(df, n_rows):
+            return simhash_neardup_pairs(
+                df.select("doc_id", "text"),
+                hamming_max=6,
+                band_bits=scaled_band_bits(n_rows),
+            )
+    else:
+        table, ensure = "embeddings", "build_realistic_embeddings"
+
+        def query(df, n_rows):
+            return lsh_neardup_pairs(
+                df, THRESHOLD, band_bits=scaled_band_bits(n_rows), n_rows=n_rows
+            )
+
     def corpus(path: str):
-        return spark.read.parquet(f"{path}/embeddings.parquet")
+        return spark.read.parquet(f"{path}/{table}.parquet")
 
     base = corpus(SRC)
     n_base = base.count()
     bits_base = scaled_band_bits(n_base)
-    wall_base = timed(
-        lambda: lsh_neardup_pairs(base, THRESHOLD, band_bits=bits_base)
-    )
-    out_base = lsh_neardup_pairs(base, THRESHOLD, band_bits=bits_base).count()
+    wall_base = timed(lambda: query(base, n_base))
+    out_base = query(base, n_base).count()
     print(
         f"base: n={n_base} band_bits={bits_base} wall={wall_base:.2f}s "
         f"output={out_base}",
@@ -75,17 +105,17 @@ def main() -> None:
 
     for g in growths:
         out_dir = f"/tmp/scale_probe_{g}x_realistic"
-        if not os.path.exists(f"{out_dir}/embeddings.parquet"):
-            print(f"building {g}x realistic embeddings in {out_dir} ...", flush=True)
-            from tools_scale_probe import build_realistic_embeddings
+        if not os.path.exists(f"{out_dir}/{table}.parquet"):
+            print(f"building {g}x realistic {table} in {out_dir} ...", flush=True)
+            import tools_scale_probe
 
             Path(out_dir).mkdir(parents=True, exist_ok=True)
-            build_realistic_embeddings(spark, g, out_dir)
+            getattr(tools_scale_probe, ensure)(spark, g, out_dir)
         big = corpus(out_dir)
         n_big = big.count()
         bits = scaled_band_bits(n_big)
-        wall = timed(lambda: lsh_neardup_pairs(big, THRESHOLD, band_bits=bits, n_rows=n_big))
-        out = lsh_neardup_pairs(big, THRESHOLD, band_bits=bits, n_rows=n_big).count()
+        wall = timed(lambda: query(big, n_big))
+        out = query(big, n_big).count()
         exp = math.log(wall / wall_base) / math.log(g)
         print(
             f"{g}x: n={n_big} band_bits={bits} wall={wall:.2f}s "
