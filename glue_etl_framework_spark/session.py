@@ -195,3 +195,48 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# Spill headroom floor for pair-emitting aggregates: the r11 eleventh
+# probe's 100x simhash run filled the box's 252 GB disk with transient
+# shuffle spill (java.io.IOException: No space left on device) — for a
+# quadratic-output emitter, DISK is the wall that arrives after the memory
+# floor is satisfied. Local-mode spill lands under java.io.tmpdir
+# (spark.local.dir); at cluster scale the same number is per-executor
+# scratch. The floor is advisory, like the memory floor above.
+PAIR_EMITTER_MIN_FREE_DISK_GIB = 32.0
+
+
+def disk_headroom_warning(
+    query_name: str, path: str = "/tmp", min_free_gib: float = PAIR_EMITTER_MIN_FREE_DISK_GIB
+) -> str | None:
+    """Return a warning string when the spill directory's free space is
+    below the advisory floor; None when headroom holds or the path can't
+    be statted (advisory paths never abort a run)."""
+    import shutil
+
+    try:
+        free_gib = shutil.disk_usage(path).free / 1024**3
+    except OSError:
+        return None
+    if free_gib >= min_free_gib:
+        return None
+    return (
+        f"pair-emitting query {query_name!r}: only {free_gib:.1f} GiB free "
+        f"under {path} (advisory floor {min_free_gib:.0f} GiB). Shuffle "
+        f"spill from a pair-emitting aggregate filled this box's disk at "
+        f"100x volume (SCALING.md eleventh probe) — free space or point "
+        f"spark.local.dir at a larger volume before beyond-toy-scale runs."
+    )
+
+
+def warn_if_low_disk(spark: SparkSession, query_name: str) -> str | None:
+    """Emit (and return) the disk-headroom warning for a live session,
+    reading the session's actual spill directory."""
+    import warnings
+
+    path = spark.conf.get("spark.local.dir", None) or "/tmp"
+    msg = disk_headroom_warning(query_name, path.split(",")[0])
+    if msg is not None:
+        warnings.warn(msg, UserWarning, stacklevel=2)
+    return msg

@@ -98,3 +98,23 @@ def test_pair_emitting_registry_names_exist():
     load_registry()
     missing = PAIR_EMITTING_QUERIES - set(REGISTRY)
     assert not missing, f"not registry entries: {sorted(missing)}"
+
+
+def test_disk_headroom_warning():
+    """Advisory spill-headroom floor (SCALING.md eleventh probe: a
+    quadratic-output emitter's transient shuffle spill filled the disk).
+    Never raises; trips only below the floor; unstatable paths are None."""
+    from glue_etl_framework_spark.session import disk_headroom_warning
+
+    assert disk_headroom_warning("q", min_free_gib=0.0) is None
+    msg = disk_headroom_warning("q", min_free_gib=float(10**9))
+    assert msg is not None and "GiB free" in msg and "q" in msg
+    assert disk_headroom_warning("q", path="/nonexistent-dir") is None
+
+
+def test_disk_headroom_live_session(spark):
+    from glue_etl_framework_spark.session import warn_if_low_disk
+
+    # this box has plenty of headroom at rest; the call must be silent
+    # and must not raise regardless of spark.local.dir being unset
+    assert warn_if_low_disk(spark, "q") is None

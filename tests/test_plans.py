@@ -507,3 +507,21 @@ def test_no_unpartitioned_window_over_unbounded_input(spark):
         f"new unpartitioned windows: {sorted(found - set(_GLOBAL_WINDOW_OK))}; "
         f"stale allowlist entries: {sorted(set(_GLOBAL_WINDOW_OK) - found)}"
     )
+
+
+def test_parameterized_banding_never_cross_product(spark):
+    """The r11 parameterized ext emitters must keep the banded equi-join
+    shape at ANY banding width — wider bands change constants, never the
+    plan class (no cartesian, no nested-loop, bounded shuffles)."""
+    from glue_etl_framework_spark.ext.dedup import simhash_neardup_pairs
+    from glue_etl_framework_spark.ext.similarity import lsh_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    for df in (
+        lsh_neardup_pairs(emb, 0.35, band_bits=13),
+        simhash_neardup_pairs(docs, hamming_max=6, band_bits=12),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

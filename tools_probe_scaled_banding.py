@@ -42,7 +42,10 @@ from glue_etl_framework_spark.ext.similarity import (
     lsh_neardup_pairs,
     scaled_band_bits,
 )
-from glue_etl_framework_spark.session import warn_if_below_pair_emitter_floor
+from glue_etl_framework_spark.session import (
+    warn_if_below_pair_emitter_floor,
+    warn_if_low_disk,
+)
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 THRESHOLD = 0.35  # same verify threshold as similarity_neardup_pairs
@@ -64,11 +67,13 @@ def main() -> None:
     growths = [int(a) for a in argv] or [10, 100]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
     spark = get_spark(app_name="scaled_banding_probe", shuffle_partitions=cpus)
-    msg = warn_if_below_pair_emitter_floor(
-        spark, "ext.simhash_neardup_pairs" if simhash else "ext.lsh_neardup_pairs"
-    )
-    if msg:
-        print(f"WARNING: {msg}", flush=True)
+    probe_name = "ext.simhash_neardup_pairs" if simhash else "ext.lsh_neardup_pairs"
+    for msg in (
+        warn_if_below_pair_emitter_floor(spark, probe_name),
+        warn_if_low_disk(spark, probe_name),
+    ):
+        if msg:
+            print(f"WARNING: {msg}", flush=True)
 
     if simhash:
         from glue_etl_framework_spark.ext.dedup import simhash_neardup_pairs

@@ -243,14 +243,20 @@ def main() -> None:
     import math
 
     from glue_etl_framework_spark.queries import PAIR_EMITTING_QUERIES
-    from glue_etl_framework_spark.session import warn_if_below_pair_emitter_floor
+    from glue_etl_framework_spark.session import (
+        warn_if_below_pair_emitter_floor,
+        warn_if_low_disk,
+    )
 
     for name in queries:
         fn = reg[name].fn
         if name in PAIR_EMITTING_QUERIES:
-            msg = warn_if_below_pair_emitter_floor(spark, name)
-            if msg:
-                print(f"WARNING: {msg}", flush=True)
+            for msg in (
+                warn_if_below_pair_emitter_floor(spark, name),
+                warn_if_low_disk(spark, name),
+            ):
+                if msg:
+                    print(f"WARNING: {msg}", flush=True)
         run(fn, SRC)  # warm-up
         base = []
         for _ in range(3):
