@@ -71,7 +71,7 @@ def connected_component_labels(
     nodes: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
-    max_iterations: int = 10,
+    max_iterations: int = 50,
 ) -> DataFrame:
     """(node, label) per input node: label = min id in the node's connected
     component of the pair graph. Min-id label propagation: each round joins
@@ -79,7 +79,16 @@ def connected_component_labels(
     O(component diameter) rounds; every round is two shuffles, nothing on
     the driver, with localCheckpoint truncating lineage so the plan stays
     flat over many rounds. Duplicate clusters from pairwise similarity are
-    near-cliques, so few rounds suffice in practice."""
+    near-cliques, so few rounds suffice in practice — the fixture graph
+    converges in 3 — but the r11 10x-realistic probe measured a dup graph
+    whose diameter EXCEEDS 10 (planted-partner chains), where the old
+    default budget returned non-final labels; the default is sized so
+    early convergence still exits in O(actual rounds) while chain-shaped
+    graphs converge instead of truncating. Exhausting the budget warns
+    loudly (labels are then not final); for unknown graph shapes use
+    connected_component_labels_twophase, which was also measured FASTER
+    once diameter bites (7.3 s vs 12.3 s at 10x —
+    probes/cc_twophase_compare_r11.txt)."""
     # Materialize the edge list ONCE: its lineage (often a full MinHash/LSH
     # candidate pipeline) would otherwise re-execute inside EVERY round's
     # join — measured 5x end-to-end on the minhash graph at sf0.1.
@@ -103,6 +112,7 @@ def connected_component_labels(
     # label sum strictly decreases on any change — comparing one scalar per
     # round replaces a join-and-scan probe over the label sets.
     label_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -123,8 +133,26 @@ def connected_component_labels(
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
         if new_sum == label_sum:
+            converged = True
             break
         label_sum = new_sum
+    if not converged:
+        # Propagation needs O(component diameter) rounds; exhausting the
+        # budget means some labels are NOT yet the component minimum —
+        # returning them silently would hand the caller wrong components
+        # (r11). Warn loudly and name the diameter-proof alternative.
+        import warnings
+
+        warnings.warn(
+            f"connected_component_labels exhausted max_iterations="
+            f"{max_iterations} before converging — returned labels are NOT "
+            f"final component minima. The graph's diameter exceeds the "
+            f"round budget: raise max_iterations, or use "
+            f"connected_component_labels_twophase (O(log^2 n) rounds "
+            f"regardless of diameter).",
+            UserWarning,
+            stacklevel=2,
+        )
     all_nodes = nodes.select(F.col(id_col).alias("node")).distinct()
     return all_nodes.join(labels, "node", "left").select(
         "node", F.coalesce("label", F.col("node")).alias("label")
@@ -135,7 +163,7 @@ def dedup_keep_representative(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
-    max_iterations: int = 10,
+    max_iterations: int = 50,
 ) -> DataFrame:
     """Drop near-duplicates, keeping one representative (min id) per
     connected component of the pair graph (see

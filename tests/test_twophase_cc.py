@@ -102,3 +102,24 @@ def test_twophase_matches_propagation_on_minhash_graph(spark):
     }
     assert two == prop
     assert len(two) == d.count()
+
+
+def test_propagation_warns_when_round_budget_exhausted(spark):
+    """A chain longer than max_iterations must produce a loud UserWarning
+    (silently returning non-final labels hands the caller wrong
+    components); the two-phase variant converges on the same graph without
+    one."""
+    import warnings
+
+    n = 24
+    edges = [(i, i + 1) for i in range(n - 1)]
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _run(spark, n, edges, connected_component_labels, max_iterations=3)
+    assert any("max_iterations" in str(w.message) for w in caught)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = _run(spark, n, edges, connected_component_labels_twophase)
+    assert not any("max_iterations" in str(w.message) for w in caught)
+    assert got == {i: 0 for i in range(n)}
