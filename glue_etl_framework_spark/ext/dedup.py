@@ -72,6 +72,7 @@ def connected_component_labels(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 50,
+    on_exhaustion: str = "fallback",
 ) -> DataFrame:
     """(node, label) per input node: label = min id in the node's connected
     component of the pair graph. Min-id label propagation: each round joins
@@ -84,11 +85,30 @@ def connected_component_labels(
     whose diameter EXCEEDS 10 (planted-partner chains), where the old
     default budget returned non-final labels; the default is sized so
     early convergence still exits in O(actual rounds) while chain-shaped
-    graphs converge instead of truncating. Exhausting the budget warns
-    loudly (labels are then not final); for unknown graph shapes use
-    connected_component_labels_twophase, which was also measured FASTER
-    once diameter bites (7.3 s vs 12.3 s at 10x —
-    probes/cc_twophase_compare_r11.txt)."""
+    graphs converge instead of truncating.
+
+    ``on_exhaustion`` decides what happens when the round budget runs out
+    WITHOUT convergence (labels would then not be final component minima —
+    silently wrong components, the r11 twelfth-probe failure mode):
+
+    - ``"fallback"`` (default): warn, then recompute via
+      connected_component_labels_twophase — O(log^2 n) rounds regardless
+      of graph diameter, so the returned labels are always final. The
+      warning survives so callers learn their graph shape defeats
+      propagation (two-phase was also measured FASTER once diameter bites:
+      7.3 s vs 12.3 s at 10x — probes/cc_twophase_compare_r11.txt).
+    - ``"raise"``: RuntimeError — for pipelines that must not absorb the
+      two-phase recompute cost implicitly.
+    - ``"warn"``: return the non-final labels with only the warning — the
+      pre-r12 behavior, opt-in only.
+
+    A run that converges within the budget never warns, never falls back,
+    and builds the identical plan it always did (the oracle-attested
+    registry entry dedup_connected_components converges in 3 rounds)."""
+    if on_exhaustion not in ("fallback", "raise", "warn"):
+        raise ValueError(
+            f"on_exhaustion must be 'fallback', 'raise', or 'warn', got {on_exhaustion!r}"
+        )
     # Materialize the edge list ONCE: its lineage (often a full MinHash/LSH
     # candidate pipeline) would otherwise re-execute inside EVERY round's
     # join — measured 5x end-to-end on the minhash graph at sf0.1.
@@ -140,19 +160,27 @@ def connected_component_labels(
         # Propagation needs O(component diameter) rounds; exhausting the
         # budget means some labels are NOT yet the component minimum —
         # returning them silently would hand the caller wrong components
-        # (r11). Warn loudly and name the diameter-proof alternative.
+        # (r11). Warn loudly; then fall back or raise per on_exhaustion —
+        # warned-but-wrong output is opt-in only (r12).
         import warnings
 
-        warnings.warn(
+        resolution = {
+            "fallback": "falling back to connected_component_labels_twophase "
+            "(O(log^2 n) rounds regardless of diameter) — returned labels ARE final",
+            "raise": "raising",
+            "warn": "returning them anyway (on_exhaustion='warn')",
+        }[on_exhaustion]
+        msg = (
             f"connected_component_labels exhausted max_iterations="
-            f"{max_iterations} before converging — returned labels are NOT "
-            f"final component minima. The graph's diameter exceeds the "
-            f"round budget: raise max_iterations, or use "
-            f"connected_component_labels_twophase (O(log^2 n) rounds "
-            f"regardless of diameter).",
-            UserWarning,
-            stacklevel=2,
+            f"{max_iterations} before converging — propagation's labels are "
+            f"NOT final component minima (the graph's diameter exceeds the "
+            f"round budget); {resolution}."
         )
+        if on_exhaustion == "raise":
+            raise RuntimeError(msg)
+        warnings.warn(msg, UserWarning, stacklevel=2)
+        if on_exhaustion == "fallback":
+            return connected_component_labels_twophase(nodes, pairs, id_col)
     all_nodes = nodes.select(F.col(id_col).alias("node")).distinct()
     return all_nodes.join(labels, "node", "left").select(
         "node", F.coalesce("label", F.col("node")).alias("label")
@@ -164,11 +192,13 @@ def dedup_keep_representative(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 50,
+    on_exhaustion: str = "fallback",
 ) -> DataFrame:
     """Drop near-duplicates, keeping one representative (min id) per
     connected component of the pair graph (see
-    connected_component_labels)."""
-    labels = connected_component_labels(df, pairs, id_col, max_iterations)
+    connected_component_labels; on_exhaustion passes through, so the
+    default can never drop documents based on non-final labels)."""
+    labels = connected_component_labels(df, pairs, id_col, max_iterations, on_exhaustion)
     keep = labels.filter(F.col("node") == F.col("label")).select(F.col("node").alias(id_col))
     return df.join(keep, id_col, "left_semi")
 
@@ -253,17 +283,39 @@ def connected_component_labels_twophase(
         return (row["n"], row["h"])
 
     fp = fingerprint(edges)
+    converged = False
     for _ in range(max_iterations):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         new_fp = fingerprint(edges)
         if new_fp == fp:
+            converged = True
             break
         fp = new_fp
+    if not converged:
+        # Star contraction converges in O(log^2 n) alternations, so an
+        # exhausted budget means max_iterations was set far below that —
+        # the projected edge set is then not yet a star per component and
+        # labels may not be final minima. Warn (same policy as the
+        # propagation variant, ADVICE r11); the min-aggregate below still
+        # guarantees ONE row per node, never conflicting labels.
+        import warnings
+
+        warnings.warn(
+            f"connected_component_labels_twophase exhausted max_iterations="
+            f"{max_iterations} before the edge-set fingerprint stabilized — "
+            f"returned labels may not be final component minima; raise "
+            f"max_iterations (O(log^2 n) alternations suffice for any graph).",
+            UserWarning,
+            stacklevel=2,
+        )
     # Converged edge set is a star per component: (node, root) with
-    # root < node. Roots and isolated nodes label themselves.
+    # root < node. Roots and isolated nodes label themselves. The min
+    # aggregate (not distinct) keeps the one-row-per-node contract even on
+    # a truncated, not-yet-star edge set; on a converged star it is the
+    # identical frame.
     star = edges.select(
         F.greatest("src", "dst").alias("node"), F.least("src", "dst").alias("label")
-    ).distinct()
+    ).groupBy("node").agg(F.min("label").alias("label"))
     labels = graph_nodes.join(star, "node", "left").select(
         "node", F.coalesce("label", F.col("node")).alias("label")
     )
