@@ -354,9 +354,11 @@ def simhash_band_signatures(
     token by a hex digit of md5("b:chunk:" || token) (chunk = k div 32:
     one digest yields 32 bits, so a band costs ceil(band_bits/32) digests
     per token). Pure column expressions — one groupBy(id) aggregate, no
-    UDFs."""
-    if not 1 <= band_bits <= 64:
-        raise ValueError("band_bits must be in [1, 64]")
+    UDFs. band_bits caps at 63: bit k is set via a 1 << k LongType literal,
+    and 1 << 63 exceeds LongType max (ADVICE r11) — at 63 bits per band a
+    band already addresses 9.2e18 buckets, far past any corpus."""
+    if not 1 <= band_bits <= 63:
+        raise ValueError("band_bits must be in [1, 63] (bit 63 would overflow LongType)")
     toks = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("token"))
         .distinct()

@@ -418,7 +418,10 @@ def lsh_neardup_pairs(
     linear in n; raising n_bands trades recall for candidates."""
     if band_bits is None:
         band_bits = scaled_band_bits(n_rows if n_rows is not None else df.count())
-    v = quantize_embeddings(df, id_col, vec_col)
+    # One quantization pass, three consumers (signatures + both verify-join
+    # sides) — checkpoint so the lineage doesn't re-execute per consumer
+    # (ADVICE r11; the simhash twin already did this).
+    v = quantize_embeddings(df, id_col, vec_col).localCheckpoint(eager=True)
     sig = banded_signatures(v, n_bands=n_bands, band_bits=band_bits, dim=dim)
     cand = (
         sig.select(F.col("vec_id").alias("vec_a"), "bidx", "bv")

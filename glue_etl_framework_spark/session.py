@@ -99,11 +99,13 @@ def parse_memory_gib(mem: str) -> float:
     does: bare bytes, 'b', and k/m/g/t/p with an optional trailing 'b'
     ('16g', '16gb', '65536m', '1024mb', '2t', '1tb')."""
     s = mem.strip().lower()
-    if s.endswith("b") and len(s) > 1 and s[-2] in _MEM_UNIT_GIB:
-        s = s[:-1]
-    elif s.endswith("b"):
-        s = s[:-1]  # plain byte count: '1073741824b'
-    if s and s[-1] in _MEM_UNIT_GIB:
+    if s.endswith("b"):
+        s = s[:-1]  # '16gb' -> '16g'; plain byte count '1073741824b' -> digits
+    if not s:
+        raise ValueError(f"not a memory size: {mem!r}")
+    if s[-1] in _MEM_UNIT_GIB:
+        if not s[:-1]:
+            raise ValueError(f"not a memory size: {mem!r}")
         return float(s[:-1]) * _MEM_UNIT_GIB[s[-1]]
     return float(s) / 1024**3
 

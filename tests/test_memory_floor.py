@@ -40,6 +40,14 @@ def test_unparseable_memory_is_advisory_not_fatal():
         parse_memory_gib("lots")
 
 
+@pytest.mark.parametrize("mem", ["b", "kb", "g", "", "  ", "mb"])
+def test_degenerate_memory_strings_raise_cleanly(mem):
+    """A bare suffix with no number must raise ValueError with the input
+    named, not reduce to float('') (ADVICE r11)."""
+    with pytest.raises(ValueError):
+        parse_memory_gib(mem)
+
+
 @pytest.mark.parametrize(
     ("master", "cores"),
     [("local[32]", 32), ("local[4]", 4), ("local", 1),

@@ -103,3 +103,21 @@ def test_band_bits_bounds():
         simhash_band_signatures(None, band_bits=0)
     with pytest.raises(ValueError):
         simhash_band_signatures(None, band_bits=65)
+    # 64 passes no validation gate but 1 << 63 overflows LongType at
+    # plan-build time — the advertised range must exclude it (ADVICE r11)
+    with pytest.raises(ValueError, match="63"):
+        simhash_band_signatures(None, band_bits=64)
+
+
+def test_band_bits_63_builds_and_computes(spark):
+    """The upper bound of the advertised range must actually work end to
+    end: bit 62 is the highest set via a LongType literal (1 << 62 fits)."""
+    from glue_etl_framework_spark.ext.dedup import simhash_band_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i j")], ["doc_id", "text"]
+    )
+    rows = simhash_band_signatures(docs, n_bands=1, band_bits=63).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert len(r["sig"]) == 1 and isinstance(r["sig"][0], int)
