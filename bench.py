@@ -131,6 +131,32 @@ def _time_query(spark, fn, n_runs: int = N_RUNS) -> list[float]:
     return runs
 
 
+GATE_RATIO = 2.0  # the per-query bench gate (tests/test_bench_guard.py)
+
+
+def gate_trip_suspects(
+    timings: dict[str, float],
+    anchor: dict[str, float],
+    ratio: float = GATE_RATIO,
+) -> list[str]:
+    """Names whose median landed past the per-query gate vs the frozen
+    anchor — the candidates for a fresh-SparkContext re-time (r11 finding:
+    a long session can mis-time one query >2x with a zero-line diff).
+    Queries absent from the anchor (new this round) or anchored at 0 are
+    never suspects: there is nothing to trip against."""
+    return sorted(
+        n for n, sec in timings.items()
+        if anchor.get(n, 0) > 0 and sec > ratio * anchor[n]
+    )
+
+
+def merged_retry_median(first_runs: list[float], retry_runs: list[float]) -> float:
+    """Recorded value after a retry = median of ALL timed runs from BOTH
+    sessions: a real regression is slow in both and stays flagged; a
+    session transient is outvoted by the fresh session's runs."""
+    return round(statistics.median(first_runs + retry_runs), 4)
+
+
 def _anchor_queries() -> dict[str, float]:
     p = Path(__file__).with_name("BASELINE_BENCH.json")
     if not p.exists():
@@ -166,16 +192,14 @@ def main() -> None:
     # transient is outvoted. Retries are recorded in the detail JSON so
     # the screen is auditable, never silent.
     anchor = _anchor_queries()
-    suspects = [
-        n for n, sec in timings.items()
-        if n in anchor and anchor[n] > 0 and sec > 2.0 * anchor[n]
-    ]
+    suspects = gate_trip_suspects(timings, anchor)
     if suspects:
         spark.stop()
         spark = get_spark(app_name="bench-retry", shuffle_partitions=cpus)
         for name in suspects:
-            all_runs[name] += _time_query(spark, registry[name].fn)
-            timings[name] = round(statistics.median(all_runs[name]), 4)
+            retry_runs = _time_query(spark, registry[name].fn)
+            timings[name] = merged_retry_median(all_runs[name], retry_runs)
+            all_runs[name] += retry_runs
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Per-query detail goes to its own (earlier) stdout line AND a file:

@@ -273,3 +273,52 @@ def test_refreeze_medianizes_and_records_provenance():
     assert anchor["box_cal_sec_at_refreeze"] == 0.11
     assert "prior_anchor" in anchor["frozen_from"]
     assert anchor["total"] == round(sum(anchor["queries"].values()), 4)
+
+
+# ---- fresh-session retry protocol (VERDICT r11 item 6) --------------------
+# A long bench session can mis-time a single query >2x with a zero-line
+# diff (r11: agg_exact_median_twopass read 2.38x in-session, 0.99x fresh).
+# bench.py re-times any gate-tripping query on a fresh SparkContext and
+# records the median of ALL timed runs; these tests pin the pure logic.
+
+
+def test_retry_suspects_are_gate_trips_only():
+    from bench import gate_trip_suspects
+
+    anchor = {"q_slow": 1.0, "q_ok": 1.0, "q_zero": 0.0}
+    timings = {
+        "q_slow": 2.5,        # past the 2x gate -> suspect
+        "q_ok": 1.9,          # under the gate
+        "q_zero": 99.0,       # zero anchor: nothing to trip against
+        "q_new": 50.0,        # not in the anchor (new this round)
+    }
+    assert gate_trip_suspects(timings, anchor) == ["q_slow"]
+
+
+def test_retry_outvotes_session_transient():
+    """First session read 2.4x of a 1.0s anchor, fresh session reads ~1.0s:
+    the merged median drops back under the gate — transient outvoted."""
+    from bench import gate_trip_suspects, merged_retry_median
+
+    merged = merged_retry_median([2.4] * 5, [1.0] * 5)
+    assert merged < 2.0  # no longer a gate trip at anchor 1.0
+    assert gate_trip_suspects({"q": merged}, {"q": 1.0}) == []
+
+
+def test_retry_keeps_real_regression_flagged():
+    """Slow in BOTH sessions = a real regression: the merged median stays
+    past the gate, so the retry protocol cannot launder it."""
+    from bench import gate_trip_suspects, merged_retry_median
+
+    merged = merged_retry_median([2.4] * 5, [2.3] * 5)
+    assert merged > 2.0
+    assert gate_trip_suspects({"q": merged}, {"q": 1.0}) == ["q"]
+
+
+def test_retry_is_recorded_in_detail_json():
+    """The retry must be auditable: bench.py writes the suspect list to
+    BENCH_DETAIL.json under 'retried_in_fresh_session' (grep the source so
+    the field name cannot silently drift from this pin)."""
+    src = (REPO / "bench.py").read_text()
+    assert "retried_in_fresh_session" in src
+    assert "merged_retry_median" in src and "gate_trip_suspects" in src
