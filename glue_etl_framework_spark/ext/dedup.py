@@ -383,6 +383,54 @@ def simhash_band_signatures(
     return sums.select("doc_id", F.array(*words).alias("sig"))
 
 
+def drop_hot_buckets(
+    bands: DataFrame, max_bucket_size: int, keys: list[str]
+) -> DataFrame:
+    """Remove every row belonging to a bucket with more than
+    max_bucket_size members — the bounded-output lever for banded LSH
+    emitters. A bucket of size m emits m*(m-1)/2 in-bucket candidates, so
+    without a cap the candidate stream is quadratic in the hottest
+    bucket's occupancy NO MATTER how the banding is sized: the r11
+    eleventh probe's 100x simhash run died filling 252 GB of shuffle
+    spill because semantically homogeneous replicas concentrated ~5,000
+    docs per bucket (SCALING.md). With the cap, per-bucket emission is
+    <= cap*(cap-1)/2 and total candidates <= n_bucket_rows * cap / 2 —
+    LINEAR in corpus size by construction. Cost: one map-side-combinable
+    count per bucket key + one keyed join; recall: a pair survives iff it
+    shares >= 1 band whose bucket is under the cap (hot buckets are the
+    least discriminative — near-stopword signatures — but on adversarial
+    corpora the loss is real: measure it, probes/capped_simhash_r12.txt)."""
+    if max_bucket_size < 1:
+        raise ValueError("max_bucket_size must be >= 1")
+    cold = (
+        bands.groupBy(*keys)
+        .agg(F.count("*").alias("_bucket_n"))
+        .filter(F.col("_bucket_n") <= max_bucket_size)
+        .select(*keys)
+    )
+    return bands.join(cold, keys)
+
+
+def keep_top_k_partners(
+    pairs: DataFrame, k: int, id_col: str, order: list
+) -> DataFrame:
+    """Bound verified pair output to the k best partners per left-side
+    doc: total emitted rows <= k * n_docs regardless of semantic pair
+    density — the post-verify output cap complementing drop_hot_buckets'
+    pre-join candidate cap. Deterministic: order must be a total order
+    (include a tiebreaker column)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("top_k_partners must be >= 1")
+    w = Window.partitionBy(id_col).orderBy(*order)
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     hamming_max: int = 6,
@@ -390,6 +438,8 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     n_bands: int | None = None,
     band_bits: int = 16,
+    max_bucket_size: int | None = None,
+    top_k_partners: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) — candidate pairs from per-band equi-joins,
     verified by exact Hamming distance over the full concatenated
@@ -398,12 +448,24 @@ def simhash_neardup_pairs(
     shares at least one full band). Scale band_bits with log2(corpus)
     (ext.similarity.scaled_band_bits) to hold bucket occupancy — and so
     candidate volume — linear in n; total signature bits grow as
-    (hamming_max + 1) * band_bits with no 64-bit ceiling."""
+    (hamming_max + 1) * band_bits with no 64-bit ceiling.
+
+    Bounded-output knobs (both default OFF, preserving the exact-recall
+    contract; see SCALING.md: when the corpus itself has quadratic pair
+    density, no banding parameter bounds the output — only a cap does):
+
+    - max_bucket_size: drop band buckets with more members before the
+      candidate self-join (drop_hot_buckets) — candidates become linear in
+      n by construction; pairs connected ONLY through hot buckets are lost.
+    - top_k_partners: after Hamming verification, keep the k closest
+      partners per doc_a (ties broken by doc_b) — emitted rows <= k * n."""
     if n_bands is None:
         n_bands = hamming_max + 1
     sig = simhash_band_signatures(df, id_col, text_col, n_bands, band_bits)
     sig = sig.localCheckpoint(eager=True)  # one signature build, three consumers
     bands = sig.select("doc_id", F.posexplode("sig").alias("bidx", "bv"))
+    if max_bucket_size is not None:
+        bands = drop_hot_buckets(bands, max_bucket_size, ["bidx", "bv"])
     cand = (
         bands.select(F.col("doc_id").alias("doc_a"), "bidx", "bv")
         .join(bands.select(F.col("doc_id").alias("doc_b"), "bidx", "bv"), ["bidx", "bv"])
@@ -418,9 +480,14 @@ def simhash_neardup_pairs(
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    return (
+    out = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= hamming_max)
     )
+    if top_k_partners is not None:
+        out = keep_top_k_partners(
+            out, top_k_partners, "doc_a", [F.col("hamming").asc(), F.col("doc_b").asc()]
+        )
+    return out

@@ -404,6 +404,8 @@ def lsh_neardup_pairs(
     band_bits: int | None = None,
     dim: int = 64,
     n_rows: int | None = None,
+    max_bucket_size: int | None = None,
+    top_k_partners: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (vec_a, vec_b, cosine >= threshold)
     via banded random-hyperplane LSH with a PARAMETERIZED banding shape —
@@ -415,7 +417,14 @@ def lsh_neardup_pairs(
     self-join keyed on (band index, band value); verification is the exact
     quantized cosine, so the emitted pairs are deterministic on any
     partitioning. Raising band_bits with log2(n) holds candidate volume
-    linear in n; raising n_bands trades recall for candidates."""
+    linear in n; raising n_bands trades recall for candidates.
+
+    Bounded-output knobs (default OFF; see ext.dedup.drop_hot_buckets —
+    when the corpus's true pair density is quadratic, only a cap bounds
+    the emitted stream): max_bucket_size drops over-occupied band buckets
+    before the self-join (candidates linear in n by construction);
+    top_k_partners keeps the k highest-cosine partners per vec_a after
+    verification (rows <= k * n)."""
     if band_bits is None:
         band_bits = scaled_band_bits(n_rows if n_rows is not None else df.count())
     # One quantization pass, three consumers (signatures + both verify-join
@@ -423,6 +432,15 @@ def lsh_neardup_pairs(
     # (ADVICE r11; the simhash twin already did this).
     v = quantize_embeddings(df, id_col, vec_col).localCheckpoint(eager=True)
     sig = banded_signatures(v, n_bands=n_bands, band_bits=band_bits, dim=dim)
+    if max_bucket_size is not None:
+        from glue_etl_framework_spark.ext.dedup import drop_hot_buckets
+
+        # The cap adds two more consumers of the signature frame (bucket
+        # count + cold join) on top of the self-join's two sides —
+        # materialize the projection once instead of re-running it 5x.
+        sig = drop_hot_buckets(
+            sig.localCheckpoint(eager=True), max_bucket_size, ["bidx", "bv"]
+        )
     cand = (
         sig.select(F.col("vec_id").alias("vec_a"), "bidx", "bv")
         .join(sig.select(F.col("vec_id").alias("vec_b"), "bidx", "bv"), ["bidx", "bv"])
@@ -438,9 +456,16 @@ def lsh_neardup_pairs(
         lambda acc, x_: acc + x_,
     )
     cosine = dot / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
-    return (
+    out = (
         cand.join(x, "vec_a")
         .join(y, "vec_b")
         .filter(cosine >= threshold)
         .select("vec_a", "vec_b", F.round(cosine, 9).alias("cosine"))
     )
+    if top_k_partners is not None:
+        from glue_etl_framework_spark.ext.dedup import keep_top_k_partners
+
+        out = keep_top_k_partners(
+            out, top_k_partners, "vec_a", [F.col("cosine").desc(), F.col("vec_b").asc()]
+        )
+    return out

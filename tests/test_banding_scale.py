@@ -135,3 +135,34 @@ def test_scaled_bits_keep_candidate_volume_linear(spark):
     # near-dup structure still collides; allow real-data clustering slack)
     assert per_vec_scaled < 4 * per_vec_base, (per_vec_base, per_vec_scaled)
     assert per_vec_scaled < per_vec_fixed / 3
+
+
+def test_lsh_bucket_cap_and_top_k(spark):
+    """Bounded-output knobs on the hyperplane emitter (VERDICT r11 item 2):
+    capped output is a subset of uncapped; top_k_partners bounds rows per
+    vec_a and keeps the highest-cosine partners."""
+    from collections import Counter
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    full = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.lsh_neardup_pairs(emb, 0.35, band_bits=8).collect()
+    }
+    capped = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.lsh_neardup_pairs(emb, 0.35, band_bits=8, max_bucket_size=4).collect()
+    }
+    assert capped <= full
+    assert len(capped) < len(full)  # sf0.01 buckets exceed 4: the cap bit
+
+    rows = S.lsh_neardup_pairs(emb, 0.35, band_bits=8, top_k_partners=2).collect()
+    per_a = Counter(r["vec_a"] for r in rows)
+    assert per_a and max(per_a.values()) <= 2
+    # per vec_a the kept partners are the 2 best cosines of the full set
+    best = {}
+    for r in S.lsh_neardup_pairs(emb, 0.35, band_bits=8).collect():
+        best.setdefault(r["vec_a"], []).append((-r["cosine"], r["vec_b"]))
+    for a, kept in per_a.items():
+        expect = {b for _, b in sorted(best[a])[:2]}
+        got = {r["vec_b"] for r in rows if r["vec_a"] == a}
+        assert got == expect, (a, got, expect)
