@@ -440,6 +440,7 @@ def simhash_neardup_pairs(
     band_bits: int = 16,
     max_bucket_size: int | None = None,
     top_k_partners: int | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) — candidate pairs from per-band equi-joins,
     verified by exact Hamming distance over the full concatenated
@@ -458,11 +459,20 @@ def simhash_neardup_pairs(
       candidate self-join (drop_hot_buckets) — candidates become linear in
       n by construction; pairs connected ONLY through hot buckets are lost.
     - top_k_partners: after Hamming verification, keep the k closest
-      partners per doc_a (ties broken by doc_b) — emitted rows <= k * n."""
+      partners per doc_a (ties broken by doc_b) — emitted rows <= k * n.
+
+    signatures: pass a precomputed (doc_id, sig) frame (the checkpointed
+    output of simhash_band_signatures at the SAME n_bands/band_bits) to
+    reuse one signature build across several hamming/cap settings — the
+    build is the shared linear-in-n cost; everything downstream is
+    per-setting."""
     if n_bands is None:
         n_bands = hamming_max + 1
-    sig = simhash_band_signatures(df, id_col, text_col, n_bands, band_bits)
-    sig = sig.localCheckpoint(eager=True)  # one signature build, three consumers
+    if signatures is not None:
+        sig = signatures
+    else:
+        sig = simhash_band_signatures(df, id_col, text_col, n_bands, band_bits)
+        sig = sig.localCheckpoint(eager=True)  # one signature build, three consumers
     bands = sig.select("doc_id", F.posexplode("sig").alias("bidx", "bv"))
     if max_bucket_size is not None:
         bands = drop_hot_buckets(bands, max_bucket_size, ["bidx", "bv"])

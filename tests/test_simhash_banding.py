@@ -189,3 +189,30 @@ def test_cap_knob_validation(spark):
         simhash_neardup_pairs(docs, band_bits=8, max_bucket_size=0).collect()
     with pytest.raises(ValueError, match="top_k_partners"):
         simhash_neardup_pairs(docs, band_bits=8, top_k_partners=0).collect()
+
+
+def test_signature_reuse_path_identical(spark):
+    """simhash_neardup_pairs(signatures=precomputed) must reproduce the
+    direct call bit-for-bit — the reuse path shares one signature build
+    across several hamming/cap settings (probe tooling relies on it)."""
+    docs = _docs(spark)
+    sig = simhash_band_signatures(docs, n_bands=7, band_bits=8).localCheckpoint(eager=True)
+    direct = {
+        tuple(r) for r in simhash_neardup_pairs(docs, band_bits=8).collect()
+    }
+    reused = {
+        tuple(r)
+        for r in simhash_neardup_pairs(docs, band_bits=8, signatures=sig).collect()
+    }
+    assert direct == reused
+    capped_direct = {
+        tuple(r)
+        for r in simhash_neardup_pairs(docs, band_bits=8, max_bucket_size=16).collect()
+    }
+    capped_reused = {
+        tuple(r)
+        for r in simhash_neardup_pairs(
+            docs, band_bits=8, max_bucket_size=16, signatures=sig
+        ).collect()
+    }
+    assert capped_direct == capped_reused

@@ -7,23 +7,28 @@ with shuffle spill: the realistic corpus's filler tokens homogenize
 within-replica token sets, so true pair density is quadratic in replica
 size (~10^9-10^10 candidate rows at 100x) and NO banding width bounds the
 stream — only a cap does. This probe measures what the cap costs and what
-it buys:
+it buys, with the two cost phases timed separately:
+
+- wall_sig: the signature build (simhash_band_signatures + checkpoint) —
+  the shared, linear-in-n cost, paid once per corpus;
+- wall_emit: candidates + exact-Hamming verify per (cap) setting, via
+  simhash_neardup_pairs(signatures=sig) so every setting reuses the same
+  build (the API's signature-reuse path).
 
 1. recall-vs-cap at base and 10x, where the uncapped emitter completes:
-   recall = |capped pairs| / |uncapped pairs| (capped output is a proven
-   subset — tests/test_simhash_banding.py).
-2. the 100x run that previously died, under the chosen cap: wall + output
-   (single timed run; the corpus is reused from
-   /tmp/scale_probe_100x_realistic).
+   recall = |capped| / |uncapped| overall and per Hamming stratum
+   (capped output is a proven subset — tests/test_simhash_banding.py).
+2. the 100x run that previously died, under the chosen cap: wall_sig +
+   wall_emit + output (uncapped 100x is NOT attempted — that is the run
+   that filled the disk).
 
-Usage: python tools_probe_capped_simhash.py [--caps 32,64,128]
-       [--growths 10,100] [--cap100 64]
+Usage: python tools_probe_capped_simhash.py [--caps=64,256,1024]
+       [--growths=10] [--cap100=64]
 Env: SPARK_GRAFT_DRIVER_MEMORY=64g recommended (pair-emitter floor).
 """
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
@@ -32,7 +37,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from glue_etl_framework_spark import get_spark
-from glue_etl_framework_spark.ext.dedup import simhash_neardup_pairs
+from glue_etl_framework_spark.ext.dedup import (
+    simhash_band_signatures,
+    simhash_neardup_pairs,
+)
 from glue_etl_framework_spark.ext.similarity import scaled_band_bits
 from glue_etl_framework_spark.session import (
     warn_if_below_pair_emitter_floor,
@@ -40,6 +48,8 @@ from glue_etl_framework_spark.session import (
 )
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+HAMMING_MAX = 6
+N_BANDS = HAMMING_MAX + 1
 
 
 def _arg(flag: str, default: str) -> str:
@@ -49,23 +59,8 @@ def _arg(flag: str, default: str) -> str:
     return default
 
 
-def pairs(df, n_rows: int, cap: int | None):
-    return simhash_neardup_pairs(
-        df.select("doc_id", "text"),
-        hamming_max=6,
-        band_bits=scaled_band_bits(n_rows),
-        max_bucket_size=cap,
-    )
-
-
-def timed_count(df) -> tuple[float, int]:
-    t0 = time.perf_counter()
-    n = df.count()
-    return time.perf_counter() - t0, n
-
-
 def main() -> None:
-    caps = [int(c) for c in _arg("--caps", "32,64,128").split(",") if c]
+    caps = [int(c) for c in _arg("--caps", "64,256,1024").split(",") if c]
     growths = [int(g) for g in _arg("--growths", "10").split(",") if g]
     cap100 = int(_arg("--cap100", "64"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
@@ -77,16 +72,37 @@ def main() -> None:
         if msg:
             print(f"WARNING: {msg}", flush=True)
 
-    def corpus(path: str):
-        return spark.read.parquet(f"{path}/documents.parquet")
-
     from pyspark.sql import functions as F
 
-    # --- recall-vs-cap where uncapped completes: base + requested growths.
-    # Recall is stratified by Hamming distance: the closest pairs (h<=2,
-    # the ones an aggressive dedup actually needs) vs the long tail the
-    # homogenized corpus manufactures.
-    walls_uncapped: dict[int, float] = {}
+    def corpus(path: str):
+        return (
+            spark.read.parquet(f"{path}/documents.parquet").select("doc_id", "text")
+        )
+
+    def build_sig(df, bits: int):
+        """(wall_sig, checkpointed signature frame)."""
+        t0 = time.perf_counter()
+        sig = simhash_band_signatures(
+            df, n_bands=N_BANDS, band_bits=bits
+        ).localCheckpoint(eager=True)
+        return time.perf_counter() - t0, sig
+
+    def emit(df, sig, cap):
+        return simhash_neardup_pairs(
+            df, hamming_max=HAMMING_MAX, band_bits=8,  # band_bits unused with signatures=
+            max_bucket_size=cap, signatures=sig,
+        )
+
+    def timed_emit(df, sig, cap):
+        t0 = time.perf_counter()
+        out = emit(df, sig, cap).localCheckpoint(eager=True)
+        return time.perf_counter() - t0, out
+
+    stratum = F.when(F.col("hamming") <= 2, "h<=2").when(
+        F.col("hamming") <= 4, "h3-4"
+    ).otherwise("h5-6")
+
+    # --- recall-vs-cap where uncapped completes: base + requested growths
     for g in [1] + growths:
         path = SRC if g == 1 else f"/tmp/scale_probe_{g}x_realistic"
         if not os.path.exists(f"{path}/documents.parquet"):
@@ -95,39 +111,39 @@ def main() -> None:
         df = corpus(path)
         n = df.count()
         bits = scaled_band_bits(n)
-        t0 = time.perf_counter()
-        full = pairs(df, n, None).localCheckpoint(eager=True)
-        wall_u = time.perf_counter() - t0
-        walls_uncapped[g] = wall_u
-        stratum = F.when(F.col("hamming") <= 2, "h<=2").when(
-            F.col("hamming") <= 4, "h3-4"
-        ).otherwise("h5-6")
+        wall_sig, sig = build_sig(df, bits)
+        wall_u, full = timed_emit(df, sig, None)
         totals = {
             r["s"]: r["n"]
-            for r in full.groupBy(stratum.alias("s")).count().withColumnRenamed("count", "n").collect()
+            for r in full.groupBy(stratum.alias("s")).agg(F.count("*").alias("n")).collect()
         }
         n_full = sum(totals.values())
         print(
-            f"{g}x: n={n} band_bits={bits} uncapped wall={wall_u:.2f}s "
-            f"pairs={n_full} strata={dict(sorted(totals.items()))}",
+            f"{g}x: n={n} band_bits={bits} wall_sig={wall_sig:.2f}s "
+            f"uncapped wall_emit={wall_u:.2f}s pairs={n_full} "
+            f"strata={dict(sorted(totals.items()))}",
             flush=True,
         )
         for cap in caps:
-            wall_c, got = timed_count(pairs(df, n, cap))
-            kept_df = pairs(df, n, cap).select("doc_a", "doc_b").withColumn("kept", F.lit(1))
+            wall_c, capped = timed_emit(df, sig, cap)
             kept = {
                 r["s"]: r["k"]
-                for r in full.join(kept_df, ["doc_a", "doc_b"], "left")
+                for r in full.join(
+                    capped.select("doc_a", "doc_b").withColumn("kept", F.lit(1)),
+                    ["doc_a", "doc_b"],
+                    "left",
+                )
                 .groupBy(stratum.alias("s"))
                 .agg(F.sum("kept").alias("k"))
                 .collect()
             }
+            got = sum(v or 0 for v in kept.values())
             strata = {
                 s: f"{(kept.get(s) or 0)}/{t} ({(kept.get(s) or 0) / t:.3f})"
                 for s, t in sorted(totals.items())
             }
             print(
-                f"{g}x: cap={cap} wall={wall_c:.2f}s pairs={got} "
+                f"{g}x: cap={cap} wall_emit={wall_c:.2f}s pairs={got} "
                 f"recall={got / max(n_full, 1):.4f} per-stratum={strata}",
                 flush=True,
             )
@@ -140,15 +156,14 @@ def main() -> None:
         df = corpus(path)
         n = df.count()
         bits = scaled_band_bits(n)
-        wall, got = timed_count(pairs(df, n, cap100))
-        line = (
-            f"100x: n={n} band_bits={bits} cap={cap100} wall={wall:.2f}s "
-            f"pairs={got}"
+        wall_sig, sig = build_sig(df, bits)
+        wall_c, capped = timed_emit(df, sig, cap100)
+        print(
+            f"100x: n={n} band_bits={bits} cap={cap100} wall_sig={wall_sig:.2f}s "
+            f"wall_emit={wall_c:.2f}s total={wall_sig + wall_c:.2f}s "
+            f"pairs={capped.count()}",
+            flush=True,
         )
-        base_wall = walls_uncapped.get(1)
-        if base_wall:
-            line += f" exponent-vs-uncapped-base {math.log(wall / base_wall) / math.log(100):.2f}"
-        print(line, flush=True)
     else:
         print(f"100x corpus missing at {path}; not probed", flush=True)
 
