@@ -216,3 +216,29 @@ def test_signature_reuse_path_identical(spark):
         ).collect()
     }
     assert capped_direct == capped_reused
+
+
+def test_exact_dedup_first_then_capped_neardup_pipeline(spark):
+    """Pins the RECIPES round-12 ordering rule end to end: an
+    identical-doc clique is hot in every band and emits NOTHING under a
+    bucket cap, so exact dedup (linear, uncapped) must run first — after
+    it, the capped near-dup pass links the remaining near-pair and
+    keep-representative yields one doc per true cluster."""
+    from glue_etl_framework_spark.ext.dedup import dedup_keep_representative
+
+    docs = _toy_docs(spark)  # 48 identical docs + near-dup pair (100, 101)
+    # capped near-dup ALONE misses the identical clique entirely:
+    capped_only = simhash_neardup_pairs(docs, band_bits=8, max_bucket_size=8)
+    kept_wrong = dedup_keep_representative(docs, capped_only.select("doc_a", "doc_b")
+                                           .withColumnRenamed("doc_a", "id_a")
+                                           .withColumnRenamed("doc_b", "id_b"))
+    assert kept_wrong.count() == 49  # 48 identical docs all kept + 1 of the pair
+    # exact dedup first (hash the normalized text), then capped near-dup:
+    exact = docs.dropDuplicates(["text"])
+    assert exact.count() == 3  # one mass representative + both near-dups
+    pairs = simhash_neardup_pairs(exact, band_bits=8, max_bucket_size=8)
+    kept = dedup_keep_representative(
+        exact,
+        pairs.select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")),
+    )
+    assert kept.count() == 2  # mass representative + one of the near pair
