@@ -242,3 +242,16 @@ def test_exact_dedup_first_then_capped_neardup_pipeline(spark):
         pairs.select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")),
     )
     assert kept.count() == 2  # mass representative + one of the near pair
+
+
+def test_capped_and_topk_deterministic_across_partitioning(spark):
+    """The bounded-output path must stay partitioning-invariant like the
+    uncapped emitter: bucket counts are exact aggregates and the top-k
+    window has a total order, so repartitioning cannot change the kept
+    set."""
+    docs = _docs(spark)
+    kw = dict(band_bits=8, max_bucket_size=16, top_k_partners=2)
+    one = {tuple(r) for r in simhash_neardup_pairs(docs.repartition(1), **kw).collect()}
+    many = {tuple(r) for r in simhash_neardup_pairs(docs.repartition(13), **kw).collect()}
+    assert one == many
+    assert len(one) > 0
