@@ -67,6 +67,40 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_banded_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b) banded-MinHash candidate pairs over an arbitrary
+    frame — the production form of the registry entry dedup_minhash_lsh
+    (which pins its corpus and shape for the DuckDB oracle), completing
+    the bounded-output contract across all three emitter families
+    (MinHash / SimHash / hyperplane). Signatures and banding are the
+    IDENTICAL construction (queries.dedup._minhash_candidates: md5
+    string-min signatures, 4 bands x 2 rows, xxhash64 band keys), so at
+    shingle_n=3 on the documents table the uncapped output matches the
+    oracle-attested entry bit-for-bit (tests/test_simhash_banding.py).
+    max_bucket_size drops hot (band, band_hash) buckets before the
+    self-join: on boilerplate-heavy corpora identical shingle sets
+    produce identical band signatures, and those buckets are exactly the
+    quadratic-candidate mass (run exact dedup first — the round-12
+    ordering rule — and the cap only engages on the true adversarial
+    residue)."""
+    from glue_etl_framework_spark.queries.dedup import _minhash_candidates
+
+    sh = (
+        shingle_tokens(
+            df.select(F.col(id_col).alias("doc_id"), text_col), text_col, shingle_n
+        )
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    return _minhash_candidates(sh, max_bucket_size=max_bucket_size)
+
+
 def connected_component_labels(
     nodes: DataFrame,
     pairs: DataFrame,

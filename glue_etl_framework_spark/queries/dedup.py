@@ -230,10 +230,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_candidates(_shingles(spark, sf_dir))
 
 
-def _minhash_candidates(sh: DataFrame) -> DataFrame:
+def _minhash_candidates(sh: DataFrame, max_bucket_size: int | None = None) -> DataFrame:
     """Banded-LSH candidate pairs from a (doc_id, shingle) frame (the body
     of dedup_minhash_lsh, reusable against a shared/materialized shingle
-    set — see dedup_minhash_verified).
+    set — see dedup_minhash_verified). max_bucket_size=None (every
+    registry caller) builds the byte-identical uncapped plan;
+    ext.dedup.minhash_banded_candidate_pairs exposes the cap
+    (drop_hot_buckets on the (band, bh) key) for quadratic-density
+    corpora — see the round-12 bounded-output recipe.
 
     Band-key compression (round 10, VERDICT r09 item 6): the bucket key is
     xxhash64 of the band's signature pair — an 8-byte long — where the
@@ -259,6 +263,10 @@ def _minhash_candidates(sh: DataFrame) -> DataFrame:
     bands = sig.select("doc_id", F.explode(band_structs).alias("x")).select(
         "doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
     )
+    if max_bucket_size is not None:
+        from glue_etl_framework_spark.ext.dedup import drop_hot_buckets
+
+        bands = drop_hot_buckets(bands, max_bucket_size, ["band", "bh"])
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

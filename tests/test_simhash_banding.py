@@ -255,3 +255,46 @@ def test_capped_and_topk_deterministic_across_partitioning(spark):
     many = {tuple(r) for r in simhash_neardup_pairs(docs.repartition(13), **kw).collect()}
     assert one == many
     assert len(one) > 0
+
+
+def test_minhash_banded_ext_matches_registry_entry(spark):
+    """ext.dedup.minhash_banded_candidate_pairs (uncapped, shingle_n=3)
+    must reproduce the oracle-attested dedup_minhash_lsh pair set
+    bit-for-bit — one signature/banding construction across the registry
+    and the parameterized production path."""
+    from glue_etl_framework_spark.ext.dedup import minhash_banded_candidate_pairs
+    from glue_etl_framework_spark.queries import t
+    from glue_etl_framework_spark.queries.dedup import dedup_minhash_lsh
+
+    entry = {
+        (r["doc_a"], r["doc_b"]) for r in dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    }
+    ext = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_banded_candidate_pairs(
+            t(spark, SF_SMOKE, "documents").select("doc_id", "text")
+        ).collect()
+    }
+    assert ext == entry
+    assert len(ext) > 0
+
+
+def test_minhash_banded_cap_semantics(spark):
+    """Same cap contract as the other two emitter families: capped subset
+    of uncapped; the identical-doc clique (identical shingle sets ->
+    identical band signatures -> every bucket hot) emits nothing under the
+    cap while cold-bucket docs keep their pairs."""
+    from glue_etl_framework_spark.ext.dedup import minhash_banded_candidate_pairs
+
+    docs = _toy_docs(spark)
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_banded_candidate_pairs(docs).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_banded_candidate_pairs(docs, max_bucket_size=8).collect()
+    }
+    assert capped <= full
+    assert (0, 1) in full  # the identical mass pairs up uncapped
+    assert all(a >= 100 for a, _ in capped)  # ...and is gone under the cap
