@@ -150,11 +150,20 @@ def gate_trip_suspects(
     )
 
 
-def merged_retry_median(first_runs: list[float], retry_runs: list[float]) -> float:
-    """Recorded value after a retry = median of ALL timed runs from BOTH
-    sessions: a real regression is slow in both and stays flagged; a
-    session transient is outvoted by the fresh session's runs."""
-    return round(statistics.median(first_runs + retry_runs), 4)
+def retry_resolved_value(first_runs: list[float], retry_runs: list[float]) -> float:
+    """Recorded value after a fresh-context retry = the SMALLER of the two
+    sessions' medians. Accumulated session state (block-manager pressure,
+    localCheckpoint GC, scheduler backlog) only ever INFLATES timings — a
+    fresh context cannot make a genuinely regressed plan fast — so the
+    lower median is the truthful reading and a transient of ANY size is
+    outvoted. (A combined-runs median only outvoted transients below ~3x:
+    a 4x mis-time merged with a clean 1.0x retry lands at 2.5x and still
+    trips the gate on a zero-line diff.) A real regression is slow in
+    BOTH sessions, so min() keeps it flagged. Both medians are recorded
+    in BENCH_DETAIL (retry_medians) so the resolution is auditable."""
+    return round(
+        min(statistics.median(first_runs), statistics.median(retry_runs)), 4
+    )
 
 
 def _anchor_queries() -> dict[str, float]:
@@ -193,12 +202,17 @@ def main() -> None:
     # the screen is auditable, never silent.
     anchor = _anchor_queries()
     suspects = gate_trip_suspects(timings, anchor)
+    retry_medians: dict[str, list[float]] = {}
     if suspects:
         spark.stop()
         spark = get_spark(app_name="bench-retry", shuffle_partitions=cpus)
         for name in suspects:
             retry_runs = _time_query(spark, registry[name].fn)
-            timings[name] = merged_retry_median(all_runs[name], retry_runs)
+            retry_medians[name] = [
+                round(statistics.median(all_runs[name]), 4),
+                round(statistics.median(retry_runs), 4),
+            ]
+            timings[name] = retry_resolved_value(all_runs[name], retry_runs)
             all_runs[name] += retry_runs
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -210,6 +224,7 @@ def main() -> None:
     detail = {"detail_queries": timings, "sf": sf_val, "box_cal_sec": box_calibration_sec()}
     if suspects:
         detail["retried_in_fresh_session"] = sorted(suspects)
+        detail["retry_medians"] = retry_medians
     Path(__file__).with_name("BENCH_DETAIL.json").write_text(
         json.dumps(detail, indent=2) + "\n"
     )

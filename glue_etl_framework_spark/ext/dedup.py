@@ -200,7 +200,8 @@ def connected_component_labels(
 
         resolution = {
             "fallback": "falling back to connected_component_labels_twophase "
-            "(O(log^2 n) rounds regardless of diameter) — returned labels ARE final",
+            "(O(log^2 n) rounds regardless of diameter; it warns separately "
+            "if its own round budget were ever to run out)",
             "raise": "raising",
             "warn": "returning them anyway (on_exhaustion='warn')",
         }[on_exhaustion]
@@ -214,7 +215,16 @@ def connected_component_labels(
             raise RuntimeError(msg)
         warnings.warn(msg, UserWarning, stacklevel=2)
         if on_exhaustion == "fallback":
-            return connected_component_labels_twophase(nodes, pairs, id_col)
+            # Hand twophase the already-materialized edge set, NOT the raw
+            # pairs frame: pairs' lineage is often a full MinHash/LSH
+            # candidate pipeline (re-executing it measured 5x end-to-end,
+            # see the edges checkpoint above), and edges is equivalent
+            # input — twophase canonicalizes/distincts its edges anyway.
+            return connected_component_labels_twophase(
+                nodes,
+                edges.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b")),
+                id_col,
+            )
     all_nodes = nodes.select(F.col(id_col).alias("node")).distinct()
     return all_nodes.join(labels, "node", "left").select(
         "node", F.coalesce("label", F.col("node")).alias("label")
@@ -503,6 +513,17 @@ def simhash_neardup_pairs(
     if n_bands is None:
         n_bands = hamming_max + 1
     if signatures is not None:
+        # The pigeonhole recall guarantee needs >= hamming_max + 1 bands in
+        # the PASSED frame — a sig built for a smaller Hamming budget would
+        # silently drop pairs that share no full band. Probe one row (cheap
+        # on the checkpointed frame callers are expected to pass).
+        first = signatures.select(F.size("sig").alias("nb")).first()
+        if first is not None and first["nb"] < n_bands:
+            raise ValueError(
+                f"signatures frame has {first['nb']} bands but this call "
+                f"needs n_bands={n_bands} (hamming_max + 1 for exact recall) "
+                f"— rebuild with simhash_band_signatures(n_bands={n_bands})"
+            )
         sig = signatures
     else:
         sig = simhash_band_signatures(df, id_col, text_col, n_bands, band_bits)

@@ -357,7 +357,12 @@ def banded_signatures(
     so (n_bands=2, band_bits=8) reproduces the registry entry's signature
     frame exactly. Pure column expressions over the quantized array — the
     whole signature stays in codegen; only (vec_id, bidx, bv) triples reach
-    the candidate shuffle."""
+    the candidate shuffle. band_bits caps at 63 like the simhash twin:
+    bit k is set via a 1 << k LongType literal and 1 << 63 overflows
+    (ADVICE r11 applied to BOTH twins; scaled_band_bits clamps at 28 but
+    an explicit band_bits bypasses it)."""
+    if not 1 <= band_bits <= 63:
+        raise ValueError("band_bits must be in [1, 63] (bit 63 would overflow LongType)")
     band_cols = []
     for b in range(n_bands):
         bits = []

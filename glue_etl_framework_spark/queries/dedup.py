@@ -266,7 +266,15 @@ def _minhash_candidates(sh: DataFrame, max_bucket_size: int | None = None) -> Da
     if max_bucket_size is not None:
         from glue_etl_framework_spark.ext.dedup import drop_hot_buckets
 
-        bands = drop_hot_buckets(bands, max_bucket_size, ["band", "bh"])
+        # The cap adds a bucket-count aggregate and a cold join on top of
+        # the self-join's two sides — materialize the shingle -> signature
+        # -> bands lineage once instead of re-running it per consumer
+        # (same reasoning as the capped branches of the other two emitter
+        # families). Registry callers (max_bucket_size=None) keep the
+        # byte-identical uncapped plan.
+        bands = drop_hot_buckets(
+            bands.localCheckpoint(eager=True), max_bucket_size, ["band", "bh"]
+        )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -166,3 +166,12 @@ def test_lsh_bucket_cap_and_top_k(spark):
         expect = {b for _, b in sorted(best[a])[:2]}
         got = {r["vec_b"] for r in rows if r["vec_a"] == a}
         assert got == expect, (a, got, expect)
+
+
+def test_hyperplane_band_bits_bounds():
+    """Same [1, 63] guard as the simhash twin (review finding r12: the
+    ADVICE fix had been applied to only one of two identical sites)."""
+    with pytest.raises(ValueError, match="63"):
+        S.banded_signatures(None, n_bands=1, band_bits=64)
+    with pytest.raises(ValueError):
+        S.banded_signatures(None, n_bands=1, band_bits=0)

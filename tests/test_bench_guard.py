@@ -295,30 +295,35 @@ def test_retry_suspects_are_gate_trips_only():
     assert gate_trip_suspects(timings, anchor) == ["q_slow"]
 
 
-def test_retry_outvotes_session_transient():
-    """First session read 2.4x of a 1.0s anchor, fresh session reads ~1.0s:
-    the merged median drops back under the gate — transient outvoted."""
-    from bench import gate_trip_suspects, merged_retry_median
+def test_retry_outvotes_session_transient_of_any_size():
+    """A session transient is outvoted by the fresh-context median no
+    matter how large: min-of-medians resolution. (The earlier combined-
+    runs median failed this for transients above ~3x — a 4x mis-time
+    merged with a clean retry landed at 2.5x and still tripped the gate
+    on a zero-line diff.)"""
+    from bench import gate_trip_suspects, retry_resolved_value
 
-    merged = merged_retry_median([2.4] * 5, [1.0] * 5)
-    assert merged < 2.0  # no longer a gate trip at anchor 1.0
-    assert gate_trip_suspects({"q": merged}, {"q": 1.0}) == []
+    for transient in (2.4, 4.0, 20.0):
+        resolved = retry_resolved_value([transient] * 5, [1.0, 1.1, 1.0, 0.9, 1.0])
+        assert resolved <= 1.0, transient
+        assert gate_trip_suspects({"q": resolved}, {"q": 1.0}) == []
 
 
 def test_retry_keeps_real_regression_flagged():
-    """Slow in BOTH sessions = a real regression: the merged median stays
-    past the gate, so the retry protocol cannot launder it."""
-    from bench import gate_trip_suspects, merged_retry_median
+    """Slow in BOTH sessions = a real regression: the minimum of the two
+    medians stays past the gate, so the retry protocol cannot launder it."""
+    from bench import gate_trip_suspects, retry_resolved_value
 
-    merged = merged_retry_median([2.4] * 5, [2.3] * 5)
-    assert merged > 2.0
-    assert gate_trip_suspects({"q": merged}, {"q": 1.0}) == ["q"]
+    resolved = retry_resolved_value([2.4] * 5, [2.3] * 5)
+    assert resolved > 2.0
+    assert gate_trip_suspects({"q": resolved}, {"q": 1.0}) == ["q"]
 
 
 def test_retry_is_recorded_in_detail_json():
-    """The retry must be auditable: bench.py writes the suspect list to
-    BENCH_DETAIL.json under 'retried_in_fresh_session' (grep the source so
-    the field name cannot silently drift from this pin)."""
+    """The retry must be auditable: bench.py writes the suspect list AND
+    both session medians to BENCH_DETAIL.json (grep the source so the
+    field names cannot silently drift from this pin)."""
     src = (REPO / "bench.py").read_text()
     assert "retried_in_fresh_session" in src
-    assert "merged_retry_median" in src and "gate_trip_suspects" in src
+    assert "retry_medians" in src
+    assert "retry_resolved_value" in src and "gate_trip_suspects" in src

@@ -298,3 +298,19 @@ def test_minhash_banded_cap_semantics(spark):
     assert capped <= full
     assert (0, 1) in full  # the identical mass pairs up uncapped
     assert all(a >= 100 for a, _ in capped)  # ...and is gone under the cap
+
+
+def test_signature_reuse_rejects_insufficient_bands(spark):
+    """The reuse path must not silently break the pigeonhole guarantee: a
+    frame built with fewer bands than hamming_max + 1 raises instead of
+    dropping pairs that share no full band (review finding r12)."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], ["doc_id", "text"]
+    )
+    sig = simhash_band_signatures(docs, n_bands=7, band_bits=8).localCheckpoint(eager=True)
+    with pytest.raises(ValueError, match="bands"):
+        simhash_neardup_pairs(docs, hamming_max=8, signatures=sig)
+    # and the matching budget still works
+    assert simhash_neardup_pairs(docs, hamming_max=6, signatures=sig).count() >= 0
