@@ -327,3 +327,56 @@ def test_retry_is_recorded_in_detail_json():
     assert "retried_in_fresh_session" in src
     assert "retry_medians" in src
     assert "retry_resolved_value" in src and "gate_trip_suspects" in src
+
+
+# ---- tail recovery + recent-window source selection (VERDICT r12 item 1) --
+# r05+ driver rounds store per-query detail only in the front-truncated
+# stdout tail; the refreeze tool recovers it (rule 4) and pools medians over
+# the newest rounds only (rule 5), deduping the round that IS the detail run.
+
+
+def test_tail_recovery_restricted_to_known_names():
+    from tools_refreeze_baseline import recover_round_queries
+
+    tail = (
+        '.4765, "orderby_limit": 0.143, "json_struct_parse": 0.489, '
+        '"not_a_query": 9.9}, "sf": 0.1, "box_cal_sec": 0.1396}\n'
+        '{"metric": "headline_query_wall_seconds", "value": 47.6598, '
+        '"unit": "sec", "sf": 0.1, "n_queries": 57, "box_cal_sec": 0.1396}\n'
+    )
+    known = {"orderby_limit", "json_struct_parse", "dedup_exact"}
+    queries, cal = recover_round_queries(tail, known)
+    # the front-truncated ".4765" fragment and unknown names are skipped;
+    # summary-line fields (value, sf, n_queries) never collide with known
+    assert queries == {"orderby_limit": 0.143, "json_struct_parse": 0.489}
+    assert cal == 0.1396
+
+
+def test_tail_recovery_first_occurrence_wins_over_retry_lists():
+    """retry_medians values are JSON lists — the name:float regex cannot
+    match them, and a detail value earlier in the tail wins regardless."""
+    from tools_refreeze_baseline import recover_round_queries
+
+    tail = (
+        '{"detail_queries": {"q_a": 1.5}, "sf": 0.1, "box_cal_sec": 0.09, '
+        '"retried_in_fresh_session": ["q_a"], '
+        '"retry_medians": {"q_a": [2.4, 1.5]}}\n'
+    )
+    queries, cal = recover_round_queries(tail, {"q_a"})
+    assert queries == {"q_a": 1.5}
+    assert cal == 0.09
+
+
+def test_same_run_dedupe_matches_only_identical_runs():
+    from tools_refreeze_baseline import is_same_run
+
+    detail = {"q1": 1.0, "q2": 2.0}
+    assert is_same_run({"q1": 1.0, "q2": 2.0}, 0.12, detail, 0.12)
+    # partial tail recovery of the same run still dedupes
+    assert is_same_run({"q2": 2.0}, 0.12, detail, 0.12)
+    # different calibration or any differing shared value = different run
+    assert not is_same_run({"q1": 1.0, "q2": 2.0}, 0.13, detail, 0.12)
+    assert not is_same_run({"q1": 1.0, "q2": 2.01}, 0.12, detail, 0.12)
+    # nothing shared / no calibration recorded: never dedupe on a guess
+    assert not is_same_run({"q9": 5.0}, 0.12, detail, 0.12)
+    assert not is_same_run({"q1": 1.0}, None, detail, 0.12)
