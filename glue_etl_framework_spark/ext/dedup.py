@@ -45,7 +45,16 @@ def minhash_candidate_pairs(
     """(id_a, id_b, jaccard_distance) candidate pairs with estimated
     Jaccard distance <= 1 - threshold, via MinHashLSH.approxSimilarityJoin.
     The join only compares same-band rows — linear in corpus size for fixed
-    collision rates."""
+    collision rates.
+
+    CONVENIENCE PATH ONLY (VERDICT r12 item 5): the band self-join happens
+    inside pyspark.ml's approxSimilarityJoin, so this variant CANNOT take
+    the bounded-output levers (max_bucket_size / top_k_partners / metrics)
+    — on a corpus with quadratic true-pair density its output, like any
+    uncapped emitter's, is unbounded. At scale use
+    minhash_banded_candidate_pairs below: identical banding semantics,
+    full bounded-output contract, and bit-compatible with the
+    oracle-attested registry entry."""
     if not HAS_ML:  # pragma: no cover
         raise NotImplementedError("pyspark.ml not available")
     shingled = shingle_tokens(df.select(id_col, text_col), text_col)
@@ -73,6 +82,7 @@ def minhash_banded_candidate_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
+    cap_metrics: dict | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) banded-MinHash candidate pairs over an arbitrary
     frame — the production form of the registry entry dedup_minhash_lsh
@@ -88,9 +98,24 @@ def minhash_banded_candidate_pairs(
     produce identical band signatures, and those buckets are exactly the
     quadratic-candidate mass (run exact dedup first — the round-12
     ordering rule — and the cap only engages on the true adversarial
-    residue)."""
+    residue). cap_metrics: optional dict recording hot_buckets /
+    dropped_band_rows when the cap engages (see drop_hot_buckets).
+
+    max_bucket_size='auto' is NOT supported here (unlike the simhash /
+    hyperplane emitters): minhash bands key on xxhash64 of the band
+    signature — a 2^64 key space with no occupancy target, where bucket
+    mass comes only from genuinely matching signatures, so an
+    occupancy-derived cap would degenerate to the bare factor and drop
+    real near-dup groups. Choose an explicit cap from the corpus's
+    duplicate-group size distribution instead."""
     from glue_etl_framework_spark.queries.dedup import _minhash_candidates
 
+    if max_bucket_size == "auto":
+        raise ValueError(
+            "max_bucket_size='auto' is occupancy-derived and does not apply "
+            "to hash-space minhash banding — pass an explicit cap (see "
+            "docstring)"
+        )
     sh = (
         shingle_tokens(
             df.select(F.col(id_col).alias("doc_id"), text_col), text_col, shingle_n
@@ -98,7 +123,7 @@ def minhash_banded_candidate_pairs(
         .select("doc_id", F.explode("shingles").alias("shingle"))
         .distinct()
     )
-    return _minhash_candidates(sh, max_bucket_size=max_bucket_size)
+    return _minhash_candidates(sh, max_bucket_size=max_bucket_size, cap_metrics=cap_metrics)
 
 
 def connected_component_labels(
@@ -220,9 +245,20 @@ def connected_component_labels(
             # candidate pipeline (re-executing it measured 5x end-to-end,
             # see the edges checkpoint above), and edges is equivalent
             # input — twophase canonicalizes/distincts its edges anyway.
+            # SEED it with the partially-propagated labels as extra edges
+            # (ADVICE r12): label(n) is the min id reached from n along
+            # real edges, so (n, label(n)) connects nodes already in one
+            # component — the component partition is unchanged, but star
+            # contraction starts from a graph the exhausted rounds already
+            # partially collapsed (long chains become shortcuts to the
+            # frontier minimum) instead of discarding that work entirely.
+            label_edges = labels.filter(F.col("node") != F.col("label")).select(
+                F.col("node").alias("id_a"), F.col("label").alias("id_b")
+            )
             return connected_component_labels_twophase(
                 nodes,
-                edges.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b")),
+                edges.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+                .union(label_edges),
                 id_col,
             )
     all_nodes = nodes.select(F.col(id_col).alias("node")).distinct()
@@ -428,7 +464,10 @@ def simhash_band_signatures(
 
 
 def drop_hot_buckets(
-    bands: DataFrame, max_bucket_size: int, keys: list[str]
+    bands: DataFrame,
+    max_bucket_size: int,
+    keys: list[str],
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Remove every row belonging to a bucket with more than
     max_bucket_size members — the bounded-output lever for banded LSH
@@ -443,36 +482,75 @@ def drop_hot_buckets(
     count per bucket key + one keyed join; recall: a pair survives iff it
     shares >= 1 band whose bucket is under the cap (hot buckets are the
     least discriminative — near-stopword signatures — but on adversarial
-    corpora the loss is real: measure it, probes/capped_simhash_r12.txt)."""
+    corpora the loss is real: measure it, probes/capped_simhash_r12.txt).
+
+    metrics: optional dict — the "no silent caps" rule applied to the cap
+    itself (VERDICT r12 item 2). When passed, records what the cap
+    discarded so a production run can audit its recall exposure without
+    re-running uncapped:
+
+    - ``metrics['hot_buckets']``: number of (keys) buckets over the cap;
+    - ``metrics['dropped_band_rows']``: total band rows in those buckets
+      (a doc row may still survive via its other, colder bands — this is
+      the discarded BANDING mass, the upper bound on lost connectivity).
+
+    Recording costs ONE eager Spark job (the per-bucket counts are lazily
+    localCheckpoint-ed so the cold-side filter reuses the materialized
+    counts instead of re-aggregating); metrics=None keeps today's fully
+    lazy, byte-identical plan."""
     if max_bucket_size < 1:
         raise ValueError("max_bucket_size must be >= 1")
-    cold = (
-        bands.groupBy(*keys)
-        .agg(F.count("*").alias("_bucket_n"))
-        .filter(F.col("_bucket_n") <= max_bucket_size)
-        .select(*keys)
-    )
+    counts = bands.groupBy(*keys).agg(F.count("*").alias("_bucket_n"))
+    if metrics is not None:
+        counts = counts.localCheckpoint(eager=False)
+        hot = counts.filter(F.col("_bucket_n") > max_bucket_size).agg(
+            F.count("*").alias("hb"),
+            F.coalesce(F.sum("_bucket_n"), F.lit(0)).alias("dr"),
+        ).first()
+        metrics["hot_buckets"] = hot["hb"]
+        metrics["dropped_band_rows"] = hot["dr"]
+    cold = counts.filter(F.col("_bucket_n") <= max_bucket_size).select(*keys)
     return bands.join(cold, keys)
 
 
 def keep_top_k_partners(
-    pairs: DataFrame, k: int, id_col: str, order: list
+    pairs: DataFrame,
+    k: int,
+    id_col: str,
+    order: list,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Bound verified pair output to the k best partners per left-side
     doc: total emitted rows <= k * n_docs regardless of semantic pair
     density — the post-verify output cap complementing drop_hot_buckets'
     pre-join candidate cap. Deterministic: order must be a total order
-    (include a tiebreaker column)."""
+    (include a tiebreaker column).
+
+    Asymmetry (ADVICE r12): the bound is per LEFT-side id. The emitters
+    canonicalize pairs as doc_a < doc_b BEFORE capping, so the cap reads
+    "k best partners among the pairs where this doc is the smaller id" —
+    a high-id doc can still appear in up to n rows as doc_b, and its own
+    k best partners are not what is kept for it. The global bound
+    (rows <= k * n_left) holds regardless; if a true per-doc bound is
+    needed, symmetrize the pairs before capping and re-canonicalize
+    after (at 2x the window input).
+
+    metrics: optional dict — when passed, records
+    ``metrics['dropped_verified_pairs']`` (rows the cap removed) at the
+    cost of ONE eager count over the ranked frame (lazily
+    localCheckpoint-ed so the kept-side filter reuses the materialized
+    ranking instead of re-running the pair lineage); metrics=None keeps
+    the fully lazy plan."""
     from pyspark.sql import Window
 
     if k < 1:
         raise ValueError("top_k_partners must be >= 1")
     w = Window.partitionBy(id_col).orderBy(*order)
-    return (
-        pairs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    ranked = pairs.withColumn("_rn", F.row_number().over(w))
+    if metrics is not None:
+        ranked = ranked.localCheckpoint(eager=False)
+        metrics["dropped_verified_pairs"] = ranked.filter(F.col("_rn") > k).count()
+    return ranked.filter(F.col("_rn") <= k).drop("_rn")
 
 
 def simhash_neardup_pairs(
@@ -482,18 +560,19 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     n_bands: int | None = None,
     band_bits: int = 16,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | str | None = None,
     top_k_partners: int | None = None,
     signatures: DataFrame | None = None,
+    cap_metrics: dict | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) — candidate pairs from per-band equi-joins,
-    verified by exact Hamming distance over the full concatenated
-    signature. n_bands defaults to hamming_max + 1, which by pigeonhole
-    makes candidate recall EXACT (every pair within the Hamming budget
-    shares at least one full band). Scale band_bits with log2(corpus)
-    (ext.similarity.scaled_band_bits) to hold bucket occupancy — and so
-    candidate volume — linear in n; total signature bits grow as
-    (hamming_max + 1) * band_bits with no 64-bit ceiling.
+    verified by exact Hamming distance over the concatenated signature of
+    the n_bands bands this call uses. n_bands defaults to hamming_max + 1,
+    which by pigeonhole makes candidate recall EXACT (every pair within
+    the Hamming budget shares at least one full band). Scale band_bits
+    with log2(corpus) (ext.similarity.scaled_band_bits) to hold bucket
+    occupancy — and so candidate volume — linear in n; total signature
+    bits grow as (hamming_max + 1) * band_bits with no 64-bit ceiling.
 
     Bounded-output knobs (both default OFF, preserving the exact-recall
     contract; see SCALING.md: when the corpus itself has quadratic pair
@@ -502,35 +581,66 @@ def simhash_neardup_pairs(
     - max_bucket_size: drop band buckets with more members before the
       candidate self-join (drop_hot_buckets) — candidates become linear in
       n by construction; pairs connected ONLY through hot buckets are lost.
+      ``'auto'`` derives the cap from expected bucket occupancy:
+      ext.similarity.auto_bucket_cap(n_docs, band_bits) — a no-op on
+      corpora whose bucket sizes sit near the occupancy the banding was
+      sized for, engaging only on adversarial mass. With ``signatures=``
+      the band_bits ARGUMENT feeds the formula and must match the passed
+      build (the per-band width is not recoverable from the frame).
     - top_k_partners: after Hamming verification, keep the k closest
       partners per doc_a (ties broken by doc_b) — emitted rows <= k * n.
+      The bound is per canonical LEFT id; see keep_top_k_partners for the
+      doc_b asymmetry.
 
-    signatures: pass a precomputed (doc_id, sig) frame (the checkpointed
-    output of simhash_band_signatures at the SAME n_bands/band_bits) to
-    reuse one signature build across several hamming/cap settings — the
-    build is the shared linear-in-n cost; everything downstream is
-    per-setting."""
+    cap_metrics: optional dict — when passed, the levers record their
+    dropped mass (``hot_buckets`` / ``dropped_band_rows`` /
+    ``dropped_verified_pairs``, plus ``max_bucket_size_resolved`` when
+    'auto') at the cost of one eager job per engaged lever — the "no
+    silent caps" audit path (VERDICT r12 item 2).
+
+    signatures: pass a precomputed (doc_id, sig) frame (the output of
+    simhash_band_signatures at the SAME band_bits, with AT LEAST n_bands
+    bands) to reuse one signature build across several hamming/cap
+    settings — the build is the shared linear-in-n cost; everything
+    downstream is per-setting. Band b's hash depends only on (b, chunk),
+    so the first n_bands words of a wider signature ARE the n_bands
+    signature: both banding and Hamming verification slice to that
+    prefix, making the reuse path bit-identical to a direct call at any
+    hamming_max within the built band budget (ADVICE r12 — previously the
+    Hamming filter ran over ALL passed bands, a strictly tighter
+    criterion). Validation runs ONE eager Spark job (min(size(sig)) — every
+    row checked, not an arbitrary first row) on a defensive lazy
+    localCheckpoint of the passed frame, so the job doubles as the
+    materialization and the 3+ downstream consumers read the checkpoint
+    instead of re-executing the caller's lineage; a caller that already
+    checkpointed pays one extra cached copy, never a recompute."""
     if n_bands is None:
         n_bands = hamming_max + 1
     if signatures is not None:
-        # The pigeonhole recall guarantee needs >= hamming_max + 1 bands in
-        # the PASSED frame — a sig built for a smaller Hamming budget would
-        # silently drop pairs that share no full band. Probe one row (cheap
-        # on the checkpointed frame callers are expected to pass).
-        first = signatures.select(F.size("sig").alias("nb")).first()
-        if first is not None and first["nb"] < n_bands:
+        checked = signatures.localCheckpoint(eager=False)
+        row = checked.agg(F.min(F.size("sig")).alias("nb")).first()
+        if row is not None and row["nb"] is not None and row["nb"] < n_bands:
             raise ValueError(
-                f"signatures frame has {first['nb']} bands but this call "
-                f"needs n_bands={n_bands} (hamming_max + 1 for exact recall) "
-                f"— rebuild with simhash_band_signatures(n_bands={n_bands})"
+                f"signatures frame has a row with {row['nb']} bands but this "
+                f"call needs n_bands={n_bands} (hamming_max + 1 for exact "
+                f"recall) — rebuild with simhash_band_signatures(n_bands="
+                f"{n_bands})"
             )
-        sig = signatures
+        sig = checked.select("doc_id", F.slice("sig", 1, n_bands).alias("sig"))
     else:
         sig = simhash_band_signatures(df, id_col, text_col, n_bands, band_bits)
         sig = sig.localCheckpoint(eager=True)  # one signature build, three consumers
+    if max_bucket_size == "auto":
+        from glue_etl_framework_spark.ext.similarity import auto_bucket_cap
+
+        max_bucket_size = auto_bucket_cap(sig.count(), band_bits)
+        if cap_metrics is not None:
+            cap_metrics["max_bucket_size_resolved"] = max_bucket_size
     bands = sig.select("doc_id", F.posexplode("sig").alias("bidx", "bv"))
     if max_bucket_size is not None:
-        bands = drop_hot_buckets(bands, max_bucket_size, ["bidx", "bv"])
+        bands = drop_hot_buckets(
+            bands, max_bucket_size, ["bidx", "bv"], metrics=cap_metrics
+        )
     cand = (
         bands.select(F.col("doc_id").alias("doc_a"), "bidx", "bv")
         .join(bands.select(F.col("doc_id").alias("doc_b"), "bidx", "bv"), ["bidx", "bv"])
@@ -553,6 +663,10 @@ def simhash_neardup_pairs(
     )
     if top_k_partners is not None:
         out = keep_top_k_partners(
-            out, top_k_partners, "doc_a", [F.col("hamming").asc(), F.col("doc_b").asc()]
+            out,
+            top_k_partners,
+            "doc_a",
+            [F.col("hamming").asc(), F.col("doc_b").asc()],
+            metrics=cap_metrics,
         )
     return out

@@ -400,6 +400,31 @@ def scaled_band_bits(
     return max(min_bits, min(max_bits, bits))
 
 
+def auto_bucket_cap(n_rows: int, band_bits: int, factor: int = 8) -> int:
+    """Occupancy-derived hot-bucket cap: factor * ceil(n / 2^band_bits) —
+    the RECIPES.md guidance ("choose the cap as 2–8x the banding target
+    occupancy") made executable (VERDICT r12 item 3). n / 2^band_bits is
+    the EXPECTED bucket occupancy under the banding in use; on a
+    linear-density corpus actual bucket sizes concentrate near it (hash
+    bits spread mass uniformly), so a cap factor x above it is a no-op by
+    construction there and engages only on adversarial concentration
+    (identical / boilerplate signatures piling thousands of docs into one
+    bucket — the quadratic-candidate mass). With band_bits from
+    scaled_band_bits (occupancy held in (16, 32]), the default factor
+    lands the cap in (128, 264] — comfortably above honest buckets at ANY
+    corpus size, because scaled banding holds occupancy constant as n
+    grows. Applies to occupancy-targeted banding only (simhash /
+    hyperplane emitters); hash-space minhash banding has no occupancy
+    target — see ext.dedup.minhash_banded_candidate_pairs."""
+    if not 1 <= band_bits <= 63:
+        raise ValueError("band_bits must be in [1, 63]")
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    if n_rows <= 0:
+        return factor
+    return factor * math.ceil(n_rows / (1 << band_bits))
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.35,
@@ -409,8 +434,9 @@ def lsh_neardup_pairs(
     band_bits: int | None = None,
     dim: int = 64,
     n_rows: int | None = None,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | str | None = None,
     top_k_partners: int | None = None,
+    cap_metrics: dict | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (vec_a, vec_b, cosine >= threshold)
     via banded random-hyperplane LSH with a PARAMETERIZED banding shape —
@@ -427,11 +453,24 @@ def lsh_neardup_pairs(
     Bounded-output knobs (default OFF; see ext.dedup.drop_hot_buckets —
     when the corpus's true pair density is quadratic, only a cap bounds
     the emitted stream): max_bucket_size drops over-occupied band buckets
-    before the self-join (candidates linear in n by construction);
+    before the self-join (candidates linear in n by construction) —
+    ``'auto'`` derives the cap from expected occupancy via
+    auto_bucket_cap(n, band_bits), a no-op on linear-density corpora;
     top_k_partners keeps the k highest-cosine partners per vec_a after
-    verification (rows <= k * n)."""
+    verification (rows <= k * n; per canonical LEFT id — see
+    ext.dedup.keep_top_k_partners for the vec_b asymmetry). cap_metrics:
+    optional dict recording the dropped mass per engaged lever
+    (hot_buckets / dropped_band_rows / dropped_verified_pairs /
+    max_bucket_size_resolved) at one eager job each — the "no silent
+    caps" audit path."""
+    if band_bits is None or max_bucket_size == "auto":
+        n = n_rows if n_rows is not None else df.count()
     if band_bits is None:
-        band_bits = scaled_band_bits(n_rows if n_rows is not None else df.count())
+        band_bits = scaled_band_bits(n)
+    if max_bucket_size == "auto":
+        max_bucket_size = auto_bucket_cap(n, band_bits)
+        if cap_metrics is not None:
+            cap_metrics["max_bucket_size_resolved"] = max_bucket_size
     # One quantization pass, three consumers (signatures + both verify-join
     # sides) — checkpoint so the lineage doesn't re-execute per consumer
     # (ADVICE r11; the simhash twin already did this).
@@ -444,7 +483,8 @@ def lsh_neardup_pairs(
         # count + cold join) on top of the self-join's two sides —
         # materialize the projection once instead of re-running it 5x.
         sig = drop_hot_buckets(
-            sig.localCheckpoint(eager=True), max_bucket_size, ["bidx", "bv"]
+            sig.localCheckpoint(eager=True), max_bucket_size, ["bidx", "bv"],
+            metrics=cap_metrics,
         )
     cand = (
         sig.select(F.col("vec_id").alias("vec_a"), "bidx", "bv")
@@ -471,6 +511,10 @@ def lsh_neardup_pairs(
         from glue_etl_framework_spark.ext.dedup import keep_top_k_partners
 
         out = keep_top_k_partners(
-            out, top_k_partners, "vec_a", [F.col("cosine").desc(), F.col("vec_b").asc()]
+            out,
+            top_k_partners,
+            "vec_a",
+            [F.col("cosine").desc(), F.col("vec_b").asc()],
+            metrics=cap_metrics,
         )
     return out

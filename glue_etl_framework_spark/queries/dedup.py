@@ -230,7 +230,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_candidates(_shingles(spark, sf_dir))
 
 
-def _minhash_candidates(sh: DataFrame, max_bucket_size: int | None = None) -> DataFrame:
+def _minhash_candidates(
+    sh: DataFrame,
+    max_bucket_size: int | None = None,
+    cap_metrics: dict | None = None,
+) -> DataFrame:
     """Banded-LSH candidate pairs from a (doc_id, shingle) frame (the body
     of dedup_minhash_lsh, reusable against a shared/materialized shingle
     set — see dedup_minhash_verified). max_bucket_size=None (every
@@ -273,7 +277,8 @@ def _minhash_candidates(sh: DataFrame, max_bucket_size: int | None = None) -> Da
         # families). Registry callers (max_bucket_size=None) keep the
         # byte-identical uncapped plan.
         bands = drop_hot_buckets(
-            bands.localCheckpoint(eager=True), max_bucket_size, ["band", "bh"]
+            bands.localCheckpoint(eager=True), max_bucket_size, ["band", "bh"],
+            metrics=cap_metrics,
         )
     a, b = bands.alias("a"), bands.alias("b")
     return (

@@ -175,3 +175,43 @@ def test_hyperplane_band_bits_bounds():
         S.banded_signatures(None, n_bands=1, band_bits=64)
     with pytest.raises(ValueError):
         S.banded_signatures(None, n_bands=1, band_bits=0)
+
+
+def test_lsh_auto_cap_and_metrics(spark):
+    """'auto' on the hyperplane emitter: resolves via auto_bucket_cap(n,
+    band_bits), records the resolution and any dropped mass in
+    cap_metrics, and is pure sugar for the explicit cap."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    n = emb.count()
+    cap = S.auto_bucket_cap(n, 8)
+    m = {}
+    auto = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.lsh_neardup_pairs(
+            emb, 0.35, band_bits=8, max_bucket_size="auto", cap_metrics=m
+        ).collect()
+    }
+    explicit = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.lsh_neardup_pairs(emb, 0.35, band_bits=8, max_bucket_size=cap).collect()
+    }
+    assert auto == explicit
+    assert m["max_bucket_size_resolved"] == cap
+    assert m["hot_buckets"] >= 0 and m["dropped_band_rows"] >= m["hot_buckets"] * 0
+
+
+def test_lsh_cap_metrics_account_for_both_levers(spark):
+    """With both levers engaged the metrics dict carries all four keys and
+    the dropped-pairs count reconciles with the uncapped-at-same-bucket-cap
+    output exactly."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    m = {}
+    kept = S.lsh_neardup_pairs(
+        emb, 0.35, band_bits=8, max_bucket_size=4, top_k_partners=2, cap_metrics=m
+    ).count()
+    bucket_only = S.lsh_neardup_pairs(
+        emb, 0.35, band_bits=8, max_bucket_size=4
+    ).count()
+    assert m["dropped_verified_pairs"] == bucket_only - kept
+    assert m["hot_buckets"] > 0  # sf0.01 buckets exceed 4 (pinned above)
+    assert m["dropped_band_rows"] > 4 * m["hot_buckets"]

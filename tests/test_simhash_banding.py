@@ -314,3 +314,194 @@ def test_signature_reuse_rejects_insufficient_bands(spark):
         simhash_neardup_pairs(docs, hamming_max=8, signatures=sig)
     # and the matching budget still works
     assert simhash_neardup_pairs(docs, hamming_max=6, signatures=sig).count() >= 0
+
+
+# ---- signature-reuse bit-identity at ANY hamming budget (ADVICE r12) ------
+
+
+def test_signature_reuse_wider_bands_bit_identical(spark):
+    """A sig built with MORE bands than hamming_max + 1 must reproduce the
+    direct call bit-for-bit: band b's hash depends only on (b, chunk), so
+    the reuse path slices banding AND Hamming verification to the first
+    n_bands words. Before the fix the Hamming filter ran over ALL passed
+    bands — a strictly tighter criterion that silently shrank the pair
+    set (the docstring advertises reuse across hamming settings)."""
+    docs = _docs(spark)
+    sig7 = simhash_band_signatures(docs, n_bands=7, band_bits=8).localCheckpoint(eager=True)
+    for hmax in (3, 6):
+        direct = {
+            tuple(r)
+            for r in simhash_neardup_pairs(docs, hamming_max=hmax, band_bits=8).collect()
+        }
+        reused = {
+            tuple(r)
+            for r in simhash_neardup_pairs(
+                docs, hamming_max=hmax, band_bits=8, signatures=sig7
+            ).collect()
+        }
+        assert reused == direct, f"hamming_max={hmax}"
+        assert len(direct) > 0
+
+
+def test_signature_reuse_validates_every_row(spark):
+    """The band-count guard aggregates min(size(sig)) over the WHOLE frame
+    (not an arbitrary first row), so a frame with one short row — e.g. a
+    bad union — raises instead of silently producing wrong candidates."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], ["doc_id", "text"]
+    )
+    good = simhash_band_signatures(docs, n_bands=7, band_bits=8)
+    short = simhash_band_signatures(
+        docs.withColumn("doc_id", F.col("doc_id") + 10), n_bands=3, band_bits=8
+    )
+    mixed = good.union(short).localCheckpoint(eager=True)
+    with pytest.raises(ValueError, match="bands"):
+        simhash_neardup_pairs(docs, hamming_max=6, signatures=mixed)
+
+
+# ---- dropped-mass observability (VERDICT r12 item 2) ----------------------
+
+
+def test_cap_metrics_record_dropped_mass(spark):
+    """cap_metrics must report exactly what the levers discarded: the 48
+    identical docs occupy 7 band buckets of size 48 (> cap 8) -> 7 hot
+    buckets, 7*48 dropped band rows; the surviving near pair emits 1 row,
+    so top_k drops nothing."""
+    docs = _toy_docs(spark)
+    m = {}
+    out = simhash_neardup_pairs(
+        docs, band_bits=8, max_bucket_size=8, top_k_partners=3, cap_metrics=m
+    )
+    assert {(r["doc_a"], r["doc_b"]) for r in out.collect()} == {(100, 101)}
+    assert m["hot_buckets"] == 7
+    assert m["dropped_band_rows"] == 7 * 48
+    assert m["dropped_verified_pairs"] == 0
+
+
+def test_cap_metrics_count_topk_drops(spark):
+    """top_k_partners' metric: the uncapped toy emits 1128 clique pairs +
+    1 cold pair; at k=3 per doc_a the clique keeps 3 partners per doc
+    (where it is the smaller id), so dropped = kept-complement, exactly."""
+    docs = _toy_docs(spark)
+    m = {}
+    out = simhash_neardup_pairs(docs, band_bits=8, top_k_partners=3, cap_metrics=m)
+    kept = out.count()
+    assert m["dropped_verified_pairs"] == (48 * 47 // 2 + 1) - kept
+    assert m["dropped_verified_pairs"] > 0
+
+
+def test_cap_metrics_none_records_nothing(spark):
+    """metrics=None is the default lazy path — nothing eager, no dict
+    mutation anywhere (the registry entries rely on the byte-identical
+    uncapped plan; this pins the capped plan's shape stays caller-silent
+    too)."""
+    docs = _toy_docs(spark)
+    out = simhash_neardup_pairs(docs, band_bits=8, max_bucket_size=8)
+    assert out.count() == 1  # plan still evaluates correctly
+
+
+# ---- occupancy-derived auto cap (VERDICT r12 item 3) -----------------------
+
+
+def test_auto_bucket_cap_formula():
+    import pytest
+
+    from glue_etl_framework_spark.ext.similarity import auto_bucket_cap
+
+    assert auto_bucket_cap(500, 8) == 8 * 2        # ceil(500/256) = 2
+    assert auto_bucket_cap(5000, 8) == 8 * 20      # the sf0.1 documents shape
+    assert auto_bucket_cap(50, 8) == 8             # toy corpus: factor * 1
+    assert auto_bucket_cap(1 << 20, 20) == 8       # occupancy exactly 1
+    assert auto_bucket_cap(0, 8) == 8              # empty corpus: bare factor
+    assert auto_bucket_cap(500, 8, factor=2) == 4
+    with pytest.raises(ValueError, match="band_bits"):
+        auto_bucket_cap(500, 0)
+    with pytest.raises(ValueError, match="factor"):
+        auto_bucket_cap(500, 8, factor=0)
+
+
+def test_auto_cap_noop_when_buckets_match_occupancy(spark):
+    """On a corpus whose signatures SPREAD (unique token sets -> bucket
+    sizes near the expected occupancy the banding was sized for), the
+    auto cap must be a no-op: capped output == uncapped, zero hot
+    buckets. This is the 'engaged only when adversarial' half of the
+    contract; the engagement half is the toy-clique test below."""
+    docs = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    m = {}
+    capped = {
+        tuple(r)
+        for r in simhash_neardup_pairs(
+            docs, band_bits=8, max_bucket_size="auto", cap_metrics=m
+        ).collect()
+    }
+    full = {tuple(r) for r in simhash_neardup_pairs(docs, band_bits=8).collect()}
+    assert capped == full
+    assert m["hot_buckets"] == 0
+    assert m["dropped_band_rows"] == 0
+    assert m["max_bucket_size_resolved"] == 8  # factor * ceil(200/256)
+
+
+def test_auto_cap_engages_on_adversarial_clique(spark):
+    """The 48-identical-doc clique concentrates 48 docs into buckets the
+    banding expected ~1 occupant in — auto (factor * ceil(50/256) = 8)
+    drops exactly that mass and keeps the cold near pair, matching the
+    explicit cap=8 semantics test above."""
+    docs = _toy_docs(spark)
+    m = {}
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_neardup_pairs(
+            docs, band_bits=8, max_bucket_size="auto", cap_metrics=m
+        ).collect()
+    }
+    assert capped == {(100, 101)}
+    assert m["max_bucket_size_resolved"] == 8
+    assert m["hot_buckets"] == 7 and m["dropped_band_rows"] == 7 * 48
+
+
+def test_auto_cap_matches_explicit_resolution(spark):
+    """'auto' must be pure resolution sugar: identical output to passing
+    auto_bucket_cap(n, band_bits) explicitly."""
+    from glue_etl_framework_spark.ext.similarity import auto_bucket_cap
+
+    docs = _docs(spark)
+    cap = auto_bucket_cap(docs.count(), 8)
+    auto = {
+        tuple(r)
+        for r in simhash_neardup_pairs(docs, band_bits=8, max_bucket_size="auto").collect()
+    }
+    explicit = {
+        tuple(r)
+        for r in simhash_neardup_pairs(docs, band_bits=8, max_bucket_size=cap).collect()
+    }
+    assert auto == explicit and len(auto) > 0
+
+
+def test_minhash_banded_rejects_auto(spark):
+    """Hash-space minhash banding has no occupancy target — 'auto' would
+    degenerate to the bare factor and drop real near-dup groups; the
+    emitter refuses it with guidance instead."""
+    import pytest
+
+    from glue_etl_framework_spark.ext.dedup import minhash_banded_candidate_pairs
+
+    with pytest.raises(ValueError, match="auto"):
+        minhash_banded_candidate_pairs(_toy_docs(spark), max_bucket_size="auto")
+
+
+def test_minhash_banded_cap_metrics(spark):
+    """The minhash family reports its dropped mass through the same
+    metrics contract as the other two emitters."""
+    from glue_etl_framework_spark.ext.dedup import minhash_banded_candidate_pairs
+
+    docs = _toy_docs(spark)
+    m = {}
+    capped = minhash_banded_candidate_pairs(docs, max_bucket_size=8, cap_metrics=m)
+    assert all(r["doc_a"] >= 100 for r in capped.collect())
+    assert m["hot_buckets"] > 0
+    assert m["dropped_band_rows"] >= m["hot_buckets"] * 9  # every hot bucket > cap 8

@@ -60,7 +60,13 @@ def _arg(flag: str, default: str) -> str:
 
 
 def main() -> None:
-    caps = [int(c) for c in _arg("--caps", "64,256,1024").split(",") if c]
+    # each cap is an int or the literal 'auto' (resolved per corpus via
+    # ext.similarity.auto_bucket_cap(n, band_bits) — VERDICT r12 item 3)
+    caps = [
+        c if c == "auto" else int(c)
+        for c in _arg("--caps", "64,256,1024").split(",")
+        if c
+    ]
     growths = [int(g) for g in _arg("--growths", "10").split(",") if g]
     cap100 = int(_arg("--cap100", "64"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
@@ -87,15 +93,18 @@ def main() -> None:
         ).localCheckpoint(eager=True)
         return time.perf_counter() - t0, sig
 
-    def emit(df, sig, cap):
+    def emit(df, sig, cap, bits, metrics=None):
+        # band_bits must MATCH the passed signature build: with signatures=
+        # it feeds only the 'auto' cap resolution (per-band width is not
+        # recoverable from the frame)
         return simhash_neardup_pairs(
-            df, hamming_max=HAMMING_MAX, band_bits=8,  # band_bits unused with signatures=
-            max_bucket_size=cap, signatures=sig,
+            df, hamming_max=HAMMING_MAX, band_bits=bits,
+            max_bucket_size=cap, signatures=sig, cap_metrics=metrics,
         )
 
-    def timed_emit(df, sig, cap):
+    def timed_emit(df, sig, cap, bits, metrics=None):
         t0 = time.perf_counter()
-        out = emit(df, sig, cap).localCheckpoint(eager=True)
+        out = emit(df, sig, cap, bits, metrics).localCheckpoint(eager=True)
         return time.perf_counter() - t0, out
 
     stratum = F.when(F.col("hamming") <= 2, "h<=2").when(
@@ -112,7 +121,7 @@ def main() -> None:
         n = df.count()
         bits = scaled_band_bits(n)
         wall_sig, sig = build_sig(df, bits)
-        wall_u, full = timed_emit(df, sig, None)
+        wall_u, full = timed_emit(df, sig, None, bits)
         totals = {
             r["s"]: r["n"]
             for r in full.groupBy(stratum.alias("s")).agg(F.count("*").alias("n")).collect()
@@ -125,7 +134,8 @@ def main() -> None:
             flush=True,
         )
         for cap in caps:
-            wall_c, capped = timed_emit(df, sig, cap)
+            metrics = {}
+            wall_c, capped = timed_emit(df, sig, cap, bits, metrics)
             kept = {
                 r["s"]: r["k"]
                 for r in full.join(
@@ -144,7 +154,8 @@ def main() -> None:
             }
             print(
                 f"{g}x: cap={cap} wall_emit={wall_c:.2f}s pairs={got} "
-                f"recall={got / max(n_full, 1):.4f} per-stratum={strata}",
+                f"recall={got / max(n_full, 1):.4f} per-stratum={strata} "
+                f"cap_metrics={metrics}",
                 flush=True,
             )
 
@@ -157,7 +168,7 @@ def main() -> None:
         n = df.count()
         bits = scaled_band_bits(n)
         wall_sig, sig = build_sig(df, bits)
-        wall_c, capped = timed_emit(df, sig, cap100)
+        wall_c, capped = timed_emit(df, sig, cap100, bits)
         print(
             f"100x: n={n} band_bits={bits} cap={cap100} wall_sig={wall_sig:.2f}s "
             f"wall_emit={wall_c:.2f}s total={wall_sig + wall_c:.2f}s "
