@@ -559,7 +559,7 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_bands: int | None = None,
-    band_bits: int = 16,
+    band_bits: int | None = None,
     max_bucket_size: int | str | None = None,
     top_k_partners: int | None = None,
     signatures: DataFrame | None = None,
@@ -569,8 +569,9 @@ def simhash_neardup_pairs(
     verified by exact Hamming distance over the concatenated signature of
     the n_bands bands this call uses. n_bands defaults to hamming_max + 1,
     which by pigeonhole makes candidate recall EXACT (every pair within
-    the Hamming budget shares at least one full band). Scale band_bits
-    with log2(corpus) (ext.similarity.scaled_band_bits) to hold bucket
+    the Hamming budget shares at least one full band). band_bits=None
+    defaults to 16 when building signatures here; scale it with
+    log2(corpus) (ext.similarity.scaled_band_bits) to hold bucket
     occupancy — and so candidate volume — linear in n; total signature
     bits grow as (hamming_max + 1) * band_bits with no 64-bit ceiling.
 
@@ -585,8 +586,12 @@ def simhash_neardup_pairs(
       ext.similarity.auto_bucket_cap(n_docs, band_bits) — a no-op on
       corpora whose bucket sizes sit near the occupancy the banding was
       sized for, engaging only on adversarial mass. With ``signatures=``
-      the band_bits ARGUMENT feeds the formula and must match the passed
-      build (the per-band width is not recoverable from the frame).
+      the band_bits ARGUMENT feeds the formula (the per-band width is not
+      recoverable from the frame), so that combination REQUIRES an
+      explicit band_bits matching the passed build — a defaulted width
+      would silently mis-size the cap (e.g. deriving a cap of 16 where
+      honest occupancy is ~390, dropping nearly every honest bucket) and
+      the call raises instead.
     - top_k_partners: after Hamming verification, keep the k closest
       partners per doc_a (ties broken by doc_b) — emitted rows <= k * n.
       The bound is per canonical LEFT id; see keep_top_k_partners for the
@@ -616,9 +621,22 @@ def simhash_neardup_pairs(
     checkpointed pays one extra cached copy, never a recompute."""
     if n_bands is None:
         n_bands = hamming_max + 1
+    n_docs: int | None = None
     if signatures is not None:
+        if max_bucket_size == "auto" and band_bits is None:
+            raise ValueError(
+                "max_bucket_size='auto' with signatures= needs an EXPLICIT "
+                "band_bits matching the passed build — the per-band width is "
+                "not recoverable from the frame, and a defaulted width would "
+                "silently mis-size the occupancy-derived cap"
+            )
         checked = signatures.localCheckpoint(eager=False)
-        row = checked.agg(F.min(F.size("sig")).alias("nb")).first()
+        # One aggregate validates every row AND (for 'auto') captures the
+        # doc count — a second full scan for sig.count() would double the
+        # eager cost on a large signature frame.
+        row = checked.agg(
+            F.min(F.size("sig")).alias("nb"), F.count("*").alias("n")
+        ).first()
         if row is not None and row["nb"] is not None and row["nb"] < n_bands:
             raise ValueError(
                 f"signatures frame has a row with {row['nb']} bands but this "
@@ -626,14 +644,19 @@ def simhash_neardup_pairs(
                 f"recall) — rebuild with simhash_band_signatures(n_bands="
                 f"{n_bands})"
             )
+        n_docs = row["n"] if row is not None else 0
         sig = checked.select("doc_id", F.slice("sig", 1, n_bands).alias("sig"))
     else:
+        if band_bits is None:
+            band_bits = 16
         sig = simhash_band_signatures(df, id_col, text_col, n_bands, band_bits)
         sig = sig.localCheckpoint(eager=True)  # one signature build, three consumers
     if max_bucket_size == "auto":
         from glue_etl_framework_spark.ext.similarity import auto_bucket_cap
 
-        max_bucket_size = auto_bucket_cap(sig.count(), band_bits)
+        if n_docs is None:
+            n_docs = sig.count()  # cheap: counts the eager checkpoint
+        max_bucket_size = auto_bucket_cap(n_docs, band_bits)
         if cap_metrics is not None:
             cap_metrics["max_bucket_size_resolved"] = max_bucket_size
     bands = sig.select("doc_id", F.posexplode("sig").alias("bidx", "bv"))

@@ -410,10 +410,13 @@ def auto_bucket_cap(n_rows: int, band_bits: int, factor: int = 8) -> int:
     construction there and engages only on adversarial concentration
     (identical / boilerplate signatures piling thousands of docs into one
     bucket — the quadratic-candidate mass). With band_bits from
-    scaled_band_bits (occupancy held in (16, 32]), the default factor
-    lands the cap in (128, 264] — comfortably above honest buckets at ANY
-    corpus size, because scaled banding holds occupancy constant as n
-    grows. Applies to occupancy-targeted banding only (simhash /
+    scaled_band_bits in its UNCLAMPED range, occupancy is held in
+    (16, 32] and the default factor lands the cap in (128, 264]; at the
+    min_bits clamp (small corpora) occupancy — and so the cap — is
+    smaller, and past the max_bits clamp the cap grows with n. In every
+    regime the cap stays factor x the actual expected occupancy, which is
+    the property the no-op-on-honest-buckets contract rests on. Applies
+    to occupancy-targeted banding only (simhash /
     hyperplane emitters); hash-space minhash banding has no occupancy
     target — see ext.dedup.minhash_banded_candidate_pairs."""
     if not 1 <= band_bits <= 63:

@@ -197,7 +197,9 @@ def test_lsh_auto_cap_and_metrics(spark):
     }
     assert auto == explicit
     assert m["max_bucket_size_resolved"] == cap
-    assert m["hot_buckets"] >= 0 and m["dropped_band_rows"] >= m["hot_buckets"] * 0
+    # every hot bucket holds MORE than cap rows, so the dropped banding
+    # mass must exceed cap per hot bucket (0 == 0 when none are hot)
+    assert m["dropped_band_rows"] >= m["hot_buckets"] * (cap + 1)
 
 
 def test_lsh_cap_metrics_account_for_both_levers(spark):

@@ -505,3 +505,25 @@ def test_minhash_banded_cap_metrics(spark):
     assert all(r["doc_a"] >= 100 for r in capped.collect())
     assert m["hot_buckets"] > 0
     assert m["dropped_band_rows"] >= m["hot_buckets"] * 9  # every hot bucket > cap 8
+
+
+def test_auto_cap_with_signatures_requires_explicit_band_bits(spark):
+    """'auto' derives the cap from band_bits, which is not recoverable
+    from a passed signatures frame — a defaulted width would silently
+    mis-size the cap (review finding r13), so the combination raises
+    unless band_bits is explicit; with it, the resolution matches the
+    direct path."""
+    import pytest
+
+    docs = _toy_docs(spark)
+    sig = simhash_band_signatures(docs, n_bands=7, band_bits=8).localCheckpoint(eager=True)
+    with pytest.raises(ValueError, match="band_bits"):
+        simhash_neardup_pairs(docs, max_bucket_size="auto", signatures=sig)
+    m = {}
+    out = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_neardup_pairs(
+            docs, band_bits=8, max_bucket_size="auto", signatures=sig, cap_metrics=m
+        ).collect()
+    }
+    assert out == {(100, 101)} and m["max_bucket_size_resolved"] == 8
