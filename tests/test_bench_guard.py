@@ -86,10 +86,20 @@ def evaluate_bench_gate(
     per-query threshold; a faster box never loosens it (a regression
     masked by faster hardware is still caught by the absolute 2x gate).
     Returns (residual_median, per_query_threshold, regressions).
+
+    The noise floor applies to BOTH sides of every ratio (r13): a query
+    ANCHORED under 0.3s is itself scheduling-jitter-dominated, so its
+    ratio is computed against max(base, floor) — 0.21s -> 0.54s is 0.33s
+    of absolute drift, the exact class the floor exists for, not a 2.6x
+    plan regression (the r12-watch pair agg_bitmap_distinct_users /
+    agg_exact_median_twopass reads ~2x on builder-family boxes purely
+    from this effect while driver-family boxes read 0.9x). A real
+    regression of a sub-floor query still trips once it costs real time:
+    0.21s -> 0.7s reads 0.7/0.3 = 2.3x.
     """
     norm = max(1.0, cal_ratio)
     ratios = sorted(
-        cur / baseline[q]
+        cur / max(baseline[q], NOISE_FLOOR_SEC)
         for q, cur in current.items()
         if q in baseline and cur > NOISE_FLOOR_SEC
     )
@@ -104,8 +114,9 @@ def evaluate_bench_gate(
             continue  # query rotated out of the headline set
         if cur <= NOISE_FLOOR_SEC:
             continue
-        if cur > base_sec * threshold:
-            regressions.append(f"{q}: {base_sec:.2f}s -> {cur:.2f}s ({cur / base_sec:.2f}x)")
+        eff_base = max(base_sec, NOISE_FLOOR_SEC)
+        if cur > eff_base * threshold:
+            regressions.append(f"{q}: {base_sec:.2f}s -> {cur:.2f}s ({cur / eff_base:.2f}x)")
     return residual, threshold, regressions
 
 
@@ -380,3 +391,22 @@ def test_same_run_dedupe_matches_only_identical_runs():
     # nothing shared / no calibration recorded: never dedupe on a guess
     assert not is_same_run({"q9": 5.0}, 0.12, detail, 0.12)
     assert not is_same_run({"q1": 1.0}, None, detail, 0.12)
+
+
+def test_gate_floors_sub_noise_anchors():
+    """A query ANCHORED below the noise floor must be judged against the
+    floor, not its jitter-scale anchor (r13: agg_bitmap_distinct_users
+    anchored at 0.21s read 0.54s on a builder-family box — 0.33s of
+    scheduling drift, not a 2.6x regression) — while a drift that costs
+    real time still trips."""
+    from bench import gate_trip_suspects
+
+    baseline = {"q_tiny": 0.21, "q_big": 1.0}
+    ok = {"q_tiny": 0.55, "q_big": 1.1}
+    residual, _, regressions = evaluate_bench_gate(baseline, ok, cal_ratio=1.0)
+    assert not regressions
+    assert gate_trip_suspects(ok, baseline) == []
+    bad = {"q_tiny": 0.75, "q_big": 1.1}  # 0.75 > 2 * max(0.21, 0.3)
+    _, _, regressions = evaluate_bench_gate(baseline, bad, cal_ratio=1.0)
+    assert regressions and regressions[0].startswith("q_tiny")
+    assert gate_trip_suspects(bad, baseline) == ["q_tiny"]
