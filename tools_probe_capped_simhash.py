@@ -68,7 +68,8 @@ def main() -> None:
         if c
     ]
     growths = [int(g) for g in _arg("--growths", "10").split(",") if g]
-    cap100 = int(_arg("--cap100", "64"))
+    cap100_raw = _arg("--cap100", "64")
+    cap100 = cap100_raw if cap100_raw == "auto" else int(cap100_raw)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
     spark = get_spark(app_name="capped_simhash_probe", shuffle_partitions=cpus)
     for msg in (
@@ -161,18 +162,19 @@ def main() -> None:
 
     # --- the run that previously died: 100x under the cap (--cap100=0 skips)
     path = "/tmp/scale_probe_100x_realistic"
-    if cap100 <= 0:
+    if cap100 != "auto" and cap100 <= 0:
         print("100x capped run skipped (--cap100=0)", flush=True)
     elif os.path.exists(f"{path}/documents.parquet"):
         df = corpus(path)
         n = df.count()
         bits = scaled_band_bits(n)
         wall_sig, sig = build_sig(df, bits)
-        wall_c, capped = timed_emit(df, sig, cap100, bits)
+        metrics = {}
+        wall_c, capped = timed_emit(df, sig, cap100, bits, metrics)
         print(
             f"100x: n={n} band_bits={bits} cap={cap100} wall_sig={wall_sig:.2f}s "
             f"wall_emit={wall_c:.2f}s total={wall_sig + wall_c:.2f}s "
-            f"pairs={capped.count()}",
+            f"pairs={capped.count()} cap_metrics={metrics}",
             flush=True,
         )
     else:
