@@ -532,8 +532,8 @@ def keep_top_k_partners(
     a high-id doc can still appear in up to n rows as doc_b, and its own
     k best partners are not what is kept for it. The global bound
     (rows <= k * n_left) holds regardless; if a true per-doc bound is
-    needed, symmetrize the pairs before capping and re-canonicalize
-    after (at 2x the window input).
+    needed, use keep_top_k_partners_symmetric below (symmetrize -> cap ->
+    re-canonicalize, at 2x the window input).
 
     metrics: optional dict — when passed, records
     ``metrics['dropped_verified_pairs']`` (rows the cap removed) at the
@@ -551,6 +551,68 @@ def keep_top_k_partners(
         ranked = ranked.localCheckpoint(eager=False)
         metrics["dropped_verified_pairs"] = ranked.filter(F.col("_rn") > k).count()
     return ranked.filter(F.col("_rn") <= k).drop("_rn")
+
+
+def keep_top_k_partners_symmetric(
+    pairs: DataFrame,
+    k: int,
+    id_a: str,
+    id_b: str,
+    order: list,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """The TRUE per-doc bound keep_top_k_partners' docstring describes:
+    every document — not just the smaller id of each canonical pair —
+    keeps its k best partners. Symmetrize the canonical pairs (2x window
+    input), rank per endpoint, keep rank <= k, then re-canonicalize and
+    distinct: a pair survives iff EITHER endpoint ranks it among its own
+    k best (union semantics), so each doc's k best partners are all
+    present and total rows stay <= k * n_docs (each doc contributes at
+    most k directed keeps, each mapping to one canonical pair).
+
+    ``order`` is evaluated on the non-id columns (hamming, cosine, ...),
+    which are symmetric pair properties, plus the ``_other`` endpoint
+    column available as a deterministic tiebreaker — pass e.g.
+    [F.col('hamming').asc(), F.col('_other').asc()].
+
+    metrics: optional dict — records
+    ``metrics['dropped_verified_pairs']`` (canonical pairs removed) at
+    one eager count over the input (lazily checkpointed; the symmetrize
+    + window then read the checkpoint). Costs 2x the window input of the
+    canonical-left variant — reach for this when per-doc coverage
+    matters (e.g. every doc needs near-dup partners for clustering),
+    and the cheaper keep_top_k_partners when only the global k*n bound
+    does."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("top_k_partners must be >= 1")
+    rest = [c for c in pairs.columns if c not in (id_a, id_b)]
+    if metrics is not None:
+        pairs = pairs.localCheckpoint(eager=False)
+        n_pairs = pairs.count()
+    fwd = pairs.select(
+        F.col(id_a).alias("_self"), F.col(id_b).alias("_other"), *rest
+    )
+    rev = pairs.select(
+        F.col(id_b).alias("_self"), F.col(id_a).alias("_other"), *rest
+    )
+    w = Window.partitionBy("_self").orderBy(*order)
+    kept = (
+        fwd.union(rev)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.least("_self", "_other").alias(id_a),
+            F.greatest("_self", "_other").alias(id_b),
+            *rest,
+        )
+        .distinct()
+    )
+    if metrics is not None:
+        kept = kept.localCheckpoint(eager=False)
+        metrics["dropped_verified_pairs"] = n_pairs - kept.count()
+    return kept
 
 
 def simhash_neardup_pairs(

@@ -527,3 +527,59 @@ def test_auto_cap_with_signatures_requires_explicit_band_bits(spark):
         ).collect()
     }
     assert out == {(100, 101)} and m["max_bucket_size_resolved"] == 8
+
+
+def test_symmetric_top_k_gives_every_doc_its_partners(spark):
+    """keep_top_k_partners_symmetric: the true per-doc bound. In the
+    48-clique, the canonical-left variant leaves high-id docs with few or
+    no rows (doc 47 appears as doc_a in 0 of the kept pairs at small k);
+    the symmetric variant guarantees EVERY clique doc has its k best
+    partners present, total rows stay <= k*n, and the output is a subset
+    of the input pairs."""
+    from collections import Counter
+
+    from glue_etl_framework_spark.ext.dedup import keep_top_k_partners_symmetric
+
+    docs = _toy_docs(spark)
+    pairs = simhash_neardup_pairs(docs, band_bits=8).localCheckpoint(eager=True)
+    m = {}
+    kept = keep_top_k_partners_symmetric(
+        pairs, 3, "doc_a", "doc_b",
+        [F.col("hamming").asc(), F.col("_other").asc()], metrics=m,
+    ).collect()
+    full = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    got = {(r["doc_a"], r["doc_b"]) for r in kept}
+    assert got <= full
+    assert len(kept) <= 3 * 50
+    # every doc in the clique has >= 3 pairs touching it (its own k best)
+    touch = Counter()
+    for a, b in got:
+        touch[a] += 1
+        touch[b] += 1
+    for doc in range(48):
+        assert touch[doc] >= 3, doc
+    # doc 47's own 3 best partners (hamming 0, smallest _other) are present
+    partners_47 = {a if b == 47 else b for a, b in got if 47 in (a, b)}
+    assert {0, 1, 2} <= partners_47
+    assert m["dropped_verified_pairs"] == len(full) - len(got)
+
+
+def test_symmetric_top_k_deterministic_across_partitioning(spark):
+    from glue_etl_framework_spark.ext.dedup import keep_top_k_partners_symmetric
+
+    docs = _docs(spark)
+    pairs = simhash_neardup_pairs(docs, band_bits=8).localCheckpoint(eager=True)
+    order = [F.col("hamming").asc(), F.col("_other").asc()]
+    one = {
+        tuple(r)
+        for r in keep_top_k_partners_symmetric(
+            pairs.repartition(1), 2, "doc_a", "doc_b", order
+        ).collect()
+    }
+    many = {
+        tuple(r)
+        for r in keep_top_k_partners_symmetric(
+            pairs.repartition(13), 2, "doc_a", "doc_b", order
+        ).collect()
+    }
+    assert one == many and len(one) > 0
