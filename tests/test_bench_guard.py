@@ -410,3 +410,42 @@ def test_gate_floors_sub_noise_anchors():
     _, _, regressions = evaluate_bench_gate(baseline, bad, cal_ratio=1.0)
     assert regressions and regressions[0].startswith("q_tiny")
     assert gate_trip_suspects(bad, baseline) == ["q_tiny"]
+
+
+def test_refreeze_window_selected_before_dedupe():
+    """Rule-5 ordering: the recent window is chosen BEFORE the same-run
+    dedupe, so the detail run occupies the slot of the round it
+    duplicates. The first r13 implementation deduped first and the window
+    slid back to an older (slower-implementation) round, inflating the
+    refrozen anchor ~1.5s — this pins the fix."""
+    from tools_refreeze_baseline import select_sources
+
+    detail = {"q1": 1.0}
+    recovered = {
+        "BENCH_r01.json": {"q1": 9.0},   # ancient, slow implementation
+        "BENCH_r02.json": {"q1": 1.2},
+        "BENCH_r03.json": {"q1": 1.1},
+        "BENCH_r04.json": {"q1": 1.0},   # same run as the detail file
+    }
+    cals = {"BENCH_r04.json": 0.12}
+    sources, excluded, deduped = select_sources(recovered, cals, detail, 0.12, recent=3)
+    # window = r02..r04; r04 deduped INSIDE it; r01 must NOT slide in
+    assert excluded == ["BENCH_r01.json"]
+    assert deduped == ["BENCH_r04.json"]
+    assert set(sources) == {"BENCH_r02.json", "BENCH_r03.json", "BENCH_DETAIL.json"}
+
+
+def test_refreeze_window_no_dedupe_when_detail_is_fresh():
+    """A fresh local detail run (different calibration) dedupes nothing:
+    all window rounds vote and the detail run adds one more."""
+    from tools_refreeze_baseline import select_sources
+
+    detail = {"q1": 1.0}
+    recovered = {
+        "BENCH_r03.json": {"q1": 1.1},
+        "BENCH_r04.json": {"q1": 1.0},
+    }
+    cals = {"BENCH_r04.json": 0.14}
+    sources, excluded, deduped = select_sources(recovered, cals, detail, 0.12, recent=4)
+    assert excluded == [] and deduped == []
+    assert set(sources) == {"BENCH_r03.json", "BENCH_r04.json", "BENCH_DETAIL.json"}

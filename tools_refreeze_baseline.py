@@ -177,6 +177,32 @@ def build_refreeze(
     return out
 
 
+def select_sources(
+    recovered: dict[str, dict[str, float]],
+    cals: dict[str, float | None],
+    detail_queries: dict[str, float],
+    detail_cal: float,
+    recent: int = RECENT_SOURCE_ROUNDS,
+) -> tuple[dict[str, dict[str, float]], list[str], list[str]]:
+    """Pure rule-5 source selection: keep the newest ``recent`` rounds,
+    THEN dedupe the one that is the same run as the detail file — in that
+    order, so the detail run occupies the slot of the round it duplicates
+    rather than sliding the window back to an older
+    (slower-implementation) round. Returns (sources incl. the detail run,
+    excluded-as-old names, deduped names)."""
+    keep = sorted(recovered)[-recent:]
+    excluded = sorted(set(recovered) - set(keep))
+    sources: dict[str, dict[str, float]] = {}
+    deduped: list[str] = []
+    for fname in keep:
+        if is_same_run(recovered[fname], cals.get(fname), detail_queries, detail_cal):
+            deduped.append(fname)
+            continue
+        sources[fname] = recovered[fname]
+    sources["BENCH_DETAIL.json"] = detail_queries
+    return sources, excluded, deduped
+
+
 def main() -> int:
     prior = json.loads((REPO / "BASELINE_BENCH.json").read_text())
     detail_path = REPO / "BENCH_DETAIL.json"
@@ -209,29 +235,20 @@ def main() -> int:
             print(f"note: {fname} recovered {len(tail_q)} queries from tail")
         else:
             print(f"note: {fname} skipped (no per-query data recoverable)")
-    # Rule 5: only the newest rounds anchor the engine as it IS. The window
-    # is selected BEFORE the same-run dedupe so the detail run occupies the
-    # slot of the round it duplicates rather than sliding the window back
-    # to an older (slower-implementation) round.
-    keep = sorted(recovered)[-RECENT_SOURCE_ROUNDS:]
-    for fname in sorted(set(recovered) - set(keep)):
+    sources, excluded, deduped = select_sources(
+        recovered, cals, detail["detail_queries"], new_cal
+    )
+    for fname in excluded:
         print(
             f"note: {fname} outside the {RECENT_SOURCE_ROUNDS}-round recent "
             "window — excluded so retired implementations' timings don't "
             "hold the gate open"
         )
-    sources = {}
-    for fname in keep:
-        if is_same_run(
-            recovered[fname], cals.get(fname), detail["detail_queries"], new_cal
-        ):
-            print(
-                f"note: {fname} is the SAME run as BENCH_DETAIL.json "
-                f"(box_cal {cals.get(fname)}) — deduped, one median vote"
-            )
-            continue
-        sources[fname] = recovered[fname]
-    sources["BENCH_DETAIL.json"] = detail["detail_queries"]
+    for fname in deduped:
+        print(
+            f"note: {fname} is the SAME run as BENCH_DETAIL.json "
+            f"(box_cal {cals.get(fname)}) — deduped, one median vote"
+        )
     try:
         anchor = build_refreeze(sources, prior, new_cal)
     except RefreezeRefused as e:
