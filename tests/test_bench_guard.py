@@ -30,13 +30,21 @@ NOISE_FLOOR_SEC = 0.3
 MAX_RATIO = 2.0
 
 
-def _latest_bench() -> tuple[str, dict[str, float], float | None] | None:
-    """(name, per-query seconds, box_cal_sec of the run) for the newest
-    recorded bench. For r5+ summary-format rounds the per-query numbers AND
-    the calibration both come from BENCH_DETAIL.json so they describe the
-    same run (BENCH_r*.json stays frozen while a later local bench may
-    rewrite the detail file)."""
-    benches = sorted(REPO.glob("BENCH_r*.json"))
+def _latest_bench() -> tuple[str, dict[str, float], float | None, float | None] | None:
+    """(name, per-query seconds, box_cal_sec, jvm_cal_sec of the run) for
+    the newest recorded bench. For r5+ summary-format rounds the per-query
+    numbers AND the calibrations all come from BENCH_DETAIL.json so they
+    describe the same run (BENCH_r*.json stays frozen while a later local
+    bench may rewrite the detail file). jvm_cal_sec is None for pre-r14
+    rounds (the signal was added in r14)."""
+
+    def _round_num(p: Path) -> int:
+        import re
+
+        m = re.search(r"r(\d+)", p.name)
+        return int(m.group(1)) if m else -1
+
+    benches = sorted(REPO.glob("BENCH_r*.json"), key=_round_num)
     if not benches:
         return None
     latest = benches[-1]
@@ -55,9 +63,10 @@ def _latest_bench() -> tuple[str, dict[str, float], float | None] | None:
                     f"{latest.name} (+BENCH_DETAIL.json)",
                     d["detail_queries"],
                     d.get("box_cal_sec"),
+                    d.get("jvm_cal_sec"),
                 )
         return None
-    return latest.name, queries, parsed.get("box_cal_sec")
+    return latest.name, queries, parsed.get("box_cal_sec"), parsed.get("jvm_cal_sec")
 
 
 # The VM hosting these runs swings 20-40% between sessions (measured r6:
@@ -96,6 +105,20 @@ def evaluate_bench_gate(
     from this effect while driver-family boxes read 0.9x). A real
     regression of a sub-floor query still trips once it costs real time:
     0.21s -> 0.7s reads 0.7/0.3 = 2.3x.
+
+    Sub-floor CLUSTER backstop (ADVICE r13): flooring exempts each tiny
+    query individually, so a cluster of real small-query regressions
+    (e.g. ten 0.15s queries all reading 0.59s) could ride free and feed
+    the next refreeze. The NET drift over sub-floor-anchored queries —
+    positive and negative deltas cancel, so symmetric scheduling jitter
+    nets ~0 while an all-positive regression cluster sums intact — is
+    bounded by one floor per floored query PLUS one floor of headroom
+    (x norm): the headroom keeps a single floored query's jitter strictly
+    the per-query floor rule's business (a lone 0.21s -> 0.55s drift must
+    not trip here when it doesn't trip there), while a genuine cluster
+    blows through it. Past the budget the cluster is reported as a
+    regression entry (bench.py applies the same rule to pick
+    fresh-context retry suspects: subfloor_cluster_drift).
     """
     norm = max(1.0, cal_ratio)
     ratios = sorted(
@@ -117,6 +140,24 @@ def evaluate_bench_gate(
         eff_base = max(base_sec, NOISE_FLOOR_SEC)
         if cur > eff_base * threshold:
             regressions.append(f"{q}: {base_sec:.2f}s -> {cur:.2f}s ({cur / eff_base:.2f}x)")
+    floored = [
+        (q, current[q], base)
+        for q, base in baseline.items()
+        if q in current and 0 < base < NOISE_FLOOR_SEC
+    ]
+    if floored:
+        net_drift = sum(cur - base for _, cur, base in floored)
+        budget = (len(floored) + 1) * NOISE_FLOOR_SEC * norm
+        if net_drift > budget:
+            members = ", ".join(
+                f"{q} {base:.2f}s->{cur:.2f}s"
+                for q, cur, base in sorted(floored)
+                if cur > base
+            )
+            regressions.append(
+                f"sub-floor cluster: {len(floored)} floor-exempt queries "
+                f"drifted +{net_drift:.2f}s net (budget {budget:.2f}s): {members}"
+            )
     return residual, threshold, regressions
 
 
@@ -129,10 +170,18 @@ def test_latest_bench_within_2x_of_frozen_baseline():
     latest = _latest_bench()
     if latest is None:
         pytest.skip("no BENCH_r*.json recorded yet")
-    name, current, box_cal = latest
+    name, current, box_cal, jvm_cal = latest
 
     anchor_cal = anchor.get("box_cal_sec_at_refreeze")
-    if box_cal and anchor_cal:
+    anchor_jvm = anchor.get("jvm_cal_sec_at_refreeze")
+    if jvm_cal and anchor_jvm:
+        # The suite wall is mostly JVM (shuffle/codegen/scheduler), and the
+        # two signals measurably decouple on this VM family (r13: kernel
+        # 18% faster while plan-identical walls ran 12-40% slower) — when
+        # both sides recorded the JVM calibration, it IS the drift measure.
+        cal_ratio = jvm_cal / anchor_jvm
+        basis = f"measured JVM calibration ratio {cal_ratio:.2f}x"
+    elif box_cal and anchor_cal:
         cal_ratio = box_cal / anchor_cal
         basis = f"measured calibration ratio {cal_ratio:.2f}x"
     else:
@@ -449,3 +498,133 @@ def test_refreeze_window_no_dedupe_when_detail_is_fresh():
     sources, excluded, deduped = select_sources(recovered, cals, detail, 0.12, recent=4)
     assert excluded == [] and deduped == []
     assert set(sources) == {"BENCH_r03.json", "BENCH_r04.json", "BENCH_DETAIL.json"}
+
+
+# ---- JVM-side calibration fence (VERDICT r13 item 1) -----------------------
+# r13 measured the pure-Python kernel and the JVM decoupling on this VM
+# family (cal 18% faster, plan-identical walls 12-40% slower). bench.py now
+# records jvm_cal_sec (a fixed 10M-row Spark agg+shuffle, warm, median-of-5)
+# next to box_cal_sec, and the refreeze fence requires BOTH within drift
+# bounds once the anchor carries the JVM signal.
+
+
+def test_refreeze_jvm_fence_refuses_drift():
+    from tools_refreeze_baseline import MAX_CAL_DRIFT, RefreezeRefused, build_refreeze
+
+    sources, prior = _guard_fixture()
+    prior["jvm_cal_sec_at_refreeze"] = 0.50
+    with pytest.raises(RefreezeRefused, match="jvm_cal_sec .* deviates"):
+        build_refreeze(sources, prior, 0.10, new_jvm_cal_sec=0.50 * (1 + MAX_CAL_DRIFT) * 1.05)
+    with pytest.raises(RefreezeRefused, match="jvm_cal_sec .* deviates"):
+        build_refreeze(sources, prior, 0.10, new_jvm_cal_sec=0.50 * (1 - MAX_CAL_DRIFT) * 0.95)
+    # kernel passable + JVM passable = allowed, and the new JVM cal is recorded
+    anchor = build_refreeze(sources, prior, 0.10, new_jvm_cal_sec=0.52)
+    assert anchor["jvm_cal_sec_at_refreeze"] == 0.52
+
+
+def test_refreeze_jvm_fence_requires_signal_once_established():
+    """A jvm-calibrated anchor refuses a contributing run WITHOUT the
+    signal — that run could be exactly the kernel-fast/JVM-slow session
+    the dual fence exists for."""
+    from tools_refreeze_baseline import RefreezeRefused, build_refreeze
+
+    sources, prior = _guard_fixture()
+    prior["jvm_cal_sec_at_refreeze"] = 0.50
+    with pytest.raises(RefreezeRefused, match="lacks jvm_cal_sec"):
+        build_refreeze(sources, prior, 0.10)
+
+
+def test_refreeze_establishes_jvm_signal_forward():
+    """Backward compatibility: a pre-r14 anchor (no JVM signal) accepts a
+    run without one, and the FIRST jvm-calibrated contributing run
+    establishes the signal for every refreeze after it."""
+    from tools_refreeze_baseline import build_refreeze
+
+    sources, prior = _guard_fixture()
+    legacy = build_refreeze(sources, prior, 0.10)
+    assert "jvm_cal_sec_at_refreeze" not in legacy
+    established = build_refreeze(sources, prior, 0.10, new_jvm_cal_sec=0.48)
+    assert established["jvm_cal_sec_at_refreeze"] == 0.48
+
+
+def test_bench_records_jvm_calibration():
+    """bench.py must record jvm_cal_sec in BOTH the detail file and the
+    compact summary line (grep the source so the field cannot silently
+    drift from this pin; the value itself needs a live SparkSession)."""
+    src = (REPO / "bench.py").read_text()
+    assert "jvm_calibration_sec" in src
+    assert src.count('"jvm_cal_sec"') >= 2  # detail dict + summary line
+
+
+def test_refreeze_window_sorts_rounds_numerically():
+    """ADVICE r13: lexicographic filename sort puts BENCH_r100.json before
+    BENCH_r99.json — at round 100 the newest rounds would silently fall
+    out of the median pool. The window must select by numeric round."""
+    from tools_refreeze_baseline import select_sources
+
+    detail = {"q1": 1.0}
+    recovered = {
+        "BENCH_r98.json": {"q1": 1.3},
+        "BENCH_r99.json": {"q1": 1.2},
+        "BENCH_r100.json": {"q1": 1.1},
+        "BENCH_r101.json": {"q1": 1.0},
+    }
+    sources, excluded, _ = select_sources(recovered, {}, detail, 0.12, recent=3)
+    assert excluded == ["BENCH_r98.json"], (
+        "numeric round sort must evict the OLDEST round, not the "
+        "lexicographically-smallest"
+    )
+    assert set(sources) == {
+        "BENCH_r99.json", "BENCH_r100.json", "BENCH_r101.json", "BENCH_DETAIL.json",
+    }
+
+
+# ---- sub-floor cluster backstop (ADVICE r13 + VERDICT r13 item 7) ----------
+
+
+def test_subfloor_cluster_of_regressions_trips_gate():
+    """Ten floor-exempt queries all regressing 0.15s -> 0.59s (each
+    individually under 2 x floor) must trip the aggregate backstop."""
+    baseline = {f"tiny{i}": 0.15 for i in range(10)} | {"big": 5.0}
+    current = {f"tiny{i}": 0.59 for i in range(10)} | {"big": 5.1}
+    _, _, regressions = evaluate_bench_gate(baseline, current, cal_ratio=1.0)
+    assert len(regressions) == 1 and regressions[0].startswith("sub-floor cluster")
+
+
+def test_subfloor_symmetric_jitter_does_not_trip():
+    """Symmetric scheduling jitter (half the floored queries up, half
+    down) nets ~0 and stays under the budget — no false alarm."""
+    baseline = {f"tiny{i}": 0.15 for i in range(10)} | {"big": 5.0}
+    current = {
+        f"tiny{i}": 0.15 + (0.2 if i % 2 else -0.1) for i in range(10)
+    } | {"big": 5.1}
+    _, _, regressions = evaluate_bench_gate(baseline, current, cal_ratio=1.0)
+    assert regressions == []
+
+
+def test_subfloor_single_jitter_spike_does_not_trip():
+    """One jittery query (0.15 -> 0.59, the exact ADVICE scenario) among
+    stable floored peers is within the cluster budget: the floor still
+    does its job for isolated drift."""
+    baseline = {f"tiny{i}": 0.15 for i in range(10)}
+    current = dict.fromkeys(baseline, 0.16) | {"tiny0": 0.59}
+    _, _, regressions = evaluate_bench_gate(baseline, current, cal_ratio=1.0)
+    assert regressions == []
+
+
+def test_subfloor_cluster_feeds_retry_suspects():
+    """bench.py applies the same rule at runtime: when the cluster budget
+    is exceeded, the positive-drift floored queries join the fresh-context
+    retry suspects so an inflated reading cannot feed the next refreeze
+    unchallenged (ADVICE r13)."""
+    from bench import subfloor_cluster_drift
+
+    anchor = {f"tiny{i}": 0.15 for i in range(10)} | {"big": 5.0}
+    timings = {f"tiny{i}": 0.59 for i in range(10)} | {"big": 5.1}
+    drift, budget, names = subfloor_cluster_drift(timings, anchor)
+    assert drift > budget
+    assert names == sorted(f"tiny{i}" for i in range(10))  # big is not floored
+    # under the budget: nothing to retry
+    calm = {f"tiny{i}": 0.18 for i in range(10)} | {"big": 5.1}
+    drift, budget, _ = subfloor_cluster_drift(calm, anchor)
+    assert drift <= budget

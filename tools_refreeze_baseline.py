@@ -9,7 +9,13 @@ Rules enforced by build_refreeze() (unit-tested in tests/test_bench_guard.py):
    that produced the new samples) must be within MAX_CAL_DRIFT (25%) of
    the prior anchor's recorded ``box_cal_sec_at_refreeze``. A refreeze
    from a box running at a different speed would bake host placement into
-   the anchor and silently re-zero the regression gate.
+   the anchor and silently re-zero the regression gate. Since r14 the
+   fence is DUAL-SIGNAL: once the anchor records
+   ``jvm_cal_sec_at_refreeze`` (bench.jvm_calibration_sec(), a fixed
+   10M-row Spark agg+shuffle), later refreezes must present a jvm_cal_sec
+   within the same drift bound — r13 measured the two signals decoupling
+   18% in opposite directions on this VM family, so a kernel-passable
+   run can still carry a slow/fast JVM's walls into the anchor.
 2. NEVER ONLY THE ROUND UNDER JUDGMENT: the median for every query must
    draw on at least two sources (history rounds and/or the prior anchor),
    so one round's numbers can never unilaterally move its own gate.
@@ -111,10 +117,14 @@ def build_refreeze(
     sources: dict[str, dict[str, float]],
     prior_anchor: dict,
     new_box_cal_sec: float,
+    new_jvm_cal_sec: float | None = None,
 ) -> dict:
     """Pure refreeze: per-query medians over ``sources`` (name -> per-query
     seconds) PLUS the prior anchor's values, guarded by the calibration
-    fence. Raises RefreezeRefused instead of producing a tainted anchor."""
+    fence — BOTH signals when the anchor records both (rule 1, VERDICT r13
+    item 1: the pure-Python kernel and the JVM decouple on this VM family,
+    so a kernel-passable run can still carry a slow/fast JVM's walls).
+    Raises RefreezeRefused instead of producing a tainted anchor."""
     prior_cal = prior_anchor.get("box_cal_sec_at_refreeze")
     if prior_cal is None:
         raise RefreezeRefused(
@@ -129,6 +139,25 @@ def build_refreeze(
             f"(max {MAX_CAL_DRIFT:.0%}) — refreeze only from an idle box whose "
             "calibration matches the prior anchor's"
         )
+    prior_jvm = prior_anchor.get("jvm_cal_sec_at_refreeze")
+    if prior_jvm is not None:
+        # Once the anchor carries the JVM signal, every later refreeze must
+        # present it and pass the same drift bound — a run without it could
+        # be exactly the kernel-fast/JVM-slow session the fence exists for.
+        if new_jvm_cal_sec is None:
+            raise RefreezeRefused(
+                "prior anchor records jvm_cal_sec_at_refreeze but the "
+                "contributing run lacks jvm_cal_sec — re-run bench.py "
+                "(which records both calibration signals)"
+            )
+        jvm_drift = abs(new_jvm_cal_sec / prior_jvm - 1.0)
+        if jvm_drift > MAX_CAL_DRIFT:
+            raise RefreezeRefused(
+                f"contributing run's jvm_cal_sec {new_jvm_cal_sec:.4f} deviates "
+                f"{jvm_drift:.0%} from the anchor's recorded JVM calibration "
+                f"{prior_jvm:.4f} (max {MAX_CAL_DRIFT:.0%}) — the Python kernel "
+                "passed but the JVM did not; both must match the anchor's box"
+            )
     prior_queries = prior_anchor.get("queries", {})
     pools: dict[str, list[float]] = {}
     for name, queries in sources.items():
@@ -172,6 +201,10 @@ def build_refreeze(
         "total": round(sum(base.values()), 4),
         "box_cal_sec_at_refreeze": round(float(new_box_cal_sec), 4),
     }
+    if new_jvm_cal_sec is not None:
+        # First refreeze from a jvm-calibrated run ESTABLISHES the JVM
+        # signal; every refreeze after it is held to the dual fence above.
+        out["jvm_cal_sec_at_refreeze"] = round(float(new_jvm_cal_sec), 4)
     if carried:
         out["carried_forward"] = carried
     return out
@@ -189,8 +222,18 @@ def select_sources(
     order, so the detail run occupies the slot of the round it duplicates
     rather than sliding the window back to an older
     (slower-implementation) round. Returns (sources incl. the detail run,
-    excluded-as-old names, deduped names)."""
-    keep = sorted(recovered)[-recent:]
+    excluded-as-old names, deduped names).
+
+    "Newest" is by NUMERIC round extracted from the filename (ADVICE r13:
+    lexicographic sort puts BENCH_r100.json before BENCH_r99.json, silently
+    dropping the newest rounds from the median pool at round 100); files
+    without a parsable round number sort oldest."""
+
+    def round_num(fname: str) -> int:
+        m = re.search(r"r(\d+)", fname)
+        return int(m.group(1)) if m else -1
+
+    keep = sorted(recovered, key=lambda f: (round_num(f), f))[-recent:]
     excluded = sorted(set(recovered) - set(keep))
     sources: dict[str, dict[str, float]] = {}
     deduped: list[str] = []
@@ -250,7 +293,9 @@ def main() -> int:
             f"(box_cal {cals.get(fname)}) — deduped, one median vote"
         )
     try:
-        anchor = build_refreeze(sources, prior, new_cal)
+        anchor = build_refreeze(
+            sources, prior, new_cal, new_jvm_cal_sec=detail.get("jvm_cal_sec")
+        )
     except RefreezeRefused as e:
         print(f"REFUSED: {e}")
         return 1
