@@ -624,6 +624,7 @@ def simhash_neardup_pairs(
     band_bits: int | None = None,
     max_bucket_size: int | str | None = None,
     top_k_partners: int | None = None,
+    top_k_symmetric: bool = False,
     signatures: DataFrame | None = None,
     cap_metrics: dict | None = None,
 ) -> DataFrame:
@@ -657,7 +658,11 @@ def simhash_neardup_pairs(
     - top_k_partners: after Hamming verification, keep the k closest
       partners per doc_a (ties broken by doc_b) — emitted rows <= k * n.
       The bound is per canonical LEFT id; see keep_top_k_partners for the
-      doc_b asymmetry.
+      doc_b asymmetry. top_k_symmetric=True routes to
+      keep_top_k_partners_symmetric instead: EVERY doc keeps its k closest
+      partners (union semantics, still <= k * n rows) at 2x the window
+      input — reach for it when per-doc coverage matters (clustering);
+      it is exactly symmetrize -> cap -> re-canonicalize (tested).
 
     cap_metrics: optional dict — when passed, the levers record their
     dropped mass (``hot_buckets`` / ``dropped_band_rows`` /
@@ -691,6 +696,28 @@ def simhash_neardup_pairs(
                 "band_bits matching the passed build — the per-band width is "
                 "not recoverable from the frame, and a defaulted width would "
                 "silently mis-size the occupancy-derived cap"
+            )
+        # Contract check (ADVICE r13): the reuse path consumes a
+        # (doc_id, sig) frame. simhash_band_signatures always emits
+        # 'doc_id' whatever id_col it was given, but a caller keying a
+        # hand-built frame by its own id column used to hit an opaque
+        # AnalysisException deep in the band join — honor id_col by
+        # renaming, and name the contract when neither column exists.
+        if "doc_id" not in signatures.columns:
+            if id_col in signatures.columns:
+                signatures = signatures.withColumnRenamed(id_col, "doc_id")
+            else:
+                raise ValueError(
+                    "signatures= must be a (doc_id, sig) frame — the output "
+                    "of simhash_band_signatures — or key its ids by this "
+                    f"call's id_col; got columns {signatures.columns} with "
+                    f"neither 'doc_id' nor id_col={id_col!r}"
+                )
+        if "sig" not in signatures.columns:
+            raise ValueError(
+                "signatures= must carry a 'sig' array<long> column (the "
+                "output of simhash_band_signatures); got columns "
+                f"{signatures.columns}"
             )
         checked = signatures.localCheckpoint(eager=False)
         # One aggregate validates every row AND (for 'auto') captures the
@@ -747,11 +774,21 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= hamming_max)
     )
     if top_k_partners is not None:
-        out = keep_top_k_partners(
-            out,
-            top_k_partners,
-            "doc_a",
-            [F.col("hamming").asc(), F.col("doc_b").asc()],
-            metrics=cap_metrics,
-        )
+        if top_k_symmetric:
+            out = keep_top_k_partners_symmetric(
+                out,
+                top_k_partners,
+                "doc_a",
+                "doc_b",
+                [F.col("hamming").asc(), F.col("_other").asc()],
+                metrics=cap_metrics,
+            )
+        else:
+            out = keep_top_k_partners(
+                out,
+                top_k_partners,
+                "doc_a",
+                [F.col("hamming").asc(), F.col("doc_b").asc()],
+                metrics=cap_metrics,
+            )
     return out

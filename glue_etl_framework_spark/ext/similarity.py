@@ -439,6 +439,7 @@ def lsh_neardup_pairs(
     n_rows: int | None = None,
     max_bucket_size: int | str | None = None,
     top_k_partners: int | None = None,
+    top_k_symmetric: bool = False,
     cap_metrics: dict | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (vec_a, vec_b, cosine >= threshold)
@@ -461,7 +462,10 @@ def lsh_neardup_pairs(
     auto_bucket_cap(n, band_bits), a no-op on linear-density corpora;
     top_k_partners keeps the k highest-cosine partners per vec_a after
     verification (rows <= k * n; per canonical LEFT id — see
-    ext.dedup.keep_top_k_partners for the vec_b asymmetry). cap_metrics:
+    ext.dedup.keep_top_k_partners for the vec_b asymmetry;
+    top_k_symmetric=True routes to keep_top_k_partners_symmetric so EVERY
+    vector keeps its k best partners — union semantics, still <= k * n
+    rows, 2x the window input). cap_metrics:
     optional dict recording the dropped mass per engaged lever
     (hot_buckets / dropped_band_rows / dropped_verified_pairs /
     max_bucket_size_resolved) at one eager job each — the "no silent
@@ -511,13 +515,26 @@ def lsh_neardup_pairs(
         .select("vec_a", "vec_b", F.round(cosine, 9).alias("cosine"))
     )
     if top_k_partners is not None:
-        from glue_etl_framework_spark.ext.dedup import keep_top_k_partners
-
-        out = keep_top_k_partners(
-            out,
-            top_k_partners,
-            "vec_a",
-            [F.col("cosine").desc(), F.col("vec_b").asc()],
-            metrics=cap_metrics,
+        from glue_etl_framework_spark.ext.dedup import (
+            keep_top_k_partners,
+            keep_top_k_partners_symmetric,
         )
+
+        if top_k_symmetric:
+            out = keep_top_k_partners_symmetric(
+                out,
+                top_k_partners,
+                "vec_a",
+                "vec_b",
+                [F.col("cosine").desc(), F.col("_other").asc()],
+                metrics=cap_metrics,
+            )
+        else:
+            out = keep_top_k_partners(
+                out,
+                top_k_partners,
+                "vec_a",
+                [F.col("cosine").desc(), F.col("vec_b").asc()],
+                metrics=cap_metrics,
+            )
     return out

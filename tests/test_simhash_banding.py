@@ -583,3 +583,96 @@ def test_symmetric_top_k_deterministic_across_partitioning(spark):
         ).collect()
     }
     assert one == many and len(one) > 0
+
+
+def test_emitter_top_k_symmetric_passthrough(spark):
+    """top_k_symmetric=True on the emitter must equal hand-composing
+    keep_top_k_partners_symmetric over the uncapped output (VERDICT r13
+    item 5: the true per-doc bound reachable without manual
+    symmetrize -> cap -> re-canonicalize), and differ from the
+    asymmetric route where the clique makes the asymmetry visible."""
+    from glue_etl_framework_spark.ext.dedup import keep_top_k_partners_symmetric
+
+    docs = _toy_docs(spark)
+    via_knob = {
+        tuple(r)
+        for r in simhash_neardup_pairs(
+            docs, band_bits=8, top_k_partners=3, top_k_symmetric=True
+        ).collect()
+    }
+    manual = {
+        tuple(r)
+        for r in keep_top_k_partners_symmetric(
+            simhash_neardup_pairs(docs, band_bits=8).localCheckpoint(eager=True),
+            3,
+            "doc_a",
+            "doc_b",
+            [F.col("hamming").asc(), F.col("_other").asc()],
+        ).collect()
+    }
+    assert via_knob == manual and len(via_knob) > 0
+    asymmetric = {
+        tuple(r)
+        for r in simhash_neardup_pairs(
+            docs, band_bits=8, top_k_partners=3
+        ).collect()
+    }
+    assert via_knob != asymmetric  # per-doc coverage is a different set here
+
+
+def test_hyperplane_top_k_symmetric_passthrough(spark):
+    """Same passthrough contract on the hyperplane emitter."""
+    from glue_etl_framework_spark.ext.dedup import keep_top_k_partners_symmetric
+    from glue_etl_framework_spark.ext.similarity import lsh_neardup_pairs
+
+    vecs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    kw = dict(threshold=0.2, n_bands=2, band_bits=8)
+    via_knob = {
+        tuple(r)
+        for r in lsh_neardup_pairs(
+            vecs, top_k_partners=2, top_k_symmetric=True, **kw
+        ).collect()
+    }
+    manual = {
+        tuple(r)
+        for r in keep_top_k_partners_symmetric(
+            lsh_neardup_pairs(vecs, **kw).localCheckpoint(eager=True),
+            2,
+            "vec_a",
+            "vec_b",
+            [F.col("cosine").desc(), F.col("_other").asc()],
+        ).collect()
+    }
+    assert via_knob == manual and len(via_knob) > 0
+
+
+def test_signature_reuse_honors_id_col(spark):
+    """ADVICE r13: a signatures frame keyed by the caller's own id column
+    must work via id_col (renamed to the internal doc_id), and a frame
+    matching neither column must raise a contract error naming the
+    (doc_id, sig) shape — not an opaque AnalysisException."""
+    import pytest
+
+    docs = _docs(spark)
+    sig = simhash_band_signatures(docs, n_bands=7, band_bits=8)
+    direct = {
+        tuple(r) for r in simhash_neardup_pairs(docs, signatures=sig).collect()
+    }
+    renamed = sig.withColumnRenamed("doc_id", "my_id")
+    via_id_col = {
+        tuple(r)
+        for r in simhash_neardup_pairs(
+            docs, id_col="my_id", signatures=renamed
+        ).collect()
+    }
+    assert via_id_col == direct and len(direct) > 0
+    with pytest.raises(ValueError, match=r"\(doc_id, sig\)"):
+        simhash_neardup_pairs(
+            docs, signatures=sig.withColumnRenamed("doc_id", "unrelated")
+        )
+    with pytest.raises(ValueError, match="'sig'"):
+        simhash_neardup_pairs(
+            docs, signatures=sig.withColumnRenamed("sig", "signature")
+        )
