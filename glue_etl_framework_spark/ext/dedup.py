@@ -132,6 +132,7 @@ def connected_component_labels(
     id_col: str = "doc_id",
     max_iterations: int = 50,
     on_exhaustion: str = "fallback",
+    metrics: dict | None = None,
 ) -> DataFrame:
     """(node, label) per input node: label = min id in the node's connected
     component of the pair graph. Min-id label propagation: each round joins
@@ -163,7 +164,13 @@ def connected_component_labels(
 
     A run that converges within the budget never warns, never falls back,
     and builds the identical plan it always did (the oracle-attested
-    registry entry dedup_connected_components converges in 3 rounds)."""
+    registry entry dedup_connected_components converges in 3 rounds).
+
+    metrics: optional dict — records ``cc_rounds`` (propagation rounds
+    executed), ``cc_converged``, and ``cc_fallback`` for the funnel audit
+    (VERDICT r13 item 3). These are driver-side loop counters the
+    algorithm already pays for: recording them adds ZERO Spark jobs and
+    leaves the plan untouched."""
     if on_exhaustion not in ("fallback", "raise", "warn"):
         raise ValueError(
             f"on_exhaustion must be 'fallback', 'raise', or 'warn', got {on_exhaustion!r}"
@@ -192,7 +199,9 @@ def connected_component_labels(
     # round replaces a join-and-scan probe over the label sets.
     label_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy(F.col("src").alias("node"))
@@ -215,6 +224,10 @@ def connected_component_labels(
             converged = True
             break
         label_sum = new_sum
+    if metrics is not None:
+        metrics["cc_rounds"] = rounds
+        metrics["cc_converged"] = converged
+        metrics["cc_fallback"] = not converged and on_exhaustion == "fallback"
     if not converged:
         # Propagation needs O(component diameter) rounds; exhausting the
         # budget means some labels are NOT yet the component minimum —
@@ -273,12 +286,17 @@ def dedup_keep_representative(
     id_col: str = "doc_id",
     max_iterations: int = 50,
     on_exhaustion: str = "fallback",
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Drop near-duplicates, keeping one representative (min id) per
     connected component of the pair graph (see
-    connected_component_labels; on_exhaustion passes through, so the
-    default can never drop documents based on non-final labels)."""
-    labels = connected_component_labels(df, pairs, id_col, max_iterations, on_exhaustion)
+    connected_component_labels; on_exhaustion and metrics pass through,
+    so the default can never drop documents based on non-final labels
+    and a funnel audit reads the CC round count from the same dict the
+    emitter levers wrote their dropped mass into)."""
+    labels = connected_component_labels(
+        df, pairs, id_col, max_iterations, on_exhaustion, metrics=metrics
+    )
     keep = labels.filter(F.col("node") == F.col("label")).select(F.col("node").alias(id_col))
     return df.join(keep, id_col, "left_semi")
 
@@ -791,4 +809,206 @@ def simhash_neardup_pairs(
                 [F.col("hamming").asc(), F.col("doc_b").asc()],
                 metrics=cap_metrics,
             )
+    return out
+
+
+def estimate_lost_simhash_pairs(
+    signatures: DataFrame,
+    hamming_max: int,
+    max_bucket_size: int,
+    n_bands: int | None = None,
+    sample_buckets: int = 16,
+    max_members_per_bucket: int = 256,
+) -> dict:
+    """Turn ``dropped_band_rows`` (an upper BOUND on the recall a bucket
+    cap costs) into a measured estimate with a confidence interval
+    (VERDICT r13 item 4), for one bounded extra job — run it only when
+    ``cap_metrics`` reported the cap engaged.
+
+    Inputs mirror the capped ``simhash_neardup_pairs`` call being audited:
+    the SAME ``signatures`` frame (``simhash_band_signatures`` output —
+    or a wider build; it is sliced to ``n_bands = hamming_max + 1`` words
+    exactly like the emitter), the same ``hamming_max``, and the RESOLVED
+    integer cap (read ``cap_metrics['max_bucket_size_resolved']`` after an
+    ``'auto'`` run).
+
+    Estimator — Horvitz-Thompson over a two-level deterministic sample:
+
+    1. Hot buckets (size > cap) are ordered by md5 of their key;
+       the first ``sample_buckets`` are the bucket sample S.
+    2. Inside each sampled bucket, members are ordered by md5 of
+       (bucket, doc_id); the first ``max_members_per_bucket`` (M) are
+       kept, so the verify work per bucket is <= M(M-1)/2 no matter how
+       adversarial the bucket (a 5,000-doc bucket holds 12.5M pairs;
+       at 100 TB an uncapped per-bucket verify would be the same
+       quadratic blowup the bucket cap exists to prevent).
+    3. Candidate pairs within sampled buckets are deduped GLOBALLY, then
+       Hamming-verified against the full sliced signature. A verified
+       pair is LOST only if NONE of its agreeing bands is a cold
+       (size <= cap) bucket — a pair with any cold agreeing band still
+       comes out of the capped emitter, so counting it would overstate
+       the cost (this is checked exactly, per pair, against the bucket
+       counts).
+    4. Each observed lost pair is weighted by 1/pi, where
+       pi = 1 - prod_{hot agreeing buckets b}(1 - I[b in S] * q_b) and
+       q_b is the probability both endpoints survive the member cap in b
+       (q_b = 1 when the bucket fits in M, else M(M-1)/(m_b(m_b-1))).
+       A pair whose every hot bucket is unsampled is unobservable and
+       contributes through the weights of its observed peers.
+
+    Returns a dict: ``hot_buckets`` / ``hot_pair_mass`` (the old upper
+    bound, for comparison) / ``sampled_buckets`` /
+    ``observed_lost_pairs`` / ``est_lost_pairs`` / ``ci95`` (+-, normal
+    approximation over sum (1-pi)/pi^2) / ``exact`` (True when every hot
+    bucket was sampled whole: the estimate then EQUALS the true lost-pair
+    count and ci95 is 0, pinned by test and by the sf0.1 probe — the
+    exhaustive run reproduced the known 2,196,041-pair truth exactly at
+    ~2/3 the uncapped emit's wall).
+
+    CI caveat (measured, probes/recall_estimator_r14.txt): the variance
+    formula treats observed pairs as independent, but bucket sampling is
+    CLUSTER sampling — all pairs of one bucket enter together — so at
+    small bucket samples the CI understates the real error (K=8/M=256 on
+    the sf0.1 adversarial corpus read -32% with a +-16k CI; K=16/M=512
+    read -4.5%). Size the sample from the reported ``hot_buckets``: cover
+    at least half of them (and prefer whole buckets over member-capped
+    ones) before trusting the interval; when hot_buckets is small, run
+    exhaustive — it is still bounded by the hot mass, never the full
+    emit.
+
+    Cost: the signature checkpoint, two count-style aggregates, and one
+    verify join bounded by sample_buckets * M^2 / 2 candidates — never
+    the uncapped emit."""
+    if max_bucket_size < 1:
+        raise ValueError("max_bucket_size must be a resolved integer cap >= 1")
+    if sample_buckets < 1 or max_members_per_bucket < 2:
+        raise ValueError("need sample_buckets >= 1 and max_members_per_bucket >= 2")
+    from pyspark.sql import Window
+
+    if n_bands is None:
+        n_bands = hamming_max + 1
+    sig = signatures.select(
+        "doc_id", F.slice("sig", 1, n_bands).alias("sig")
+    ).localCheckpoint(eager=True)
+    bands = sig.select("doc_id", F.posexplode("sig").alias("bidx", "bv"))
+    counts = bands.groupBy("bidx", "bv").agg(F.count("*").alias("m")).localCheckpoint(
+        eager=False
+    )
+    hot = counts.filter(F.col("m") > max_bucket_size)
+    hot_stats = hot.agg(
+        F.count("*").alias("h"),
+        F.coalesce(F.sum(F.col("m") * (F.col("m") - 1) / 2), F.lit(0.0)).alias("w"),
+    ).first()
+    n_hot, hot_pair_mass = hot_stats["h"], float(hot_stats["w"])
+    out = {
+        "hot_buckets": n_hot,
+        "hot_pair_mass": hot_pair_mass,
+        "sampled_buckets": min(sample_buckets, n_hot),
+        "observed_lost_pairs": 0,
+        "est_lost_pairs": 0.0,
+        "ci95": 0.0,
+        "exact": True,
+    }
+    if n_hot == 0:
+        return out
+    # Deterministic bucket sample: metadata-sized collect (K rows).
+    sampled = hot.orderBy(
+        F.md5(F.concat_ws(":", "bidx", "bv")), "bidx", "bv"
+    ).limit(sample_buckets)
+    sampled_keys = [(r["bidx"], r["bv"], r["m"]) for r in sampled.collect()]
+    sampled_df = F.broadcast(
+        sig.sparkSession.createDataFrame(sampled_keys, ["bidx", "bv", "m"])
+    )
+    mw = Window.partitionBy("bidx", "bv").orderBy(
+        F.md5(F.concat_ws(":", "bidx", "bv", "doc_id")), "doc_id"
+    )
+    members = (
+        bands.join(sampled_df.select("bidx", "bv"), ["bidx", "bv"])
+        .withColumn("_mr", F.row_number().over(mw))
+        .filter(F.col("_mr") <= max_members_per_bucket)
+        .select("bidx", "bv", "doc_id")
+    )
+    cand = (
+        members.select(F.col("doc_id").alias("doc_a"), "bidx", "bv")
+        .join(members.select(F.col("doc_id").alias("doc_b"), "bidx", "bv"), ["bidx", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    hamming = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= hamming_max)
+    )
+    # Agreeing bands per verified pair, classified hot/cold + sampled
+    # against the SAME counts the cap used.
+    agree = verified.select(
+        "doc_a",
+        "doc_b",
+        F.posexplode(
+            F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, x))
+        ).alias("bidx", "bv"),
+    ).filter(F.col("bv").isNotNull())
+    q_b = F.when(
+        F.col("m") <= max_members_per_bucket, F.lit(1.0)
+    ).otherwise(
+        F.lit(float(max_members_per_bucket * (max_members_per_bucket - 1)))
+        / (F.col("m").cast("double") * (F.col("m") - 1))
+    )
+    classified = (
+        agree.join(counts, ["bidx", "bv"])
+        .join(
+            sampled_df.select("bidx", "bv", F.lit(True).alias("_in_sample")),
+            ["bidx", "bv"],
+            "left",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("m") <= max_bucket_size).alias("cold"),
+            F.coalesce("_in_sample", F.lit(False)).alias("sampled"),
+            q_b.alias("q"),
+        )
+    )
+    # pi per pair over its HOT agreeing buckets: 1 - prod(1 - I[sampled]*q).
+    # A sampled bucket the pair fits in whole (q == 1) zeroes the product —
+    # flagged separately because log(0) is undefined.
+    per_pair = classified.groupBy("doc_a", "doc_b").agg(
+        F.max(F.col("cold")).alias("survives"),
+        F.max((~F.col("cold")) & F.col("sampled") & (F.col("q") >= 1.0)).alias("full"),
+        F.sum(
+            F.when(
+                (~F.col("cold")) & F.col("sampled") & (F.col("q") < 1.0),
+                F.log(1.0 - F.col("q")),
+            ).otherwise(F.lit(0.0))
+        ).alias("logterm"),
+    )
+    pi = F.when(F.col("full"), F.lit(1.0)).otherwise(1.0 - F.exp(F.col("logterm")))
+    est = (
+        per_pair.filter(~F.col("survives"))
+        .select(pi.alias("pi"))
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.coalesce(F.sum(1.0 / F.col("pi")), F.lit(0.0)).alias("est"),
+            F.coalesce(
+                F.sum((1.0 - F.col("pi")) / (F.col("pi") * F.col("pi"))), F.lit(0.0)
+            ).alias("var"),
+        )
+        .first()
+    )
+    max_sampled_m = max((m for _, _, m in sampled_keys), default=0)
+    out["observed_lost_pairs"] = est["n_obs"]
+    out["est_lost_pairs"] = round(float(est["est"]), 2)
+    out["ci95"] = round(1.96 * float(est["var"]) ** 0.5, 2)
+    out["exact"] = (
+        n_hot <= len(sampled_keys) and max_sampled_m <= max_members_per_bucket
+    )
     return out

@@ -78,7 +78,11 @@ def _curation_sql() -> str:
 
 @register("pipeline_training_data_curation", oracle=_curation_sql(), category="curation")
 def pipeline_training_data_curation(
-    spark: SparkSession, sf_dir: str, persist_intermediate: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    persist_intermediate: bool = False,
+    max_bucket_size: int | None = None,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """The composite curation pass over documents:
 
@@ -92,14 +96,42 @@ def pipeline_training_data_curation(
     4. emit the curated corpus with token counts and a content hash.
 
     Deterministic end to end (md5 hashing, integer counts, lowest-id keep
-    rules), so the whole pipeline hash-matches the DuckDB oracle."""
+    rules), so the whole pipeline hash-matches the DuckDB oracle.
+
+    max_bucket_size: optional bounded-output lever for stage 3 — drop
+    over-occupied (band, bh) buckets before the candidate self-join
+    (ext.dedup.drop_hot_buckets; EXPLICIT int only, like
+    minhash_banded_candidate_pairs: hash-space banding has no occupancy
+    target for an 'auto' cap). Docs whose every collision is inside hot
+    buckets then survive — the recall trade the cap always makes,
+    audited via ``metrics``.
+
+    metrics: optional per-stage funnel audit (VERDICT r13 item 3) — ONE
+    place to read the whole run's removal and recall exposure:
+    ``input_docs`` / ``quality_removed`` / ``exact_removed`` /
+    ``neardup_removed`` / ``output_docs``, plus ``hot_buckets`` and
+    ``dropped_band_rows`` when the cap engaged (written by
+    drop_hot_buckets into the SAME dict) — at the cost of three eager
+    jobs (one conditional-sum scan for stages 0-1, one count each at the
+    exact and loser stages; output_docs is derived, not a fourth job).
+    The default None keeps the fully lazy, byte-identical registry plan
+    (pinned by the PLANS.md regen)."""
     d = t(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     n_tokens = F.size(words)
     diversity = F.size(F.array_distinct(words)).cast("double") / n_tokens
-    quality = d.filter(
-        n_tokens.between(MIN_TOKENS, MAX_TOKENS) & (diversity > MIN_DIVERSITY)
-    ).select("doc_id", "lang", "text", n_tokens.alias("n_tokens"))
+    quality_pred = n_tokens.between(MIN_TOKENS, MAX_TOKENS) & (diversity > MIN_DIVERSITY)
+    quality = d.filter(quality_pred).select(
+        "doc_id", "lang", "text", n_tokens.alias("n_tokens")
+    )
+    if metrics is not None:
+        # One conditional-sum scan covers the first two funnel numbers.
+        row = d.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(quality_pred, 1).otherwise(0)).alias("q"),
+        ).first()
+        metrics["input_docs"] = row["n"]
+        metrics["quality_removed"] = row["n"] - row["q"]
 
     norm_hash = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
     # min_by(struct, doc_id) keeps the lowest-id row per normalized hash with a
@@ -120,6 +152,14 @@ def pipeline_training_data_curation(
         from pyspark.storagelevel import StorageLevel
 
         exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
+    if metrics is not None:
+        # Materialize once (the metrics run reads `exact` for this count,
+        # the shingle branch, and the final anti-join) and count it.
+        exact = exact.localCheckpoint(eager=False)
+        n_exact = exact.count()
+        metrics["exact_removed"] = (
+            metrics["input_docs"] - metrics["quality_removed"] - n_exact
+        )
 
     # one-pass regex shingling — see queries.dedup.SHINGLE_REGEX for the
     # equivalence argument and its word-character assumption
@@ -147,6 +187,16 @@ def pipeline_training_data_curation(
     bands = sig.select("doc_id", F.explode(band_structs).alias("x")).select(
         "doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
     )
+    if max_bucket_size is not None:
+        from glue_etl_framework_spark.ext.dedup import drop_hot_buckets
+
+        if max_bucket_size == "auto":
+            raise ValueError(
+                "max_bucket_size='auto' does not apply to hash-space minhash "
+                "banding (no occupancy target) — pass an explicit cap, see "
+                "ext.dedup.minhash_banded_candidate_pairs"
+            )
+        bands = drop_hot_buckets(bands, max_bucket_size, ["band", "bh"], metrics=metrics)
     a, b = bands.alias("a"), bands.alias("b")
     losers = (
         a.join(
@@ -158,6 +208,18 @@ def pipeline_training_data_curation(
         .select(F.col("a.doc_id").alias("doc_id"))
         .distinct()
     )
+    if metrics is not None:
+        losers = losers.localCheckpoint(eager=False)
+        n_losers = losers.count()
+        metrics["neardup_removed"] = n_losers
+        # losers is a subset of exact's doc_ids, so the anti-join output
+        # size is exact arithmetic — no fourth job.
+        metrics["output_docs"] = (
+            metrics["input_docs"]
+            - metrics["quality_removed"]
+            - metrics["exact_removed"]
+            - n_losers
+        )
     return (
         exact.join(losers, "doc_id", "left_anti")
         .select(
@@ -355,7 +417,9 @@ def _incremental_ingest_sql() -> str:
     oracle=_incremental_ingest_sql(),
     category="curation",
 )
-def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_incremental_ingest(
+    spark: SparkSession, sf_dir: str, metrics: dict | None = None
+) -> DataFrame:
     """Incremental-ingest curation composite — the production shape for
     admitting NEW data against an already-curated 100 TB reference corpus,
     wired so the expensive stage only runs where the cheap stage says it
@@ -378,7 +442,15 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume — the whole point of the prefilter. Every stage is the
     individually-oracle-checked primitive (quality gates, bloom frames,
     exact shingle truth), and the composite hash-matches DuckDB
-    end-to-end."""
+    end-to-end.
+
+    metrics: optional funnel audit (VERDICT r13 item 3) — records
+    ``incoming_docs`` (post-quality), ``bloom_flagged``, ``admitted``,
+    and ``rejected`` in ONE eager aggregate over the lazily-checkpointed
+    result (the audit columns are already in the output schema, so the
+    whole funnel costs a single job and the returned frame reads the
+    checkpoint instead of recomputing the bloom join). The default None
+    keeps the fully lazy, byte-identical registry plan."""
     from glue_etl_framework_spark.queries.dedup import bloom_shingle_frames
 
     d = t(spark, sf_dir, "documents")
@@ -407,7 +479,7 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("nt").cast("double") * 1_000_000 / F.col("n_shingles")),
         F.lit(0.0),
     ).cast("long")
-    return (
+    out = (
         incoming.join(doc_bloom, "doc_id", "left")
         .join(doc_truth, "doc_id", "left")
         .select(
@@ -420,6 +492,18 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(overlap < CONTAM_TAU_FP, 1).otherwise(0).alias("admitted"),
         )
     )
+    if metrics is not None:
+        out = out.localCheckpoint(eager=False)
+        row = out.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("bloom_flagged"), F.lit(0)).alias("f"),
+            F.coalesce(F.sum("admitted"), F.lit(0)).alias("a"),
+        ).first()
+        metrics["incoming_docs"] = row["n"]
+        metrics["bloom_flagged"] = row["f"]
+        metrics["admitted"] = row["a"]
+        metrics["rejected"] = row["n"] - row["a"]
+    return out
 
 
 def _dedup_impact_sql() -> str:
