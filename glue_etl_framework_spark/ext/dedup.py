@@ -878,19 +878,115 @@ def estimate_lost_simhash_pairs(
 
     Cost: the signature checkpoint, two count-style aggregates, and one
     verify join bounded by sample_buckets * M^2 / 2 candidates — never
-    the uncapped emit."""
-    if max_bucket_size < 1:
-        raise ValueError("max_bucket_size must be a resolved integer cap >= 1")
-    if sample_buckets < 1 or max_members_per_bucket < 2:
-        raise ValueError("need sample_buckets >= 1 and max_members_per_bucket >= 2")
-    from pyspark.sql import Window
+    the uncapped emit.
 
+    The cosine twin is estimate_lost_hyperplane_pairs; both are thin
+    wrappers over the same _estimate_lost_pairs_core (the estimator is
+    emitter-family-agnostic: it needs only the band frame and a verify
+    predicate)."""
     if n_bands is None:
         n_bands = hamming_max + 1
     sig = signatures.select(
         "doc_id", F.slice("sig", 1, n_bands).alias("sig")
     ).localCheckpoint(eager=True)
     bands = sig.select("doc_id", F.posexplode("sig").alias("bidx", "bv"))
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    hamming = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+    def verify(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(a, "doc_a")
+            .join(b, "doc_b")
+            .filter(hamming <= hamming_max)
+            .select("doc_a", "doc_b")
+        )
+
+    return _estimate_lost_pairs_core(
+        bands, verify, max_bucket_size, sample_buckets, max_members_per_bucket
+    )
+
+
+def estimate_lost_hyperplane_pairs(
+    df: DataFrame,
+    threshold: float,
+    max_bucket_size: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 2,
+    band_bits: int | None = None,
+    dim: int = 64,
+    n_rows: int | None = None,
+    sample_buckets: int = 16,
+    max_members_per_bucket: int = 256,
+) -> dict:
+    """The cosine twin of estimate_lost_simhash_pairs: measure what an
+    engaged bucket cap cost a capped ``lsh_neardup_pairs`` run. Inputs
+    mirror the emitter call being audited (same banding parameters, same
+    quantized-cosine verify, same scaled_band_bits default), with the
+    RESOLVED integer cap. Semantics, sampling design, output keys, and
+    the CI caveat are exactly the shared core's — see
+    estimate_lost_simhash_pairs."""
+    from glue_etl_framework_spark.ext.similarity import (
+        banded_signatures,
+        quantize_embeddings,
+        scaled_band_bits,
+    )
+
+    if band_bits is None:
+        n = n_rows if n_rows is not None else df.count()
+        band_bits = scaled_band_bits(n)
+    v = quantize_embeddings(df, id_col, vec_col).localCheckpoint(eager=True)
+    bands = banded_signatures(v, n_bands=n_bands, band_bits=band_bits, dim=dim).select(
+        F.col("vec_id").alias("doc_id"), "bidx", "bv"
+    )
+    x = v.select(F.col("vec_id").alias("doc_a"), F.col("q").alias("qa"), F.col("nq").alias("na"))
+    y = v.select(F.col("vec_id").alias("doc_b"), F.col("q").alias("qb"), F.col("nq").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda p, q_: p * q_),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+    cosine = dot / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+
+    def verify(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(x, "doc_a")
+            .join(y, "doc_b")
+            .filter(cosine >= threshold)
+            .select("doc_a", "doc_b")
+        )
+
+    return _estimate_lost_pairs_core(
+        bands, verify, max_bucket_size, sample_buckets, max_members_per_bucket
+    )
+
+
+def _estimate_lost_pairs_core(
+    bands: DataFrame,
+    verify,
+    max_bucket_size: int,
+    sample_buckets: int,
+    max_members_per_bucket: int,
+) -> dict:
+    """Shared Horvitz-Thompson machinery behind the two estimate_lost_*
+    wrappers. ``bands`` is the (doc_id, bidx, bv) band frame the capped
+    emitter bucketed on (its lineage should end at a checkpoint — both
+    wrappers guarantee that); ``verify`` maps a candidate (doc_a, doc_b)
+    frame to its verified subset. Agreeing bands per verified pair come
+    from joining the band frame on both endpoints — emitter-agnostic,
+    and identical to the signature-array formulation for simhash (a band
+    agrees iff both docs share its (bidx, bv) bucket)."""
+    if max_bucket_size < 1:
+        raise ValueError("max_bucket_size must be a resolved integer cap >= 1")
+    if sample_buckets < 1 or max_members_per_bucket < 2:
+        raise ValueError("need sample_buckets >= 1 and max_members_per_bucket >= 2")
+    from pyspark.sql import Window
+
     counts = bands.groupBy("bidx", "bv").agg(F.count("*").alias("m")).localCheckpoint(
         eager=False
     )
@@ -917,7 +1013,7 @@ def estimate_lost_simhash_pairs(
     ).limit(sample_buckets)
     sampled_keys = [(r["bidx"], r["bv"], r["m"]) for r in sampled.collect()]
     sampled_df = F.broadcast(
-        sig.sparkSession.createDataFrame(sampled_keys, ["bidx", "bv", "m"])
+        bands.sparkSession.createDataFrame(sampled_keys, ["bidx", "bv", "m"])
     )
     mw = Window.partitionBy("bidx", "bv").orderBy(
         F.md5(F.concat_ws(":", "bidx", "bv", "doc_id")), "doc_id"
@@ -935,28 +1031,17 @@ def estimate_lost_simhash_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    hamming = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    verified = (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= hamming_max)
-    )
+    verified = verify(cand)
     # Agreeing bands per verified pair, classified hot/cold + sampled
-    # against the SAME counts the cap used.
-    agree = verified.select(
-        "doc_a",
-        "doc_b",
-        F.posexplode(
-            F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, x))
-        ).alias("bidx", "bv"),
-    ).filter(F.col("bv").isNotNull())
+    # against the SAME counts the cap used: a band agrees iff both docs
+    # share its (bidx, bv) bucket, so joining the band frame on both
+    # endpoints enumerates them without any signature-format knowledge.
+    agree = verified.join(
+        bands.select(F.col("doc_id").alias("doc_a"), "bidx", "bv"), "doc_a"
+    ).join(
+        bands.select(F.col("doc_id").alias("doc_b"), "bidx", "bv"),
+        ["doc_b", "bidx", "bv"],
+    )
     q_b = F.when(
         F.col("m") <= max_members_per_bucket, F.lit(1.0)
     ).otherwise(

@@ -153,3 +153,66 @@ def test_estimator_validates_inputs(spark):
         estimate_lost_simhash_pairs(sig, hamming_max=6, max_bucket_size=0)
     with pytest.raises(ValueError, match="sample_buckets"):
         estimate_lost_simhash_pairs(sig, hamming_max=6, max_bucket_size=8, sample_buckets=0)
+
+
+def _toy_vecs(spark):
+    """40 identical vectors (every band bucket hot at cap 8) plus one
+    isolated near-identical pair."""
+    base = [float((i * 37) % 19 - 9) for i in range(64)]
+    other = [-v for v in base]
+    near = other[:]
+    near[0] += 0.01
+    rows = [(i, base) for i in range(40)] + [(100, other), (101, near)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def _lost_truth_hyperplane(spark, vecs, cap, threshold=0.5, n_bands=2, band_bits=8):
+    from glue_etl_framework_spark.ext.similarity import lsh_neardup_pairs
+
+    kw = dict(threshold=threshold, n_bands=n_bands, band_bits=band_bits)
+    full = {
+        (r["vec_a"], r["vec_b"]) for r in lsh_neardup_pairs(vecs, **kw).collect()
+    }
+    capped = {
+        (r["vec_a"], r["vec_b"])
+        for r in lsh_neardup_pairs(vecs, max_bucket_size=cap, **kw).collect()
+    }
+    assert capped <= full
+    return full - capped
+
+
+def test_hyperplane_exact_mode_equals_truth_on_toy(spark):
+    from glue_etl_framework_spark.ext.dedup import estimate_lost_hyperplane_pairs
+
+    vecs = _toy_vecs(spark)
+    truth = _lost_truth_hyperplane(spark, vecs, cap=8)
+    assert len(truth) == 40 * 39 // 2  # the identical cluster, nothing else
+    est = estimate_lost_hyperplane_pairs(
+        vecs, threshold=0.5, max_bucket_size=8, band_bits=8,
+        sample_buckets=1000, max_members_per_bucket=1000,
+    )
+    assert est["exact"] is True
+    assert est["est_lost_pairs"] == len(truth)
+    assert est["ci95"] == 0.0
+    assert est["hot_buckets"] == 2  # both bands of the identical cluster
+
+
+def test_hyperplane_exact_mode_equals_truth_on_real_corpus(spark):
+    """sf0.001 embeddings with a cap that engages on real buckets — the
+    survives-elsewhere rule must reproduce the emitters' set difference
+    exactly (many verified pairs also share a cold band here)."""
+    from glue_etl_framework_spark.ext.dedup import estimate_lost_hyperplane_pairs
+
+    vecs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cap = 3
+    truth = _lost_truth_hyperplane(spark, vecs, cap=cap, threshold=0.2)
+    est = estimate_lost_hyperplane_pairs(
+        vecs, threshold=0.2, max_bucket_size=cap, band_bits=8,
+        sample_buckets=100_000, max_members_per_bucket=100_000,
+    )
+    assert est["exact"] is True
+    assert est["hot_buckets"] > 0, "cap must engage for this test to mean anything"
+    assert est["est_lost_pairs"] == len(truth)
+    assert est["ci95"] == 0.0
