@@ -704,6 +704,12 @@ def simhash_neardup_pairs(
     materialization and the 3+ downstream consumers read the checkpoint
     instead of re-executing the caller's lineage; a caller that already
     checkpointed pays one extra cached copy, never a recompute."""
+    if top_k_partners is None and top_k_symmetric:
+        raise ValueError(
+            "top_k_symmetric=True needs top_k_partners=<k> — without the "
+            "knob there is no bound to symmetrize (refusing to silently "
+            "return the unbounded pair stream)"
+        )
     if n_bands is None:
         n_bands = hamming_max + 1
     n_docs: int | None = None
@@ -849,12 +855,15 @@ def estimate_lost_simhash_pairs(
        comes out of the capped emitter, so counting it would overstate
        the cost (this is checked exactly, per pair, against the bucket
        counts).
-    4. Each observed lost pair is weighted by 1/pi, where
-       pi = 1 - prod_{hot agreeing buckets b}(1 - I[b in S] * q_b) and
-       q_b is the probability both endpoints survive the member cap in b
-       (q_b = 1 when the bucket fits in M, else M(M-1)/(m_b(m_b-1))).
-       A pair whose every hot bucket is unsampled is unobservable and
-       contributes through the weights of its observed peers.
+    4. Each observed lost pair is weighted by 1/pi, where pi is the
+       DESIGN's marginal probability of observing it (r14 review fix —
+       weighting by the realized sample indicator under-estimated
+       systematically): an exact hypergeometric term over the pair's
+       fully-coverable hot buckets (the chance a K-of-H bucket draw
+       misses all h of them, prod_{j<h}(H-K-j)/(H-j) — at most n_bands
+       factors) times independence terms (1 - (K/H) * q_b) for its
+       member-capped buckets, q_b = M(M-1)/(m_b(m_b-1)) being the
+       chance both endpoints land in bucket b's M-member prefix.
 
     Returns a dict: ``hot_buckets`` / ``hot_pair_mass`` (the old upper
     bound, for comparison) / ``sampled_buckets`` /
@@ -867,11 +876,11 @@ def estimate_lost_simhash_pairs(
 
     CI caveat (measured, probes/recall_estimator_r14.txt): the variance
     formula treats observed pairs as independent, but bucket sampling is
-    CLUSTER sampling — all pairs of one bucket enter together — so at
-    small bucket samples the CI understates the real error (K=8/M=256 on
-    the sf0.1 adversarial corpus read -32% with a +-16k CI; K=16/M=512
-    read -4.5%). Size the sample from the reported ``hot_buckets``: cover
-    at least half of them (and prefer whole buckets over member-capped
+    CLUSTER sampling — all pairs of one bucket enter together — and the
+    md5 ordering is one deterministic draw of the design, so at small
+    bucket samples the CI understates the real error (rows in the probe
+    file). Size the sample from the reported ``hot_buckets``: cover at
+    least half of them (and prefer whole buckets over member-capped
     ones) before trusting the interval; when hot_buckets is small, run
     exhaustive — it is still bounded by the hot mass, never the full
     emit.
@@ -886,9 +895,24 @@ def estimate_lost_simhash_pairs(
     predicate)."""
     if n_bands is None:
         n_bands = hamming_max + 1
+    if "doc_id" not in signatures.columns or "sig" not in signatures.columns:
+        raise ValueError(
+            "signatures must be a (doc_id, sig) frame — the output of "
+            f"simhash_band_signatures; got columns {signatures.columns}"
+        )
     sig = signatures.select(
         "doc_id", F.slice("sig", 1, n_bands).alias("sig")
     ).localCheckpoint(eager=True)
+    # Same width contract as the emitter (r14 review): slicing a
+    # too-narrow frame would silently verify over fewer bands — a WRONG
+    # measurement, not an error. One cheap aggregate on the checkpoint.
+    nb = sig.agg(F.min(F.size("sig")).alias("nb")).first()["nb"]
+    if nb is not None and nb < n_bands:
+        raise ValueError(
+            f"signatures frame has a row with {nb} bands but this audit "
+            f"needs n_bands={n_bands} (hamming_max + 1) — rebuild with "
+            f"simhash_band_signatures(n_bands={n_bands})"
+        )
     bands = sig.select("doc_id", F.posexplode("sig").alias("bidx", "bv"))
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -941,8 +965,13 @@ def estimate_lost_hyperplane_pairs(
         n = n_rows if n_rows is not None else df.count()
         band_bits = scaled_band_bits(n)
     v = quantize_embeddings(df, id_col, vec_col).localCheckpoint(eager=True)
-    bands = banded_signatures(v, n_bands=n_bands, band_bits=band_bits, dim=dim).select(
-        F.col("vec_id").alias("doc_id"), "bidx", "bv"
+    # The banding projection (n_bands * band_bits hyperplane dot products
+    # per row) feeds the core's bucket counts, member join, and BOTH sides
+    # of the agree join — materialize it once, as the emitter itself does.
+    bands = (
+        banded_signatures(v, n_bands=n_bands, band_bits=band_bits, dim=dim)
+        .select(F.col("vec_id").alias("doc_id"), "bidx", "bv")
+        .localCheckpoint(eager=True)
     )
     x = v.select(F.col("vec_id").alias("doc_a"), F.col("q").alias("qa"), F.col("nq").alias("na"))
     y = v.select(F.col("vec_id").alias("doc_b"), F.col("q").alias("qb"), F.col("nq").alias("nb"))
@@ -1048,35 +1077,60 @@ def _estimate_lost_pairs_core(
         F.lit(float(max_members_per_bucket * (max_members_per_bucket - 1)))
         / (F.col("m").cast("double") * (F.col("m") - 1))
     )
-    classified = (
-        agree.join(counts, ["bidx", "bv"])
-        .join(
-            sampled_df.select("bidx", "bv", F.lit(True).alias("_in_sample")),
-            ["bidx", "bv"],
-            "left",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("m") <= max_bucket_size).alias("cold"),
-            F.coalesce("_in_sample", F.lit(False)).alias("sampled"),
-            q_b.alias("q"),
-        )
+    classified = agree.join(counts, ["bidx", "bv"]).select(
+        "doc_a",
+        "doc_b",
+        (F.col("m") <= max_bucket_size).alias("cold"),
+        q_b.alias("q"),
     )
-    # pi per pair over its HOT agreeing buckets: 1 - prod(1 - I[sampled]*q).
-    # A sampled bucket the pair fits in whole (q == 1) zeroes the product —
-    # flagged separately because log(0) is undefined.
+    # pi per pair = the DESIGN's marginal probability of observing it, NOT
+    # the realized sample indicator (r14 review: weighting by I[b in S]
+    # gave weight 1 to any pair caught in a sampled whole bucket even when
+    # its true inclusion probability was K/H — a systematically LOW
+    # estimate reported with a zero CI). Two layers, per the two sampling
+    # levels:
+    #
+    # - h_full = the pair's hot buckets a sample would cover WHOLE
+    #   (m <= M): the chance NO draw of K from the H hot buckets hits any
+    #   of them is hypergeometric, C(H-h,K)/C(H,K) =
+    #   prod_{j<h}(H-K-j)/(H-j) — exact, h <= n_bands terms;
+    # - member-capped buckets (m > M) each miss the pair with probability
+    #   (1 - (K/H) * q_b), taken independent across buckets (the honest
+    #   approximation layer — a capped bucket observes the pair only if
+    #   drawn AND both endpoints land in its M-prefix).
+    #
+    # pi = 1 - hyper(h_full) * prod_capped(1 - p*q_b). With K >= H the
+    # hypergeometric term is 0 for any h_full >= 1 and p = 1, so exact
+    # mode degenerates to pi = 1 exactly as before.
+    n_sampled = len(sampled_keys)
+    p_bucket = min(1.0, n_sampled / n_hot)
     per_pair = classified.groupBy("doc_a", "doc_b").agg(
         F.max(F.col("cold")).alias("survives"),
-        F.max((~F.col("cold")) & F.col("sampled") & (F.col("q") >= 1.0)).alias("full"),
+        F.sum(
+            F.when((~F.col("cold")) & (F.col("q") >= 1.0), 1).otherwise(0)
+        ).alias("h_full"),
         F.sum(
             F.when(
-                (~F.col("cold")) & F.col("sampled") & (F.col("q") < 1.0),
-                F.log(1.0 - F.col("q")),
+                (~F.col("cold")) & (F.col("q") < 1.0),
+                F.log(1.0 - p_bucket * F.col("q")),
             ).otherwise(F.lit(0.0))
         ).alias("logterm"),
     )
-    pi = F.when(F.col("full"), F.lit(1.0)).otherwise(1.0 - F.exp(F.col("logterm")))
+    h = F.col("h_full")
+    hyper = (
+        F.when(h <= 0, F.lit(1.0))
+        .when(h > n_hot - n_sampled, F.lit(0.0))
+        .otherwise(
+            F.aggregate(
+                F.sequence(F.lit(0), h - 1),
+                F.lit(1.0),
+                lambda acc, j: acc
+                * (F.lit(float(n_hot - n_sampled)) - j)
+                / (F.lit(float(n_hot)) - j),
+            )
+        )
+    )
+    pi = 1.0 - hyper * F.exp(F.col("logterm"))
     est = (
         per_pair.filter(~F.col("survives"))
         .select(pi.alias("pi"))

@@ -470,6 +470,12 @@ def lsh_neardup_pairs(
     (hot_buckets / dropped_band_rows / dropped_verified_pairs /
     max_bucket_size_resolved) at one eager job each — the "no silent
     caps" audit path."""
+    if top_k_partners is None and top_k_symmetric:
+        raise ValueError(
+            "top_k_symmetric=True needs top_k_partners=<k> — without the "
+            "knob there is no bound to symmetrize (refusing to silently "
+            "return the unbounded pair stream)"
+        )
     if band_bits is None or max_bucket_size == "auto":
         n = n_rows if n_rows is not None else df.count()
     if band_bits is None:

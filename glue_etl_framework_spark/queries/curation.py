@@ -120,6 +120,17 @@ def pipeline_training_data_curation(
     words = F.split(F.col("text"), " ")
     n_tokens = F.size(words)
     diversity = F.size(F.array_distinct(words)).cast("double") / n_tokens
+    # Contract check FIRST (r14 review): the metrics path runs eager jobs
+    # over the whole corpus before stage 3 — an input error must not cost
+    # minutes of scan on a production corpus before being rejected.
+    if max_bucket_size is not None and (
+        isinstance(max_bucket_size, bool) or not isinstance(max_bucket_size, int)
+    ):
+        raise ValueError(
+            "max_bucket_size must be an explicit int here — hash-space "
+            "minhash banding has no occupancy target for 'auto', see "
+            "ext.dedup.minhash_banded_candidate_pairs"
+        )
     quality_pred = n_tokens.between(MIN_TOKENS, MAX_TOKENS) & (diversity > MIN_DIVERSITY)
     quality = d.filter(quality_pred).select(
         "doc_id", "lang", "text", n_tokens.alias("n_tokens")
@@ -190,12 +201,6 @@ def pipeline_training_data_curation(
     if max_bucket_size is not None:
         from glue_etl_framework_spark.ext.dedup import drop_hot_buckets
 
-        if max_bucket_size == "auto":
-            raise ValueError(
-                "max_bucket_size='auto' does not apply to hash-space minhash "
-                "banding (no occupancy target) — pass an explicit cap, see "
-                "ext.dedup.minhash_banded_candidate_pairs"
-            )
         bands = drop_hot_buckets(bands, max_bucket_size, ["band", "bh"], metrics=metrics)
     a, b = bands.alias("a"), bands.alias("b")
     losers = (

@@ -38,13 +38,9 @@ def _latest_bench() -> tuple[str, dict[str, float], float | None, float | None] 
     bench may rewrite the detail file). jvm_cal_sec is None for pre-r14
     rounds (the signal was added in r14)."""
 
-    def _round_num(p: Path) -> int:
-        import re
+    from tools_refreeze_baseline import round_num
 
-        m = re.search(r"r(\d+)", p.name)
-        return int(m.group(1)) if m else -1
-
-    benches = sorted(REPO.glob("BENCH_r*.json"), key=_round_num)
+    benches = sorted(REPO.glob("BENCH_r*.json"), key=lambda p: round_num(p.name))
     if not benches:
         return None
     latest = benches[-1]
@@ -140,24 +136,20 @@ def evaluate_bench_gate(
         eff_base = max(base_sec, NOISE_FLOOR_SEC)
         if cur > eff_base * threshold:
             regressions.append(f"{q}: {base_sec:.2f}s -> {cur:.2f}s ({cur / eff_base:.2f}x)")
-    floored = [
-        (q, current[q], base)
-        for q, base in baseline.items()
-        if q in current and 0 < base < NOISE_FLOOR_SEC
-    ]
-    if floored:
-        net_drift = sum(cur - base for _, cur, base in floored)
-        budget = (len(floored) + 1) * NOISE_FLOOR_SEC * norm
-        if net_drift > budget:
-            members = ", ".join(
-                f"{q} {base:.2f}s->{cur:.2f}s"
-                for q, cur, base in sorted(floored)
-                if cur > base
-            )
-            regressions.append(
-                f"sub-floor cluster: {len(floored)} floor-exempt queries "
-                f"drifted +{net_drift:.2f}s net (budget {budget:.2f}s): {members}"
-            )
+    # ONE implementation of the cluster rule — bench.py's (the same
+    # function that picks the fresh-context retry suspects), with the
+    # gate's calibration norm applied to its budget.
+    from bench import subfloor_cluster_drift
+
+    net_drift, budget, drifted = subfloor_cluster_drift(current, baseline)
+    if net_drift > budget * norm:
+        members = ", ".join(
+            f"{q} {baseline[q]:.2f}s->{current[q]:.2f}s" for q in drifted
+        )
+        regressions.append(
+            f"sub-floor cluster: floor-exempt queries drifted "
+            f"+{net_drift:.2f}s net (budget {budget * norm:.2f}s): {members}"
+        )
     return residual, threshold, regressions
 
 

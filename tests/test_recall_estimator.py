@@ -216,3 +216,28 @@ def test_hyperplane_exact_mode_equals_truth_on_real_corpus(spark):
     assert est["hot_buckets"] > 0, "cap must engage for this test to mean anything"
     assert est["est_lost_pairs"] == len(truth)
     assert est["ci95"] == 0.0
+
+
+def test_bucket_subsample_extrapolates_disjoint_buckets(spark):
+    """The r14 review's bias scenario: lost pairs each living in exactly
+    ONE hot bucket, sampled K of H buckets. Weighting by the realized
+    sample indicator returned only the sampled share (K/H of truth) with
+    a zero CI; the design-marginal pi (hypergeometric: pi = K/H at h=1)
+    must recover the full mass — and with equal-size disjoint buckets the
+    HT estimate equals the truth EXACTLY for any draw."""
+    from glue_etl_framework_spark.ext.dedup import _estimate_lost_pairs_core
+
+    rows = [
+        (100 * b + i, b, 7) for b in range(20) for i in range(4)
+    ]  # 20 disjoint buckets of 4 docs; every pair agrees in exactly 1 bucket
+    bands = spark.createDataFrame(rows, ["doc_id", "bidx", "bv"])
+    est = _estimate_lost_pairs_core(
+        bands, lambda cand: cand, max_bucket_size=3,
+        sample_buckets=5, max_members_per_bucket=100,
+    )
+    truth = 20 * 6  # C(4,2) verified-lost pairs per bucket
+    assert est["hot_buckets"] == 20 and est["sampled_buckets"] == 5
+    assert est["observed_lost_pairs"] == 5 * 6
+    assert est["est_lost_pairs"] == pytest.approx(truth)
+    assert est["ci95"] > 0  # the design's uncertainty is no longer hidden
+    assert est["exact"] is False

@@ -676,3 +676,19 @@ def test_signature_reuse_honors_id_col(spark):
         simhash_neardup_pairs(
             docs, signatures=sig.withColumnRenamed("sig", "signature")
         )
+
+
+def test_top_k_symmetric_requires_the_knob(spark):
+    """top_k_symmetric=True without top_k_partners must raise (r14 review:
+    silently returning the unbounded stream violates the loud-contract
+    rule this round applies everywhere else), on BOTH emitters, before
+    any eager work."""
+    import pytest
+
+    from glue_etl_framework_spark.ext.similarity import lsh_neardup_pairs
+
+    docs = _toy_docs(spark)
+    with pytest.raises(ValueError, match="top_k_partners"):
+        simhash_neardup_pairs(docs, band_bits=8, top_k_symmetric=True)
+    with pytest.raises(ValueError, match="top_k_partners"):
+        lsh_neardup_pairs(docs, n_rows=50, top_k_symmetric=True)

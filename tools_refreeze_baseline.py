@@ -72,6 +72,14 @@ class RefreezeRefused(RuntimeError):
     """Raised when a refreeze attempt violates the anchor-hygiene rules."""
 
 
+def round_num(fname: str) -> int:
+    """Numeric round from a BENCH_r{N}.json-style name (ADVICE r13:
+    lexicographic sort puts r100 before r99); unparsable names sort
+    oldest. Shared with tests/test_bench_guard.py's latest-bench pick."""
+    m = re.search(r"r(\d+)", fname)
+    return int(m.group(1)) if m else -1
+
+
 def recover_round_queries(
     tail: str, known: set[str]
 ) -> tuple[dict[str, float], float | None]:
@@ -224,15 +232,9 @@ def select_sources(
     (slower-implementation) round. Returns (sources incl. the detail run,
     excluded-as-old names, deduped names).
 
-    "Newest" is by NUMERIC round extracted from the filename (ADVICE r13:
-    lexicographic sort puts BENCH_r100.json before BENCH_r99.json, silently
-    dropping the newest rounds from the median pool at round 100); files
-    without a parsable round number sort oldest."""
-
-    def round_num(fname: str) -> int:
-        m = re.search(r"r(\d+)", fname)
-        return int(m.group(1)) if m else -1
-
+    "Newest" is by NUMERIC round extracted from the filename (see
+    round_num above); files without a parsable round number sort
+    oldest."""
     keep = sorted(recovered, key=lambda f: (round_num(f), f))[-recent:]
     excluded = sorted(set(recovered) - set(keep))
     sources: dict[str, dict[str, float]] = {}
