@@ -840,8 +840,12 @@ def estimate_lost_simhash_pairs(
 
     Estimator — Horvitz-Thompson over a two-level deterministic sample:
 
-    1. Hot buckets (size > cap) are ordered by md5 of their key;
-       the first ``sample_buckets`` are the bucket sample S.
+    1. Hot buckets (size > cap) are sampled STRATIFIED by size: the
+       ceil(K/2) largest enter with certainty (take-all stratum — hot
+       pair mass is heavy-tailed, so the big buckets carry most of it
+       and contribute at pi = 1 with zero variance; uniform cluster
+       sampling here measured +-30-40% single-draw error at 10x), and
+       the remaining draws are md5-uniform over the tail.
     2. Inside each sampled bucket, members are ordered by md5 of
        (bucket, doc_id); the first ``max_members_per_bucket`` (M) are
        kept, so the verify work per bucket is <= M(M-1)/2 no matter how
@@ -858,11 +862,13 @@ def estimate_lost_simhash_pairs(
     4. Each observed lost pair is weighted by 1/pi, where pi is the
        DESIGN's marginal probability of observing it (r14 review fix —
        weighting by the realized sample indicator under-estimated
-       systematically): an exact hypergeometric term over the pair's
-       fully-coverable hot buckets (the chance a K-of-H bucket draw
-       misses all h of them, prod_{j<h}(H-K-j)/(H-j) — at most n_bands
-       factors) times independence terms (1 - (K/H) * q_b) for its
-       member-capped buckets, q_b = M(M-1)/(m_b(m_b-1)) being the
+       systematically): one miss factor per stratum — (1 - q_b) per
+       take-all bucket (0 when the pair fits one whole), an exact
+       hypergeometric over its fully-coverable TAIL buckets (the chance
+       K_rest-of-H_rest draws miss all h of them,
+       prod_{j<h}(H_rest-K_rest-j)/(H_rest-j) — at most n_bands
+       factors), and independence terms (1 - p_rest * q_b) for
+       member-capped tail buckets; q_b = M(M-1)/(m_b(m_b-1)) is the
        chance both endpoints land in bucket b's M-member prefix.
 
     Returns a dict: ``hot_buckets`` / ``hot_pair_mass`` (the old upper
@@ -870,9 +876,9 @@ def estimate_lost_simhash_pairs(
     ``observed_lost_pairs`` / ``est_lost_pairs`` / ``ci95`` (+-, normal
     approximation over sum (1-pi)/pi^2) / ``exact`` (True when every hot
     bucket was sampled whole: the estimate then EQUALS the true lost-pair
-    count and ci95 is 0, pinned by test and by the sf0.1 probe — the
-    exhaustive run reproduced the known 2,196,041-pair truth exactly at
-    ~2/3 the uncapped emit's wall).
+    count and ci95 is 0, pinned by test and by the probes — exhaustive
+    runs reproduced the recorded truths exactly at BOTH 1x (2,196,041
+    pairs, 20.3s vs the 66.1s uncapped emit) and 10x (6,995,840)).
 
     CI caveat (measured, probes/recall_estimator_r14.txt): the variance
     formula treats observed pairs as independent, but bucket sampling is
@@ -1036,11 +1042,37 @@ def _estimate_lost_pairs_core(
     }
     if n_hot == 0:
         return out
-    # Deterministic bucket sample: metadata-sized collect (K rows).
-    sampled = hot.orderBy(
-        F.md5(F.concat_ws(":", "bidx", "bv")), "bidx", "bv"
-    ).limit(sample_buckets)
-    sampled_keys = [(r["bidx"], r["bv"], r["m"]) for r in sampled.collect()]
+    # Deterministic STRATIFIED bucket sample (metadata-sized collects):
+    # hot-bucket pair mass is heavy-tailed (sum m^2-shaped), so uniform
+    # cluster sampling swings wildly — measured +-30-40% at 10x with
+    # K=H/8..H/2 (probes/recall_estimator_r14.txt). Take-all stratum T =
+    # the ceil(K/2) LARGEST buckets (certainty units: they carry most of
+    # the mass, so most lost pairs get pi = 1 and contribute zero
+    # variance); the remaining floor(K/2) draws are md5-uniform over the
+    # tail. With K >= H every bucket is a certainty unit and the design
+    # degenerates to the exact mode.
+    t_size = n_hot if sample_buckets >= n_hot else (sample_buckets + 1) // 2
+    take_all = hot.orderBy(F.col("m").desc(), "bidx", "bv").limit(t_size)
+    t_keys = [(r["bidx"], r["bv"], r["m"]) for r in take_all.collect()]
+    t_set = {(b, v) for b, v, _ in t_keys}
+    rest_k = min(sample_buckets, n_hot) - len(t_keys)
+    rest_keys: list = []
+    if rest_k > 0:
+        rest = (
+            hot.join(
+                F.broadcast(
+                    bands.sparkSession.createDataFrame(t_keys, ["bidx", "bv", "m"])
+                ).select("bidx", "bv"),
+                ["bidx", "bv"],
+                "left_anti",
+            )
+            .orderBy(F.md5(F.concat_ws(":", "bidx", "bv")), "bidx", "bv")
+            .limit(rest_k)
+        )
+        rest_keys = [(r["bidx"], r["bv"], r["m"]) for r in rest.collect()]
+    n_rest_hot = n_hot - len(t_keys)  # tail population the uniform draws see
+    p_rest = (len(rest_keys) / n_rest_hot) if n_rest_hot > 0 else 0.0
+    sampled_keys = t_keys + rest_keys
     sampled_df = F.broadcast(
         bands.sparkSession.createDataFrame(sampled_keys, ["bidx", "bv", "m"])
     )
@@ -1077,60 +1109,79 @@ def _estimate_lost_pairs_core(
         F.lit(float(max_members_per_bucket * (max_members_per_bucket - 1)))
         / (F.col("m").cast("double") * (F.col("m") - 1))
     )
-    classified = agree.join(counts, ["bidx", "bv"]).select(
-        "doc_a",
-        "doc_b",
-        (F.col("m") <= max_bucket_size).alias("cold"),
-        q_b.alias("q"),
+    t_df = F.broadcast(
+        bands.sparkSession.createDataFrame(
+            [(b, v) for b, v, _ in t_keys], ["bidx", "bv"]
+        ).withColumn("_in_t", F.lit(True))
+    )
+    classified = (
+        agree.join(counts, ["bidx", "bv"])
+        .join(t_df, ["bidx", "bv"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("m") <= max_bucket_size).alias("cold"),
+            F.coalesce("_in_t", F.lit(False)).alias("in_t"),
+            q_b.alias("q"),
+        )
     )
     # pi per pair = the DESIGN's marginal probability of observing it, NOT
     # the realized sample indicator (r14 review: weighting by I[b in S]
     # gave weight 1 to any pair caught in a sampled whole bucket even when
     # its true inclusion probability was K/H — a systematically LOW
-    # estimate reported with a zero CI). Two layers, per the two sampling
-    # levels:
+    # estimate reported with a zero CI). pi composes one miss-probability
+    # factor per design stratum; a pair is observed iff ANY of its hot
+    # agreeing buckets catches it:
     #
-    # - h_full = the pair's hot buckets a sample would cover WHOLE
-    #   (m <= M): the chance NO draw of K from the H hot buckets hits any
-    #   of them is hypergeometric, C(H-h,K)/C(H,K) =
-    #   prod_{j<h}(H-K-j)/(H-j) — exact, h <= n_bands terms;
-    # - member-capped buckets (m > M) each miss the pair with probability
-    #   (1 - (K/H) * q_b), taken independent across buckets (the honest
-    #   approximation layer — a capped bucket observes the pair only if
-    #   drawn AND both endpoints land in its M-prefix).
+    # - take-all stratum T (the largest buckets, drawn with certainty):
+    #   bucket b misses the pair only through the member cap, prob
+    #   (1 - q_b); any T bucket the pair fits in whole catches it
+    #   surely -> pi = 1, zero variance — the mass-dominant case;
+    # - uniform tail: the chance NO tail draw of K_rest from H_rest hits
+    #   any of the pair's h fully-coverable tail buckets is exactly
+    #   hypergeometric, C(H_rest-h,K_rest)/C(H_rest,K_rest) =
+    #   prod_{j<h}(H_rest-K_rest-j)/(H_rest-j) — at most n_bands factors;
+    #   member-capped tail buckets each contribute (1 - p_rest * q_b),
+    #   taken independent (the honest approximation layer).
     #
-    # pi = 1 - hyper(h_full) * prod_capped(1 - p*q_b). With K >= H the
-    # hypergeometric term is 0 for any h_full >= 1 and p = 1, so exact
-    # mode degenerates to pi = 1 exactly as before.
-    n_sampled = len(sampled_keys)
-    p_bucket = min(1.0, n_sampled / n_hot)
+    # With K >= H every bucket is in T, so exact mode degenerates to
+    # pi = 1 for any pair with a fully-coverable hot bucket.
     per_pair = classified.groupBy("doc_a", "doc_b").agg(
         F.max(F.col("cold")).alias("survives"),
-        F.sum(
-            F.when((~F.col("cold")) & (F.col("q") >= 1.0), 1).otherwise(0)
-        ).alias("h_full"),
+        F.max((~F.col("cold")) & F.col("in_t") & (F.col("q") >= 1.0)).alias("t_full"),
         F.sum(
             F.when(
-                (~F.col("cold")) & (F.col("q") < 1.0),
-                F.log(1.0 - p_bucket * F.col("q")),
+                (~F.col("cold")) & F.col("in_t") & (F.col("q") < 1.0),
+                F.log(1.0 - F.col("q")),
             ).otherwise(F.lit(0.0))
-        ).alias("logterm"),
+        ).alias("logterm_t"),
+        F.sum(
+            F.when((~F.col("cold")) & (~F.col("in_t")) & (F.col("q") >= 1.0), 1).otherwise(0)
+        ).alias("h_rest"),
+        F.sum(
+            F.when(
+                (~F.col("cold")) & (~F.col("in_t")) & (F.col("q") < 1.0),
+                F.log(1.0 - p_rest * F.col("q")),
+            ).otherwise(F.lit(0.0))
+        ).alias("logterm_rest"),
     )
-    h = F.col("h_full")
+    n_rest_k = len(rest_keys)
+    h = F.col("h_rest")
     hyper = (
         F.when(h <= 0, F.lit(1.0))
-        .when(h > n_hot - n_sampled, F.lit(0.0))
+        .when(h > n_rest_hot - n_rest_k, F.lit(0.0))
         .otherwise(
             F.aggregate(
                 F.sequence(F.lit(0), h - 1),
                 F.lit(1.0),
                 lambda acc, j: acc
-                * (F.lit(float(n_hot - n_sampled)) - j)
-                / (F.lit(float(n_hot)) - j),
+                * (F.lit(float(n_rest_hot - n_rest_k)) - j)
+                / (F.lit(float(n_rest_hot)) - j),
             )
         )
     )
-    pi = 1.0 - hyper * F.exp(F.col("logterm"))
+    miss_t = F.when(F.col("t_full"), F.lit(0.0)).otherwise(F.exp(F.col("logterm_t")))
+    pi = 1.0 - miss_t * hyper * F.exp(F.col("logterm_rest"))
     est = (
         per_pair.filter(~F.col("survives"))
         .select(pi.alias("pi"))
