@@ -841,11 +841,12 @@ def estimate_lost_simhash_pairs(
     Estimator — Horvitz-Thompson over a two-level deterministic sample:
 
     1. Hot buckets (size > cap) are sampled STRATIFIED by size: the
-       ceil(K/2) largest enter with certainty (take-all stratum — hot
+       floor(K/2) largest enter with certainty (take-all stratum — hot
        pair mass is heavy-tailed, so the big buckets carry most of it
        and contribute at pi = 1 with zero variance; uniform cluster
        sampling here measured +-30-40% single-draw error at 10x), and
-       the remaining draws are md5-uniform over the tail.
+       the remaining draws are md5-uniform over the tail — at least one
+       whenever K < H, so no bucket's inclusion probability is ever 0.
     2. Inside each sampled bucket, members are ordered by md5 of
        (bucket, doc_id); the first ``max_members_per_bucket`` (M) are
        kept, so the verify work per bucket is <= M(M-1)/2 no matter how
@@ -1046,26 +1047,28 @@ def _estimate_lost_pairs_core(
     # hot-bucket pair mass is heavy-tailed (sum m^2-shaped), so uniform
     # cluster sampling swings wildly — measured +-30-40% at 10x with
     # K=H/8..H/2 (probes/recall_estimator_r14.txt). Take-all stratum T =
-    # the ceil(K/2) LARGEST buckets (certainty units: they carry most of
-    # the mass, so most lost pairs get pi = 1 and contribute zero
-    # variance); the remaining floor(K/2) draws are md5-uniform over the
-    # tail. With K >= H every bucket is a certainty unit and the design
-    # degenerates to the exact mode.
-    t_size = n_hot if sample_buckets >= n_hot else (sample_buckets + 1) // 2
+    # the floor(K/2) LARGEST buckets (certainty units: they carry most
+    # of the mass, so most lost pairs get pi = 1 and contribute zero
+    # variance); the remaining draws are md5-uniform over the tail.
+    # floor, not ceil (r14 second review): whenever K < H the tail
+    # stratum keeps >= 1 uniform draw, so no unsampled bucket ever has
+    # inclusion probability zero — at K=1 the design degenerates to one
+    # unbiased uniform draw rather than silently dropping the whole tail
+    # with a zero CI. With K >= H every bucket is a certainty unit and
+    # the design degenerates to the exact mode.
+    t_size = n_hot if sample_buckets >= n_hot else sample_buckets // 2
     take_all = hot.orderBy(F.col("m").desc(), "bidx", "bv").limit(t_size)
     t_keys = [(r["bidx"], r["bv"], r["m"]) for r in take_all.collect()]
-    t_set = {(b, v) for b, v, _ in t_keys}
+    t_df = F.broadcast(
+        bands.sparkSession.createDataFrame(t_keys, ["bidx", "bv", "m"])
+        if t_keys
+        else bands.sparkSession.createDataFrame([], "bidx int, bv long, m long")
+    )
     rest_k = min(sample_buckets, n_hot) - len(t_keys)
     rest_keys: list = []
     if rest_k > 0:
         rest = (
-            hot.join(
-                F.broadcast(
-                    bands.sparkSession.createDataFrame(t_keys, ["bidx", "bv", "m"])
-                ).select("bidx", "bv"),
-                ["bidx", "bv"],
-                "left_anti",
-            )
+            hot.join(t_df.select("bidx", "bv"), ["bidx", "bv"], "left_anti")
             .orderBy(F.md5(F.concat_ws(":", "bidx", "bv")), "bidx", "bv")
             .limit(rest_k)
         )
@@ -1109,14 +1112,13 @@ def _estimate_lost_pairs_core(
         F.lit(float(max_members_per_bucket * (max_members_per_bucket - 1)))
         / (F.col("m").cast("double") * (F.col("m") - 1))
     )
-    t_df = F.broadcast(
-        bands.sparkSession.createDataFrame(
-            [(b, v) for b, v, _ in t_keys], ["bidx", "bv"]
-        ).withColumn("_in_t", F.lit(True))
-    )
     classified = (
         agree.join(counts, ["bidx", "bv"])
-        .join(t_df, ["bidx", "bv"], "left")
+        .join(
+            t_df.select("bidx", "bv", F.lit(True).alias("_in_t")),
+            ["bidx", "bv"],
+            "left",
+        )
         .select(
             "doc_a",
             "doc_b",

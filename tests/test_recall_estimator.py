@@ -241,3 +241,23 @@ def test_bucket_subsample_extrapolates_disjoint_buckets(spark):
     assert est["est_lost_pairs"] == pytest.approx(truth)
     assert est["ci95"] > 0  # the design's uncertainty is no longer hidden
     assert est["exact"] is False
+
+
+def test_k1_falls_back_to_pure_uniform_draw(spark):
+    """K=1 with many hot buckets (r14 second review): ceil-sizing gave
+    the whole tail inclusion probability ZERO — the exact biased-low-
+    with-zero-CI failure the marginal-pi fix eliminated. floor-sizing
+    makes K=1 one unbiased uniform draw: on the equal-size disjoint
+    fixture the HT estimate is exactly the truth, with a non-zero CI."""
+    from glue_etl_framework_spark.ext.dedup import _estimate_lost_pairs_core
+
+    rows = [(100 * b + i, b, 7) for b in range(20) for i in range(4)]
+    bands = spark.createDataFrame(rows, ["doc_id", "bidx", "bv"])
+    est = _estimate_lost_pairs_core(
+        bands, lambda cand: cand, max_bucket_size=3,
+        sample_buckets=1, max_members_per_bucket=100,
+    )
+    assert est["sampled_buckets"] == 1
+    assert est["observed_lost_pairs"] == 6  # one bucket's C(4,2)
+    assert est["est_lost_pairs"] == pytest.approx(20 * 6)  # weighted 1/(1/20)
+    assert est["ci95"] > 0
