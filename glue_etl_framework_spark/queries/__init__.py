@@ -42,8 +42,9 @@ class QuerySpec:
     # set this >0 so they queue BEHIND the backlog in the driver window
     # and can never displace it (VERDICT r06 item 5). Once green they stay
     # at the registry tail only while RECENTLY attested: when the green
-    # row is >= STALE_OVERRIDE_AGE rounds old the rank is overridden so
-    # the entry re-enters the staleness refresh (ADVICE r09). Ignored for
+    # row's on-disk age reaches STALE_OVERRIDE_AGE - 1 (true staleness at
+    # the upcoming check = the ceiling) the rank is overridden so the
+    # entry re-enters the staleness refresh (ADVICE r09). Ignored for
     # FAILED entries — a failure re-enters the very next window
     # regardless of rank (ADVICE r07).
     window_rank: int = 0
@@ -260,13 +261,21 @@ def load_registry() -> dict[str, QuerySpec]:
         # - a FAILED entry re-enters the very next window regardless of
         #   rank (ADVICE r07: a failed rank>0 entry otherwise sorts behind
         #   every failed rank-0 entry);
-        # - a GREEN entry whose attestation is at least STALE_OVERRIDE_AGE
-        #   rounds old drops its rank so staleness governs (ADVICE r09: a
-        #   permanently-excluded green ranked entry would go stale forever,
-        #   breaking the "at most ~one rotation period old" guarantee).
+        # - a GREEN entry nearing the staleness ceiling drops its rank so
+        #   staleness governs (ADVICE r09: a permanently-excluded green
+        #   ranked entry would go stale forever, breaking the "at most
+        #   ~one rotation period old" guarantee). The trigger is
+        #   STALE_OVERRIDE_AGE - 1 on the ON-DISK age: when the driver
+        #   loads the registry during round N, CORRECTNESS files exist
+        #   only through round N-1, so an entry last green at round P has
+        #   on-disk age N-1-P but TRUE staleness N-P at the upcoming
+        #   check. Triggering at on-disk age >= ceiling would admit the
+        #   entry one round late, at true staleness ceiling+1 (r15 fix:
+        #   the rank-1 JDBC entry, last green r7, must re-attest at r15
+        #   — exactly the ceiling — not r16).
         if tr == 0:
             return 0
-        if tr == 2 and latest_round - last_pass.get(name, latest_round) >= STALE_OVERRIDE_AGE:
+        if tr == 2 and latest_round - last_pass.get(name, latest_round) >= STALE_OVERRIDE_AGE - 1:
             return 0
         return REGISTRY[name].window_rank
 
@@ -278,8 +287,9 @@ def load_registry() -> dict[str, QuerySpec]:
             # Staleness: green entries with the OLDEST last green row come
             # first, so every entry's driver attestation stays at most
             # ~ceil(322/42) rounds old — including ranked entries, whose
-            # rank is overridden once their age reaches STALE_OVERRIDE_AGE
-            # (effective_rank above). 0 for non-green tiers (no effect).
+            # rank is overridden once their true staleness at the upcoming
+            # check reaches STALE_OVERRIDE_AGE (effective_rank above).
+            # 0 for non-green tiers (no effect).
             last_pass.get(order[i], 0) if tier(order[i]) == 2 else 0,
             mod_rank.get(
                 REGISTRY[order[i]].fn.__module__.rsplit(".", 1)[-1], 99

@@ -141,6 +141,43 @@ def test_stale_green_ranked_entry_reenters_refresh(monkeypatch):
     assert list(q.load_registry())[0] == ranked_name
 
 
+def test_ranked_entry_rotates_at_ceiling_not_after(monkeypatch):
+    """r15 fix: the on-disk history at round N covers only rounds ≤ N-1,
+    so a ranked entry with on-disk age STALE_OVERRIDE_AGE - 1 has TRUE
+    staleness exactly the ceiling at the upcoming check. It must rotate
+    into the window NOW — triggering one round later would let its
+    attestation reach ceiling+1 (the r7-green rank-1 JDBC entry at r15)."""
+    import glue_etl_framework_spark.queries as q
+
+    load_registry()
+    ranked_name = "io_jdbc_partitioned_read"
+    assert REGISTRY[ranked_name].window_rank > 0  # the premise
+    latest = 20
+    last = dict.fromkeys(REGISTRY, latest)
+    last[ranked_name] = latest - (q.STALE_OVERRIDE_AGE - 1)
+    monkeypatch.setattr(
+        q, "_driver_history", lambda: (set(REGISTRY), set(), last)
+    )
+    assert list(q.load_registry())[0] == ranked_name
+
+
+def test_recently_green_ranked_entry_below_boundary_keeps_tail(monkeypatch):
+    """The boundary's other side: on-disk age STALE_OVERRIDE_AGE - 2
+    (true staleness ceiling-1 at the upcoming check) keeps the rank —
+    the entry stays at the tail and does not displace staler entries."""
+    import glue_etl_framework_spark.queries as q
+
+    load_registry()
+    ranked_name = "io_jdbc_partitioned_read"
+    latest = 20
+    last = dict.fromkeys(REGISTRY, latest)
+    last[ranked_name] = latest - (q.STALE_OVERRIDE_AGE - 2)
+    monkeypatch.setattr(
+        q, "_driver_history", lambda: (set(REGISTRY), set(), last)
+    )
+    assert list(q.load_registry())[-1] == ranked_name
+
+
 def test_round_numbers_sort_numerically(tmp_path, monkeypatch):
     """ADVICE r09: round order must come from the extracted round number,
     not filename lexicographic order — r100 sorts between r10 and r11
