@@ -278,9 +278,14 @@ def main() -> None:
     if cluster_drift > cluster_budget:
         suspects = sorted(set(suspects) | set(cluster_names))
     retry_medians: dict[str, list[float]] = {}
+    jvm_cal_retry: float | None = None
     if suspects:
         spark.stop()
         spark = get_spark(app_name="bench-retry", shuffle_partitions=cpus)
+        # ADVICE r14: the retry session contributes recorded medians, so
+        # its JVM speed must be calibrated too — otherwise the refreeze
+        # fence vouches for timings from a session it never measured.
+        jvm_cal_retry = jvm_calibration_sec(spark)
         for name in suspects:
             retry_runs = _time_query(spark, registry[name].fn)
             retry_medians[name] = [
@@ -305,8 +310,16 @@ def main() -> None:
     if suspects:
         detail["retried_in_fresh_session"] = sorted(suspects)
         detail["retry_medians"] = retry_medians
+        detail["jvm_cal_sec_retry"] = jvm_cal_retry
     if cluster_drift > cluster_budget:
-        detail["subfloor_cluster_drift_sec"] = round(cluster_drift, 4)
+        # ADVICE r14: the PRE-retry sum is the trigger, not the verdict —
+        # after fresh-session retries resolve the cluster members, the
+        # stale trigger value read as an unresolved regression. Record the
+        # trigger under its own key and the post-retry recomputation under
+        # the headline key.
+        detail["subfloor_cluster_drift_trigger_sec"] = round(cluster_drift, 4)
+        post_drift, _, _ = subfloor_cluster_drift(timings, anchor)
+        detail["subfloor_cluster_drift_sec"] = round(post_drift, 4)
     Path(__file__).with_name("BENCH_DETAIL.json").write_text(
         json.dumps(detail, indent=2) + "\n"
     )

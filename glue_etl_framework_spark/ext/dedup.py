@@ -875,26 +875,33 @@ def estimate_lost_simhash_pairs(
     Returns a dict: ``hot_buckets`` / ``hot_pair_mass`` (the old upper
     bound, for comparison) / ``sampled_buckets`` /
     ``observed_lost_pairs`` / ``est_lost_pairs`` / ``ci95`` (+-, normal
-    approximation over sum (1-pi)/pi^2) / ``exact`` (True when every hot
+    approximation over sum (1-pi)/pi^2) / ``ci95_design`` + ``ci_method``
+    (the design-based interval, below) / ``exact`` (True when every hot
     bucket was sampled whole: the estimate then EQUALS the true lost-pair
-    count and ci95 is 0, pinned by test and by the probes — exhaustive
-    runs reproduced the recorded truths exactly at BOTH 1x (2,196,041
-    pairs, 20.3s vs the 66.1s uncapped emit) and 10x (6,995,840)).
+    count and both CIs are 0, pinned by test and by the probes —
+    exhaustive runs reproduced the recorded truths exactly at BOTH 1x
+    (2,196,041 pairs, 20.3s vs the 66.1s uncapped emit) and 10x
+    (6,995,840)).
 
-    CI caveat (measured, probes/recall_estimator_r14.txt): the variance
-    formula treats observed pairs as independent, but bucket sampling is
-    CLUSTER sampling — all pairs of one bucket enter together — and the
-    md5 ordering is one deterministic draw of the design, so at small
-    bucket samples the CI understates the real error (rows in the probe
-    file). Size the sample from the reported ``hot_buckets``: cover at
-    least half of them (and prefer whole buckets over member-capped
-    ones) before trusting the interval; when hot_buckets is small, run
-    exhaustive — it is still bounded by the hot mass, never the full
-    emit.
+    Two intervals (r15, VERDICT r14 item 4): ``ci95`` treats observed
+    pairs as independent, but tail-bucket sampling is CLUSTER sampling —
+    all pairs of one bucket enter together — so it understates the real
+    single-draw error (measured in probes/recall_estimator_r14.txt).
+    ``ci95_design`` is the honest one: a delete-one jackknife over the
+    uniform tail draws (each replicate re-weights under the K-1-draw
+    design and drops pairs only that bucket caught), with finite-
+    population correction, plus the independent member-cap term for
+    pairs the jackknife sees as constants. ``ci_method`` says how it was
+    computed: ``jackknife`` (>= 2 tail draws), ``nominal`` (< 2 tail
+    draws — nothing to jackknife over, falls back to ci95), or ``exact``.
+    Prefer ci95_design; sizing guidance stands: cover at least half the
+    reported ``hot_buckets`` (whole, not member-capped) or run
+    exhaustive when hot_buckets is small.
 
-    Cost: the signature checkpoint, two count-style aggregates, and one
+    Cost: the signature checkpoint, two count-style aggregates, one
     verify join bounded by sample_buckets * M^2 / 2 candidates — never
-    the uncapped emit.
+    the uncapped emit — and (non-exact runs) two bounded aggregates over
+    the checkpointed observed-pair frame for the jackknife.
 
     The cosine twin is estimate_lost_hyperplane_pairs; both are thin
     wrappers over the same _estimate_lost_pairs_core (the estimator is
@@ -1039,6 +1046,8 @@ def _estimate_lost_pairs_core(
         "observed_lost_pairs": 0,
         "est_lost_pairs": 0.0,
         "ci95": 0.0,
+        "ci95_design": 0.0,
+        "ci_method": "exact",
         "exact": True,
     }
     if n_hot == 0:
@@ -1148,6 +1157,12 @@ def _estimate_lost_pairs_core(
     #
     # With K >= H every bucket is in T, so exact mode degenerates to
     # pi = 1 for any pair with a fully-coverable hot bucket.
+    n_rest_k = len(rest_keys)
+    # p under the delete-one-jackknife replicate design: the K_rest - 1
+    # surviving tail draws are SRSWOR(K_rest - 1, H_rest) — used only when
+    # K_rest >= 2 (below), so pi_jk is bounded away from 0 for any
+    # observed pair.
+    p_rest_jk = ((n_rest_k - 1) / n_rest_hot) if (n_rest_hot > 0 and n_rest_k >= 1) else 0.0
     per_pair = classified.groupBy("doc_a", "doc_b").agg(
         F.max(F.col("cold")).alias("survives"),
         F.max((~F.col("cold")) & F.col("in_t") & (F.col("q") >= 1.0)).alias("t_full"),
@@ -1166,36 +1181,67 @@ def _estimate_lost_pairs_core(
                 F.log(1.0 - p_rest * F.col("q")),
             ).otherwise(F.lit(0.0))
         ).alias("logterm_rest"),
+        F.sum(
+            F.when(
+                (~F.col("cold")) & (~F.col("in_t")) & (F.col("q") < 1.0),
+                F.log(1.0 - p_rest_jk * F.col("q")),
+            ).otherwise(F.lit(0.0))
+        ).alias("logterm_rest_jk"),
     )
-    n_rest_k = len(rest_keys)
     h = F.col("h_rest")
-    hyper = (
-        F.when(h <= 0, F.lit(1.0))
-        .when(h > n_rest_hot - n_rest_k, F.lit(0.0))
-        .otherwise(
-            F.aggregate(
-                F.sequence(F.lit(0), h - 1),
-                F.lit(1.0),
-                lambda acc, j: acc
-                * (F.lit(float(n_rest_hot - n_rest_k)) - j)
-                / (F.lit(float(n_rest_hot)) - j),
+
+    def _hyper(k_draws: int):
+        """P(no tail draw hits any of the pair's h fully-coverable tail
+        buckets) for a SRSWOR of k_draws from the H_rest tail."""
+        return (
+            F.when(h <= 0, F.lit(1.0))
+            .when(h > n_rest_hot - k_draws, F.lit(0.0))
+            .otherwise(
+                F.aggregate(
+                    F.sequence(F.lit(0), h - 1),
+                    F.lit(1.0),
+                    lambda acc, j: acc
+                    * (F.lit(float(n_rest_hot - k_draws)) - j)
+                    / (F.lit(float(n_rest_hot)) - j),
+                )
             )
         )
-    )
+
     miss_t = F.when(F.col("t_full"), F.lit(0.0)).otherwise(F.exp(F.col("logterm_t")))
-    pi = 1.0 - miss_t * hyper * F.exp(F.col("logterm_rest"))
-    est = (
+    pi = 1.0 - miss_t * _hyper(n_rest_k) * F.exp(F.col("logterm_rest"))
+    pi_jk = 1.0 - miss_t * _hyper(max(n_rest_k - 1, 0)) * F.exp(F.col("logterm_rest_jk"))
+    # pure_t: pairs with NO tail agreeing hot buckets — their observation
+    # randomness is the take-all member caps only, independent across
+    # pairs, so the jackknife (which varies tail draws) sees them as
+    # constants and their variance is added separately below.
+    lost = (
         per_pair.filter(~F.col("survives"))
-        .select(pi.alias("pi"))
-        .agg(
-            F.count("*").alias("n_obs"),
-            F.coalesce(F.sum(1.0 / F.col("pi")), F.lit(0.0)).alias("est"),
-            F.coalesce(
-                F.sum((1.0 - F.col("pi")) / (F.col("pi") * F.col("pi"))), F.lit(0.0)
-            ).alias("var"),
+        .select(
+            "doc_a",
+            "doc_b",
+            pi.alias("pi"),
+            F.greatest(pi_jk, F.lit(1e-300)).alias("pi_jk"),
+            ((F.col("h_rest") <= 0) & (F.col("logterm_rest") >= 0.0)).alias("pure_t"),
         )
-        .first()
+        .localCheckpoint(eager=True)
     )
+    est = lost.agg(
+        F.count("*").alias("n_obs"),
+        F.coalesce(F.sum(1.0 / F.col("pi")), F.lit(0.0)).alias("est"),
+        F.coalesce(
+            F.sum((1.0 - F.col("pi")) / (F.col("pi") * F.col("pi"))), F.lit(0.0)
+        ).alias("var"),
+        F.coalesce(F.sum(1.0 / F.col("pi_jk")), F.lit(0.0)).alias("s_jk"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("pure_t"),
+                    (1.0 - F.col("pi")) / (F.col("pi") * F.col("pi")),
+                ).otherwise(F.lit(0.0))
+            ),
+            F.lit(0.0),
+        ).alias("var_t"),
+    ).first()
     max_sampled_m = max((m for _, _, m in sampled_keys), default=0)
     out["observed_lost_pairs"] = est["n_obs"]
     out["est_lost_pairs"] = round(float(est["est"]), 2)
@@ -1203,4 +1249,70 @@ def _estimate_lost_pairs_core(
     out["exact"] = (
         n_hot <= len(sampled_keys) and max_sampled_m <= max_members_per_bucket
     )
+    # Design-based CI (VERDICT r14 item 4): the nominal ci95 treats
+    # observed pairs as independent, but tail-bucket sampling is CLUSTER
+    # sampling — all of one bucket's pairs enter together — and the probe
+    # file measured the understatement directly. Delete-one jackknife over
+    # the K_rest uniform tail draws: replicate j re-weights every pair
+    # under the (K_rest - 1)-draw design (pi_jk) and drops the pairs whose
+    # ONLY realized catches were bucket j (pairs with a take-all catch or
+    # >= 2 tail catches survive every replicate). var_jack =
+    # (K-1)/K * sum_j (est_-j - mean)^2 * (1 - K/H) [fpc], the textbook
+    # SRSWOR cluster-total jackknife when pairs live in single buckets.
+    # The independent member-cap term for pure-take-all pairs (invisible
+    # to the jackknife) is added back. With K_rest < 2 no design variance
+    # is estimable from one draw — fall back to the nominal CI, labeled.
+    if out["exact"]:
+        out["ci95_design"] = 0.0
+        out["ci_method"] = "exact"
+    elif n_rest_k >= 2:
+        mem_a = members.select(F.col("doc_id").alias("doc_a"), "bidx", "bv")
+        mem_b = members.select(F.col("doc_id").alias("doc_b"), "bidx", "bv")
+        catches = (
+            lost.select("doc_a", "doc_b")
+            .join(mem_a, "doc_a")
+            .join(mem_b, ["doc_b", "bidx", "bv"])
+            .join(
+                t_df.select("bidx", "bv", F.lit(True).alias("_ct")),
+                ["bidx", "bv"],
+                "left",
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.coalesce("_ct", F.lit(False)).alias("in_t"),
+                F.concat_ws(":", "bidx", "bv").alias("bkey"),
+            )
+        )
+        catch_shape = catches.groupBy("doc_a", "doc_b").agg(
+            F.max("in_t").alias("caught_t"),
+            F.count_distinct(
+                F.when(~F.col("in_t"), F.col("bkey"))
+            ).alias("n_tail_catch"),
+            F.min(F.when(~F.col("in_t"), F.col("bkey"))).alias("tail_key"),
+        )
+        d_rows = (
+            lost.join(catch_shape, ["doc_a", "doc_b"])
+            .filter((~F.col("caught_t")) & (F.col("n_tail_catch") == 1))
+            .groupBy("tail_key")
+            .agg(F.sum(1.0 / F.col("pi_jk")).alias("d"))
+            .collect()
+        )
+        d_map = {r["tail_key"]: float(r["d"]) for r in d_rows}
+        s_jk = float(est["s_jk"])
+        reps = [s_jk - d_map.get(f"{bi}:{bv}", 0.0) for bi, bv, _m in rest_keys]
+        mean_rep = sum(reps) / len(reps)
+        fpc = max(0.0, 1.0 - n_rest_k / n_rest_hot) if n_rest_hot > 0 else 0.0
+        var_jack = (
+            (n_rest_k - 1) / n_rest_k
+            * sum((r - mean_rep) ** 2 for r in reps)
+            * fpc
+        )
+        out["ci95_design"] = round(
+            1.96 * (var_jack + float(est["var_t"])) ** 0.5, 2
+        )
+        out["ci_method"] = "jackknife"
+    else:
+        out["ci95_design"] = out["ci95"]
+        out["ci_method"] = "nominal"
     return out

@@ -802,7 +802,12 @@ SEMDEDUP_TAU = 0.35  # within-cluster cosine above which the higher id drops
     ),
     category="dedup",
 )
-def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    max_bucket_size: int | None = None,
+    metrics: dict | None = None,
+) -> DataFrame:
     """SemDeDup (Abbas et al., 2023, arXiv:2303.09540) — semantic
     deduplication in embedding space, the step that removes *meaning*-level
     duplicates exact/MinHash text dedup cannot see. Faithful two-level
@@ -818,7 +823,36 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     iff some smaller-id near-duplicate shares its cell. Every join is
     keyed (no cross product anywhere); banding bounds candidate volume the
     same way the MinHash LSH path does. Returns one row per vector with
-    its cell and kept/dropped verdict."""
+    its cell and kept/dropped verdict.
+
+    max_bucket_size: optional bounded-output lever (VERDICT r14 item 6 —
+    the cosine path's composite audit, mirroring the minhash curation
+    pipeline's stage-3 cap): drop over-occupied (cell, band) buckets
+    before the candidate self-join (ext.dedup.drop_hot_buckets; EXPLICIT
+    int only — hyperplane banding has no occupancy target for 'auto'
+    here). Vectors whose every collision is inside hot buckets then
+    survive — the recall trade the cap always makes, audited via
+    ``metrics`` and priced by ext.dedup.estimate_lost_hyperplane_pairs.
+
+    metrics: optional one-dict funnel audit, same contract as
+    pipeline_training_data_curation: ``input_vectors`` /
+    ``neardup_removed`` / ``output_vectors``, plus ``hot_buckets`` and
+    ``dropped_band_rows`` when the cap engaged (written by
+    drop_hot_buckets into the SAME dict) — at the cost of two eager jobs
+    (one count of the assignment frame, one count of the checkpointed
+    dropped set; output_vectors is derived). The default None keeps the
+    fully lazy, byte-identical registry plan (pinned by the PLANS.md
+    regen)."""
+    # Contract check FIRST (the metrics path runs eager jobs over the
+    # whole corpus — an input error must not cost a production scan).
+    if max_bucket_size is not None and (
+        isinstance(max_bucket_size, bool) or not isinstance(max_bucket_size, int)
+    ):
+        raise ValueError(
+            "max_bucket_size must be an explicit int here — hyperplane "
+            "banding has no occupancy target for 'auto', see "
+            "ext.similarity.lsh_neardup_pairs"
+        )
     v = _quantized(spark, sf_dir)
     _, _, assign = coarse_cells(v, "cid")
     band_cols = []
@@ -838,6 +872,14 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mem = assign.join(sig, "vec_id").select(
         "vec_id", "cid", F.posexplode(F.array("band0", "band1")).alias("bidx", "bv")
     )
+    if metrics is not None:
+        metrics["input_vectors"] = assign.count()
+    if max_bucket_size is not None:
+        from glue_etl_framework_spark.ext.dedup import drop_hot_buckets
+
+        mem = drop_hot_buckets(
+            mem, max_bucket_size, ["cid", "bidx", "bv"], metrics=metrics
+        )
     a_side = mem.select(F.col("vec_id").alias("vec_a"), "cid", "bidx", "bv")
     b_side = mem.select(F.col("vec_id").alias("vec_b"), "cid", "bidx", "bv")
     cand = (
@@ -859,6 +901,14 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_dropped", F.lit(1))
     )
+    if metrics is not None:
+        # Materialize once: the metrics count and the result plan both
+        # read the dropped set (same move as the curation composite).
+        dropped = dropped.localCheckpoint(eager=True)
+        metrics["neardup_removed"] = dropped.count()
+        metrics["output_vectors"] = (
+            metrics["input_vectors"] - metrics["neardup_removed"]
+        )
     return (
         assign.join(dropped, "vec_id", "left")
         .select(

@@ -548,6 +548,44 @@ def test_bench_records_jvm_calibration():
     assert src.count('"jvm_cal_sec"') >= 2  # detail dict + summary line
 
 
+def test_refreeze_jvm_fence_covers_retry_session():
+    """ADVICE r14: a fresh-context retry session contributes recorded
+    medians, so its own jvm_cal_sec must pass the SAME drift bound —
+    an initial-session pass must not vouch for a retry session the
+    fence never measured."""
+    from tools_refreeze_baseline import MAX_CAL_DRIFT, RefreezeRefused, build_refreeze
+
+    sources, prior = _guard_fixture()
+    prior["jvm_cal_sec_at_refreeze"] = 0.50
+    # initial session passable, retry session out of bounds -> refused
+    with pytest.raises(RefreezeRefused, match="retry session's jvm_cal_sec"):
+        build_refreeze(
+            sources, prior, 0.10,
+            new_jvm_cal_sec=0.52,
+            new_jvm_cal_sec_retry=0.50 * (1 + MAX_CAL_DRIFT) * 1.05,
+        )
+    # both sessions within bounds -> allowed; the anchor records the
+    # INITIAL session's calibration (it timed the suite)
+    anchor = build_refreeze(
+        sources, prior, 0.10, new_jvm_cal_sec=0.52, new_jvm_cal_sec_retry=0.49
+    )
+    assert anchor["jvm_cal_sec_at_refreeze"] == 0.52
+
+
+def test_bench_calibrates_retry_session_and_recomputes_cluster_drift():
+    """ADVICE r14 source pins: (a) the retry session's JVM calibration is
+    measured and recorded (jvm_cal_sec_retry), and main() forwards it to
+    the fence; (b) the sub-floor cluster drift written under the headline
+    key is RECOMPUTED on post-retry timings, with the pre-retry trigger
+    value under its own key."""
+    src = (REPO / "bench.py").read_text()
+    assert '"jvm_cal_sec_retry"' in src
+    assert '"subfloor_cluster_drift_trigger_sec"' in src
+    assert '"subfloor_cluster_drift_sec"' in src
+    refreeze_src = (REPO / "tools_refreeze_baseline.py").read_text()
+    assert 'detail.get("jvm_cal_sec_retry")' in refreeze_src
+
+
 def test_refreeze_window_sorts_rounds_numerically():
     """ADVICE r13: lexicographic filename sort puts BENCH_r100.json before
     BENCH_r99.json — at round 100 the newest rounds would silently fall

@@ -78,6 +78,53 @@ def test_incremental_ingest_funnel_single_job_reconciles(spark):
     assert m["rejected"] == m["incoming_docs"] - m["admitted"]
 
 
+def test_semdedup_funnel_reconciles_and_output_unchanged(spark):
+    """r15 (VERDICT r14 item 6): the cosine/embedding composite gets the
+    same one-dict funnel contract the minhash curation pipeline has —
+    and the default path stays byte-identical."""
+    from glue_etl_framework_spark.queries.similarity import dedup_semdedup
+
+    m: dict = {}
+    audited = dedup_semdedup(spark, SF, metrics=m).collect()
+    default = dedup_semdedup(spark, SF).collect()
+    assert sorted(map(tuple, audited)) == sorted(map(tuple, default))
+    assert m["input_vectors"] == spark.read.parquet(
+        f"{SF}/embeddings.parquet"
+    ).count()
+    assert m["input_vectors"] == len(audited)  # one verdict row per vector
+    assert m["neardup_removed"] == sum(1 for r in audited if r["kept"] == 0)
+    assert m["input_vectors"] - m["neardup_removed"] == m["output_vectors"]
+    # no cap passed -> no cap keys pretend-engaged
+    assert "hot_buckets" not in m
+
+
+def test_semdedup_cap_engages_into_same_dict(spark):
+    """An explicit (cell, band)-bucket cap writes its dropped mass into
+    the SAME metrics dict, and capping can only shrink the dropped set
+    (the capped kept-set is a superset of the uncapped one)."""
+    from glue_etl_framework_spark.queries.similarity import dedup_semdedup
+
+    m: dict = {}
+    capped_kept = {
+        r["vec_id"]
+        for r in dedup_semdedup(spark, SF, max_bucket_size=1, metrics=m).collect()
+        if r["kept"] == 1
+    }
+    uncapped = dedup_semdedup(spark, SF).collect()
+    uncapped_kept = {r["vec_id"] for r in uncapped if r["kept"] == 1}
+    assert uncapped_kept <= capped_kept
+    assert m["hot_buckets"] > 0 and m["dropped_band_rows"] > 0
+    assert m["neardup_removed"] <= sum(1 for r in uncapped if r["kept"] == 0)
+    assert m["input_vectors"] - m["neardup_removed"] == m["output_vectors"]
+
+
+def test_semdedup_rejects_auto_cap(spark):
+    from glue_etl_framework_spark.queries.similarity import dedup_semdedup
+
+    with pytest.raises(ValueError, match="'auto'"):
+        dedup_semdedup(spark, SF, max_bucket_size="auto")
+
+
 def test_cc_metrics_record_rounds_and_fallback(spark):
     from glue_etl_framework_spark.ext.dedup import connected_component_labels
 

@@ -142,6 +142,8 @@ def test_no_hot_buckets_is_a_measured_zero(spark):
         "observed_lost_pairs": 0,
         "est_lost_pairs": 0.0,
         "ci95": 0.0,
+        "ci95_design": 0.0,
+        "ci_method": "exact",
         "exact": True,
     }
 
@@ -241,6 +243,65 @@ def test_bucket_subsample_extrapolates_disjoint_buckets(spark):
     assert est["est_lost_pairs"] == pytest.approx(truth)
     assert est["ci95"] > 0  # the design's uncertainty is no longer hidden
     assert est["exact"] is False
+
+
+def test_design_ci_zero_when_every_draw_is_exact(spark):
+    """r15 (VERDICT item 4): on EQUAL-size disjoint buckets the HT
+    estimate equals the truth for ANY tail draw, so the true design
+    variance is zero. The delete-one jackknife sees identical replicates
+    and reports ci95_design = 0 — while the nominal per-pair CI (which
+    pretends pairs are independent) overstates. The design CI is the
+    honest one in both directions."""
+    from glue_etl_framework_spark.ext.dedup import _estimate_lost_pairs_core
+
+    rows = [(100 * b + i, b, 7) for b in range(20) for i in range(4)]
+    bands = spark.createDataFrame(rows, ["doc_id", "bidx", "bv"])
+    est = _estimate_lost_pairs_core(
+        bands, lambda cand: cand, max_bucket_size=3,
+        sample_buckets=5, max_members_per_bucket=100,
+    )
+    assert est["ci_method"] == "jackknife"
+    assert est["ci95_design"] == 0.0
+    assert est["ci95"] > 0  # the nominal CI cannot see the cluster structure
+
+
+def test_design_ci_covers_truth_where_nominal_does_not(spark):
+    """The understatement VERDICT r14 carried as a watch item, on a
+    fixture: UNEQUAL disjoint bucket sizes make the estimate draw-
+    dependent (cluster error). This deterministic draw lands 87 pairs
+    off a truth of 556 — outside the nominal CI but inside the
+    jackknife design CI."""
+    from glue_etl_framework_spark.ext.dedup import _estimate_lost_pairs_core
+
+    sizes = [4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+    rows = [(1000 * b + i, b, 7) for b, s in enumerate(sizes) for i in range(s)]
+    bands = spark.createDataFrame(rows, ["doc_id", "bidx", "bv"])
+    truth = sum(s * (s - 1) // 2 for s in sizes)
+    est = _estimate_lost_pairs_core(
+        bands, lambda cand: cand, max_bucket_size=3,
+        sample_buckets=6, max_members_per_bucket=100,
+    )
+    err = abs(est["est_lost_pairs"] - truth)
+    assert est["ci_method"] == "jackknife"
+    assert est["ci95"] < err, "fixture must exhibit the nominal understatement"
+    assert est["ci95_design"] >= err, est
+
+
+def test_design_ci_falls_back_to_nominal_below_two_tail_draws(spark):
+    """K_rest < 2 leaves nothing to jackknife over: the design CI falls
+    back to the nominal value and says so in ci_method, instead of
+    reporting a fake zero."""
+    from glue_etl_framework_spark.ext.dedup import _estimate_lost_pairs_core
+
+    sizes = [4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+    rows = [(1000 * b + i, b, 7) for b, s in enumerate(sizes) for i in range(s)]
+    bands = spark.createDataFrame(rows, ["doc_id", "bidx", "bv"])
+    est = _estimate_lost_pairs_core(
+        bands, lambda cand: cand, max_bucket_size=3,
+        sample_buckets=1, max_members_per_bucket=100,
+    )
+    assert est["ci_method"] == "nominal"
+    assert est["ci95_design"] == est["ci95"] > 0
 
 
 def test_k1_falls_back_to_pure_uniform_draw(spark):

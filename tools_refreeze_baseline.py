@@ -126,6 +126,7 @@ def build_refreeze(
     prior_anchor: dict,
     new_box_cal_sec: float,
     new_jvm_cal_sec: float | None = None,
+    new_jvm_cal_sec_retry: float | None = None,
 ) -> dict:
     """Pure refreeze: per-query medians over ``sources`` (name -> per-query
     seconds) PLUS the prior anchor's values, guarded by the calibration
@@ -166,6 +167,20 @@ def build_refreeze(
                 f"{prior_jvm:.4f} (max {MAX_CAL_DRIFT:.0%}) — the Python kernel "
                 "passed but the JVM did not; both must match the anchor's box"
             )
+        # ADVICE r14: when a fresh-context retry session contributed
+        # recorded medians, its own jvm_cal_sec (bench.py records it as
+        # jvm_cal_sec_retry) is held to the SAME bound — the fence must
+        # vouch for every session whose timings reach the anchor.
+        if new_jvm_cal_sec_retry is not None:
+            retry_drift = abs(new_jvm_cal_sec_retry / prior_jvm - 1.0)
+            if retry_drift > MAX_CAL_DRIFT:
+                raise RefreezeRefused(
+                    f"retry session's jvm_cal_sec {new_jvm_cal_sec_retry:.4f} "
+                    f"deviates {retry_drift:.0%} from the anchor's recorded JVM "
+                    f"calibration {prior_jvm:.4f} (max {MAX_CAL_DRIFT:.0%}) — "
+                    "the retry session contributed recorded medians and must "
+                    "match the anchor's box too"
+                )
     prior_queries = prior_anchor.get("queries", {})
     pools: dict[str, list[float]] = {}
     for name, queries in sources.items():
@@ -296,7 +311,11 @@ def main() -> int:
         )
     try:
         anchor = build_refreeze(
-            sources, prior, new_cal, new_jvm_cal_sec=detail.get("jvm_cal_sec")
+            sources,
+            prior,
+            new_cal,
+            new_jvm_cal_sec=detail.get("jvm_cal_sec"),
+            new_jvm_cal_sec_retry=detail.get("jvm_cal_sec_retry"),
         )
     except RefreezeRefused as e:
         print(f"REFUSED: {e}")
