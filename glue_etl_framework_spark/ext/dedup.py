@@ -1158,12 +1158,21 @@ def _estimate_lost_pairs_core(
     # With K >= H every bucket is in T, so exact mode degenerates to
     # pi = 1 for any pair with a fully-coverable hot bucket.
     n_rest_k = len(rest_keys)
+    max_sampled_m = max((m for _, _, m in sampled_keys), default=0)
+    exact_mode = (
+        n_hot <= len(sampled_keys) and max_sampled_m <= max_members_per_bucket
+    )
+    # The jackknife needs >= 2 tail draws and a non-exact design; known
+    # BEFORE the verify pass, so the replicate-weight columns (an extra
+    # sequence-allocating hypergeometric per observed pair) are built
+    # only when they will actually be read — exhaustive mode keeps the
+    # r14 single-pass shape.
+    will_jackknife = not exact_mode and n_rest_k >= 2
     # p under the delete-one-jackknife replicate design: the K_rest - 1
     # surviving tail draws are SRSWOR(K_rest - 1, H_rest) — used only when
-    # K_rest >= 2 (below), so pi_jk is bounded away from 0 for any
-    # observed pair.
+    # K_rest >= 2, so pi_jk is bounded away from 0 for any observed pair.
     p_rest_jk = ((n_rest_k - 1) / n_rest_hot) if (n_rest_hot > 0 and n_rest_k >= 1) else 0.0
-    per_pair = classified.groupBy("doc_a", "doc_b").agg(
+    agg_cols = [
         F.max(F.col("cold")).alias("survives"),
         F.max((~F.col("cold")) & F.col("in_t") & (F.col("q") >= 1.0)).alias("t_full"),
         F.sum(
@@ -1181,13 +1190,17 @@ def _estimate_lost_pairs_core(
                 F.log(1.0 - p_rest * F.col("q")),
             ).otherwise(F.lit(0.0))
         ).alias("logterm_rest"),
-        F.sum(
-            F.when(
-                (~F.col("cold")) & (~F.col("in_t")) & (F.col("q") < 1.0),
-                F.log(1.0 - p_rest_jk * F.col("q")),
-            ).otherwise(F.lit(0.0))
-        ).alias("logterm_rest_jk"),
-    )
+    ]
+    if will_jackknife:
+        agg_cols.append(
+            F.sum(
+                F.when(
+                    (~F.col("cold")) & (~F.col("in_t")) & (F.col("q") < 1.0),
+                    F.log(1.0 - p_rest_jk * F.col("q")),
+                ).otherwise(F.lit(0.0))
+            ).alias("logterm_rest_jk")
+        )
+    per_pair = classified.groupBy("doc_a", "doc_b").agg(*agg_cols)
     h = F.col("h_rest")
 
     def _hyper(k_draws: int):
@@ -1209,46 +1222,47 @@ def _estimate_lost_pairs_core(
 
     miss_t = F.when(F.col("t_full"), F.lit(0.0)).otherwise(F.exp(F.col("logterm_t")))
     pi = 1.0 - miss_t * _hyper(n_rest_k) * F.exp(F.col("logterm_rest"))
-    pi_jk = 1.0 - miss_t * _hyper(max(n_rest_k - 1, 0)) * F.exp(F.col("logterm_rest_jk"))
     # pure_t: pairs with NO tail agreeing hot buckets — their observation
     # randomness is the take-all member caps only, independent across
     # pairs, so the jackknife (which varies tail draws) sees them as
     # constants and their variance is added separately below.
-    max_sampled_m = max((m for _, _, m in sampled_keys), default=0)
-    exact_mode = (
-        n_hot <= len(sampled_keys) and max_sampled_m <= max_members_per_bucket
-    )
-    lost = per_pair.filter(~F.col("survives")).select(
-        "doc_a",
-        "doc_b",
+    sel_cols = [
+        F.col("doc_a"),
+        F.col("doc_b"),
         pi.alias("pi"),
-        F.greatest(pi_jk, F.lit(1e-300)).alias("pi_jk"),
         ((F.col("h_rest") <= 0) & (F.col("logterm_rest") >= 0.0)).alias("pure_t"),
-    )
-    will_jackknife = not exact_mode and n_rest_k >= 2
+    ]
+    if will_jackknife:
+        pi_jk = 1.0 - miss_t * _hyper(n_rest_k - 1) * F.exp(F.col("logterm_rest_jk"))
+        sel_cols.append(F.greatest(pi_jk, F.lit(1e-300)).alias("pi_jk"))
+    lost = per_pair.filter(~F.col("survives")).select(*sel_cols)
     if will_jackknife:
         # The jackknife makes a second pass over the observed pairs —
         # materialize once. Exact/fallback runs keep the old single-pass
         # streaming aggregate (exhaustive mode's observed frame is the
         # whole lost set; holding it in the block manager buys nothing).
         lost = lost.localCheckpoint(eager=True)
-    est = lost.agg(
+    est_cols = [
         F.count("*").alias("n_obs"),
         F.coalesce(F.sum(1.0 / F.col("pi")), F.lit(0.0)).alias("est"),
         F.coalesce(
             F.sum((1.0 - F.col("pi")) / (F.col("pi") * F.col("pi"))), F.lit(0.0)
         ).alias("var"),
-        F.coalesce(F.sum(1.0 / F.col("pi_jk")), F.lit(0.0)).alias("s_jk"),
-        F.coalesce(
-            F.sum(
-                F.when(
-                    F.col("pure_t"),
-                    (1.0 - F.col("pi")) / (F.col("pi") * F.col("pi")),
-                ).otherwise(F.lit(0.0))
-            ),
-            F.lit(0.0),
-        ).alias("var_t"),
-    ).first()
+    ]
+    if will_jackknife:
+        est_cols += [
+            F.coalesce(F.sum(1.0 / F.col("pi_jk")), F.lit(0.0)).alias("s_jk"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("pure_t"),
+                        (1.0 - F.col("pi")) / (F.col("pi") * F.col("pi")),
+                    ).otherwise(F.lit(0.0))
+                ),
+                F.lit(0.0),
+            ).alias("var_t"),
+        ]
+    est = lost.agg(*est_cols).first()
     out["observed_lost_pairs"] = est["n_obs"]
     out["est_lost_pairs"] = round(float(est["est"]), 2)
     out["ci95"] = round(1.96 * float(est["var"]) ** 0.5, 2)
@@ -1269,7 +1283,7 @@ def _estimate_lost_pairs_core(
     if out["exact"]:
         out["ci95_design"] = 0.0
         out["ci_method"] = "exact"
-    elif n_rest_k >= 2:
+    elif will_jackknife:
         mem_a = members.select(F.col("doc_id").alias("doc_a"), "bidx", "bv")
         mem_b = members.select(F.col("doc_id").alias("doc_b"), "bidx", "bv")
         catches = (
