@@ -890,10 +890,15 @@ def estimate_lost_simhash_pairs(
     ``ci95_design`` is the honest one: a delete-one jackknife over the
     uniform tail draws (each replicate re-weights under the K-1-draw
     design and drops pairs only that bucket caught), with finite-
-    population correction, plus the independent member-cap term for
-    pairs the jackknife sees as constants. ``ci_method`` says how it was
-    computed: ``jackknife`` (>= 2 tail draws), ``nominal`` (< 2 tail
-    draws — nothing to jackknife over, falls back to ci95), or ``exact``.
+    population correction, plus a conditional-on-draw member-cap term
+    for EVERY observed pair (sum (1 - pi_mem)/pi^2, pi_mem = the pair's
+    catch probability given the realized bucket draw) — pairs the
+    jackknife sees as constants (take-all catches, >= 2 tail catches)
+    still carry member-cap Bernoulli randomness, measured as an
+    up-to-2x sd understatement on capped-agreement fixtures before this
+    term (r15 second review). ``ci_method`` says how it was computed:
+    ``jackknife`` (>= 2 tail draws), ``nominal`` (< 2 tail draws —
+    nothing to jackknife over, falls back to ci95), or ``exact``.
     Prefer ci95_design; sizing guidance stands: cover at least half the
     reported ``hot_buckets`` (whole, not member-capped) or run
     exhaustive when hot_buckets is small.
@@ -1128,11 +1133,17 @@ def _estimate_lost_pairs_core(
             ["bidx", "bv"],
             "left",
         )
+        .join(
+            sampled_df.select("bidx", "bv", F.lit(True).alias("_in_s")),
+            ["bidx", "bv"],
+            "left",
+        )
         .select(
             "doc_a",
             "doc_b",
             (F.col("m") <= max_bucket_size).alias("cold"),
             F.coalesce("_in_t", F.lit(False)).alias("in_t"),
+            F.coalesce("_in_s", F.lit(False)).alias("in_s"),
             q_b.alias("q"),
         )
     )
@@ -1200,6 +1211,21 @@ def _estimate_lost_pairs_core(
                 ).otherwise(F.lit(0.0))
             ).alias("logterm_rest_jk")
         )
+        # pi_mem inputs: the pair's catch probability GIVEN the realized
+        # draw (all sampled agreeing hot buckets, take-all AND drawn
+        # tail). A sampled fully-coverable agreeing bucket catches with
+        # certainty; member-capped ones miss with prob (1 - q_b) each.
+        agg_cols += [
+            F.max(
+                (~F.col("cold")) & F.col("in_s") & (F.col("q") >= 1.0)
+            ).alias("mem_certain"),
+            F.sum(
+                F.when(
+                    (~F.col("cold")) & F.col("in_s") & (F.col("q") < 1.0),
+                    F.log(1.0 - F.col("q")),
+                ).otherwise(F.lit(0.0))
+            ).alias("logterm_mem"),
+        ]
     per_pair = classified.groupBy("doc_a", "doc_b").agg(*agg_cols)
     h = F.col("h_rest")
 
@@ -1222,19 +1248,25 @@ def _estimate_lost_pairs_core(
 
     miss_t = F.when(F.col("t_full"), F.lit(0.0)).otherwise(F.exp(F.col("logterm_t")))
     pi = 1.0 - miss_t * _hyper(n_rest_k) * F.exp(F.col("logterm_rest"))
-    # pure_t: pairs with NO tail agreeing hot buckets — their observation
-    # randomness is the take-all member caps only, independent across
-    # pairs, so the jackknife (which varies tail draws) sees them as
-    # constants and their variance is added separately below.
     sel_cols = [
         F.col("doc_a"),
         F.col("doc_b"),
         pi.alias("pi"),
-        ((F.col("h_rest") <= 0) & (F.col("logterm_rest") >= 0.0)).alias("pure_t"),
     ]
     if will_jackknife:
         pi_jk = 1.0 - miss_t * _hyper(n_rest_k - 1) * F.exp(F.col("logterm_rest_jk"))
         sel_cols.append(F.greatest(pi_jk, F.lit(1e-300)).alias("pi_jk"))
+        # pi_mem: P(pair caught | realized bucket draw) — Bernoulli
+        # member-cap randomness the delete-one jackknife cannot see for
+        # pairs that survive every replicate (take-all catches or >= 2
+        # tail catches; measured understatement on capped-agreement
+        # fixtures, r15 second review). 1 when any sampled agreeing
+        # bucket is fully coverable (certain catch given the draw), so
+        # fully-covered designs keep a zero member term.
+        pi_mem = F.when(F.col("mem_certain"), F.lit(1.0)).otherwise(
+            1.0 - F.exp(F.col("logterm_mem"))
+        )
+        sel_cols.append(pi_mem.alias("pi_mem"))
     lost = per_pair.filter(~F.col("survives")).select(*sel_cols)
     if will_jackknife:
         # The jackknife makes a second pass over the observed pairs —
@@ -1252,15 +1284,17 @@ def _estimate_lost_pairs_core(
     if will_jackknife:
         est_cols += [
             F.coalesce(F.sum(1.0 / F.col("pi_jk")), F.lit(0.0)).alias("s_jk"),
+            # Conditional-on-draw member-cap variance, estimated from the
+            # observed sample (observed w.p. pi_mem given the draw):
+            # sum (1 - pi_mem) / pi^2. Reduces to the classic HT term
+            # (1 - pi)/pi^2 for pure take-all pairs (pi_mem = pi there)
+            # and to 0 for pairs certain given the draw.
             F.coalesce(
                 F.sum(
-                    F.when(
-                        F.col("pure_t"),
-                        (1.0 - F.col("pi")) / (F.col("pi") * F.col("pi")),
-                    ).otherwise(F.lit(0.0))
+                    (1.0 - F.col("pi_mem")) / (F.col("pi") * F.col("pi"))
                 ),
                 F.lit(0.0),
-            ).alias("var_t"),
+            ).alias("var_mem"),
         ]
     est = lost.agg(*est_cols).first()
     out["observed_lost_pairs"] = est["n_obs"]
@@ -1277,9 +1311,19 @@ def _estimate_lost_pairs_core(
     # >= 2 tail catches survive every replicate). var_jack =
     # (K-1)/K * sum_j (est_-j - mean)^2 * (1 - K/H) [fpc], the textbook
     # SRSWOR cluster-total jackknife when pairs live in single buckets.
-    # The independent member-cap term for pure-take-all pairs (invisible
-    # to the jackknife) is added back. With K_rest < 2 no design variance
-    # is estimable from one draw — fall back to the nominal CI, labeled.
+    # Pairs that survive every replicate (a take-all catch or >= 2 tail
+    # catches) contribute no jackknife spread, yet their member-cap
+    # Bernoulli randomness is real — measured as a up-to-2x sd
+    # understatement on capped-agreement fixtures (r15 second review,
+    # probes/recall_adversarial_r15.txt). The var_mem term closes it by
+    # the law of total variance: var_jack estimates the between-draw
+    # component, var_mem the within-draw member-cap component
+    # (sum (1 - pi_mem)/pi^2 over observed pairs, pi_mem = catch prob
+    # GIVEN the realized draw — the pure-take-all term is its special
+    # case, and fully-covered designs keep var_mem = 0). Single-catch
+    # capped-tail pairs appear in both terms; the overlap over-counts,
+    # i.e. errs conservative. With K_rest < 2 no design variance is
+    # estimable from one draw — fall back to the nominal CI, labeled.
     if out["exact"]:
         out["ci95_design"] = 0.0
         out["ci_method"] = "exact"
@@ -1327,7 +1371,7 @@ def _estimate_lost_pairs_core(
             * fpc
         )
         out["ci95_design"] = round(
-            1.96 * (var_jack + float(est["var_t"])) ** 0.5, 2
+            1.96 * (var_jack + float(est["var_mem"])) ** 0.5, 2
         )
         out["ci_method"] = "jackknife"
     else:

@@ -322,3 +322,30 @@ def test_k1_falls_back_to_pure_uniform_draw(spark):
     assert est["observed_lost_pairs"] == 6  # one bucket's C(4,2)
     assert est["est_lost_pairs"] == pytest.approx(20 * 6)  # weighted 1/(1/20)
     assert est["ci95"] > 0
+
+
+def test_design_ci_sees_member_cap_randomness_jackknife_misses(spark):
+    """ADVICE r14's correlated capped-tail concern, adversarialized
+    (r15 second review): H=12 member-capped buckets all holding the SAME
+    10 docs, K=8 (take-all absorbs 4, K_rest=4 of H_rest=8), M=4. Every
+    observed pair is caught via take-all buckets or multiple tail
+    buckets often enough that the delete-one jackknife alone saw almost
+    no spread: it reported +-4.7 where Monte Carlo over the design
+    (40k sims of the uniform draw + per-bucket member prefixes) measures
+    a true spread of 1.96*sd = 7.2. The conditional-on-draw member term
+    (var_mem) closes it; pin that the reported interval is at least the
+    MC-measured spread and still covers the truth on this deterministic
+    draw."""
+    from glue_etl_framework_spark.ext.dedup import _estimate_lost_pairs_core
+
+    rows = [(d, b, 7) for b in range(12) for d in range(10)]
+    bands = spark.createDataFrame(rows, ["doc_id", "bidx", "bv"])
+    truth = 10 * 9 // 2  # every pair agrees in every (hot) bucket
+    est = _estimate_lost_pairs_core(
+        bands, lambda cand: cand, max_bucket_size=3,
+        sample_buckets=8, max_members_per_bucket=4,
+    )
+    mc_spread = 7.2  # 1.96 * design sd, 40k-sim MC (recall_adversarial_r15)
+    assert est["ci_method"] == "jackknife"
+    assert est["ci95_design"] >= mc_spread, est
+    assert abs(est["est_lost_pairs"] - truth) <= est["ci95_design"], est

@@ -54,9 +54,12 @@ BAND_BITS = 14
 CAP = 200
 FIXTURE = "/tmp/scale_probe_100x_realistic"
 # (K, M): sample_buckets, max_members_per_bucket. Candidate bound
-# K * M^2 / 2: 16.8M / 33.6M / 67.1M / 134.2M — all bounded verify
-# joins; the uncapped emit at this scale is 1.56e10.
-SAMPLES = [(128, 512), (256, 512), (512, 512), (256, 1024)]
+# K * M^2 / 2: 16.8M / 33.6M / 67.1M / 134.2M / 134.2M — all bounded
+# verify joins; the uncapped emit at this scale is 1.56e10. The last
+# config (K=1024 = half the 2,050 hot buckets) is the docstring's own
+# sizing guidance — the first four deliberately undersample to show the
+# CI pricing the shortfall.
+SAMPLES = [(128, 512), (256, 512), (512, 512), (256, 1024), (1024, 512)]
 
 
 def main() -> None:
