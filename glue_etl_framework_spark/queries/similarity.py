@@ -762,6 +762,33 @@ def similarity_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame
 
 SEMDEDUP_TAU = 0.35  # within-cluster cosine above which the higher id drops
 
+
+def _semdedup_band_members(v: DataFrame, assign: DataFrame) -> DataFrame:
+    """(vec_id, cid, bidx, bv) band membership for SemDeDup's candidate
+    join: the inline hyperplane banding (N_HYPERPLANES sign bits in
+    _BAND_BITS-wide bands) crossed with the coarse cell assignment.
+    Shared with tools_probe_semdedup_funnel so occupancy probes measure
+    the SAME bucketing the (cell, band) cap acts on (r15 review: the
+    probe previously copy-pasted this construction and could silently
+    diverge)."""
+    band_cols = []
+    for b in range(N_HYPERPLANES // _BAND_BITS):
+        bits = []
+        for k in range(_BAND_BITS):
+            j = b * _BAND_BITS + k
+            signs = F.array(*[F.lit(s) for s in _hyperplane_signs(j)])
+            proj = F.aggregate(
+                F.zip_with(F.col("q"), signs, lambda x, s: x * s.cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0)))
+        band_cols.append(sum(bits[1:], bits[0]).alias(f"band{b}"))
+    sig = v.select("vec_id", *band_cols)
+    return assign.join(sig, "vec_id").select(
+        "vec_id", "cid", F.posexplode(F.array("band0", "band1")).alias("bidx", "bv")
+    )
+
 @register(
     "dedup_semdedup",
     oracle=f"""
@@ -844,34 +871,22 @@ def dedup_semdedup(
     fully lazy, byte-identical registry plan (pinned by the PLANS.md
     regen)."""
     # Contract check FIRST (the metrics path runs eager jobs over the
-    # whole corpus — an input error must not cost a production scan).
+    # whole corpus — an input error must not cost a production scan, and
+    # that includes the >= 1 range check drop_hot_buckets would only
+    # raise AFTER the eager input count).
     if max_bucket_size is not None and (
-        isinstance(max_bucket_size, bool) or not isinstance(max_bucket_size, int)
+        isinstance(max_bucket_size, bool)
+        or not isinstance(max_bucket_size, int)
+        or max_bucket_size < 1
     ):
         raise ValueError(
-            "max_bucket_size must be an explicit int here — hyperplane "
+            "max_bucket_size must be an explicit int >= 1 here — hyperplane "
             "banding has no occupancy target for 'auto', see "
             "ext.similarity.lsh_neardup_pairs"
         )
     v = _quantized(spark, sf_dir)
     _, _, assign = coarse_cells(v, "cid")
-    band_cols = []
-    for b in range(N_HYPERPLANES // _BAND_BITS):
-        bits = []
-        for k in range(_BAND_BITS):
-            j = b * _BAND_BITS + k
-            signs = F.array(*[F.lit(s) for s in _hyperplane_signs(j)])
-            proj = F.aggregate(
-                F.zip_with(F.col("q"), signs, lambda x, s: x * s.cast("long")),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0)))
-        band_cols.append(sum(bits[1:], bits[0]).alias(f"band{b}"))
-    sig = v.select("vec_id", *band_cols)
-    mem = assign.join(sig, "vec_id").select(
-        "vec_id", "cid", F.posexplode(F.array("band0", "band1")).alias("bidx", "bv")
-    )
+    mem = _semdedup_band_members(v, assign)
     if metrics is not None:
         metrics["input_vectors"] = assign.count()
     if max_bucket_size is not None:

@@ -572,6 +572,36 @@ def test_refreeze_jvm_fence_covers_retry_session():
     assert anchor["jvm_cal_sec_at_refreeze"] == 0.52
 
 
+def test_establishing_refreeze_bounds_retry_against_initial_session():
+    """r15 review: on the ESTABLISHING refreeze (prior anchor has no
+    jvm_cal_sec_at_refreeze) the retry fence previously sat inside the
+    prior_jvm branch, so retry-contributed medians could enter the new
+    anchor from a JVM nothing vouched for. Without an anchor JVM the
+    bound is internal: the run's two sessions must agree."""
+    from tools_refreeze_baseline import MAX_CAL_DRIFT, RefreezeRefused, build_refreeze
+
+    sources, prior = _guard_fixture()
+    assert "jvm_cal_sec_at_refreeze" not in prior
+    # divergent retry JVM -> refused even though there is no prior signal
+    with pytest.raises(RefreezeRefused, match="establishing refreeze"):
+        build_refreeze(
+            sources, prior, 0.10,
+            new_jvm_cal_sec=0.50,
+            new_jvm_cal_sec_retry=0.50 * (1 + MAX_CAL_DRIFT) * 1.05,
+        )
+    # retry present but initial calibration missing -> cannot vouch
+    with pytest.raises(RefreezeRefused, match="no jvm_cal_sec"):
+        build_refreeze(
+            sources, prior, 0.10,
+            new_jvm_cal_sec=None, new_jvm_cal_sec_retry=0.50,
+        )
+    # agreeing sessions establish the signal from the initial session
+    anchor = build_refreeze(
+        sources, prior, 0.10, new_jvm_cal_sec=0.50, new_jvm_cal_sec_retry=0.52
+    )
+    assert anchor["jvm_cal_sec_at_refreeze"] == 0.50
+
+
 def test_bench_calibrates_retry_session_and_recomputes_cluster_drift():
     """ADVICE r14 source pins: (a) the retry session's JVM calibration is
     measured and recorded (jvm_cal_sec_retry), and main() forwards it to

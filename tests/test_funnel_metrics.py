@@ -125,6 +125,21 @@ def test_semdedup_rejects_auto_cap(spark):
         dedup_semdedup(spark, SF, max_bucket_size="auto")
 
 
+def test_semdedup_rejects_bad_cap_before_any_job(spark):
+    """r15 review: an out-of-range int cap must fail the up-front
+    contract check, BEFORE the metrics path's eager full-corpus count —
+    previously cap=0 passed the isinstance check, ran input_vectors =
+    assign.count(), and only then hit drop_hot_buckets' range error (on
+    a 100 TB run that input error costs a production scan)."""
+    from glue_etl_framework_spark.queries.similarity import dedup_semdedup
+
+    for bad in (0, -3):
+        m: dict = {}
+        with pytest.raises(ValueError, match=">= 1"):
+            dedup_semdedup(spark, SF, max_bucket_size=bad, metrics=m)
+        assert m == {}, "the eager metrics job must not have run"
+
+
 def test_cc_metrics_record_rounds_and_fallback(spark):
     from glue_etl_framework_spark.ext.dedup import connected_component_labels
 

@@ -35,10 +35,8 @@ from pyspark.sql import functions as F
 
 from glue_etl_framework_spark import get_spark
 from glue_etl_framework_spark.queries.similarity import (
-    _BAND_BITS,
-    N_HYPERPLANES,
-    _hyperplane_signs,
     _quantized,
+    _semdedup_band_members,
     coarse_cells,
     dedup_semdedup,
 )
@@ -46,27 +44,11 @@ from glue_etl_framework_spark.queries.similarity import (
 
 def _band_occupancy(spark, sf_dir):
     """(cell, band) bucket histogram through the SAME construction
-    dedup_semdedup uses (its inline hyperplane banding, not the ext
-    banded_signatures family — the cid crossing is semdedup-specific)."""
+    dedup_semdedup uses (_semdedup_band_members — shared, not copied,
+    so the probe cannot diverge from what the cap acts on)."""
     v = _quantized(spark, sf_dir)
     _, _, assign = coarse_cells(v, "cid")
-    band_cols = []
-    for b in range(N_HYPERPLANES // _BAND_BITS):
-        bits = []
-        for k in range(_BAND_BITS):
-            j = b * _BAND_BITS + k
-            signs = F.array(*[F.lit(s) for s in _hyperplane_signs(j)])
-            proj = F.aggregate(
-                F.zip_with(F.col("q"), signs, lambda x, s: x * s.cast("long")),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0)))
-        band_cols.append(sum(bits[1:], bits[0]).alias(f"band{b}"))
-    sig = v.select("vec_id", *band_cols)
-    mem = assign.join(sig, "vec_id").select(
-        "vec_id", "cid", F.posexplode(F.array("band0", "band1")).alias("bidx", "bv")
-    )
+    mem = _semdedup_band_members(v, assign)
     return (
         mem.groupBy("cid", "bidx", "bv")
         .agg(F.count("*").alias("m"))

@@ -181,6 +181,28 @@ def build_refreeze(
                     "the retry session contributed recorded medians and must "
                     "match the anchor's box too"
                 )
+    elif new_jvm_cal_sec_retry is not None:
+        # ESTABLISHING refreeze (prior anchor has no JVM signal) with a
+        # retry session in the mix (r15 second review): there is no
+        # anchor JVM to bound against, but the run's own two sessions
+        # must agree — otherwise retry-contributed medians enter the
+        # anchor from a JVM that jvm_cal_sec_at_refreeze (recorded from
+        # the INITIAL session) never vouched for.
+        if new_jvm_cal_sec is None:
+            raise RefreezeRefused(
+                "run records jvm_cal_sec_retry but no jvm_cal_sec — cannot "
+                "vouch for the retry session's JVM; re-run bench.py"
+            )
+        retry_drift = abs(new_jvm_cal_sec_retry / new_jvm_cal_sec - 1.0)
+        if retry_drift > MAX_CAL_DRIFT:
+            raise RefreezeRefused(
+                f"establishing refreeze: retry session's jvm_cal_sec "
+                f"{new_jvm_cal_sec_retry:.4f} deviates {retry_drift:.0%} from "
+                f"the same run's initial-session jvm_cal_sec "
+                f"{new_jvm_cal_sec:.4f} (max {MAX_CAL_DRIFT:.0%}) — the "
+                "anchor's new JVM signal would vouch only for the initial "
+                "session while retry medians came from a different-speed JVM"
+            )
     prior_queries = prior_anchor.get("queries", {})
     pools: dict[str, list[float]] = {}
     for name, queries in sources.items():
