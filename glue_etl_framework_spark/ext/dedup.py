@@ -43,7 +43,11 @@ def minhash_candidate_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """(id_a, id_b, jaccard_distance) candidate pairs with estimated
-    Jaccard distance <= 1 - threshold, via MinHashLSH.approxSimilarityJoin.
+    Jaccard distance STRICTLY < 1 - threshold, via
+    MinHashLSH.approxSimilarityJoin — Spark's LSHModel filters
+    ``distCol < threshold`` (exclusive), so a pair at exactly the
+    boundary distance is NOT emitted (r15 review; the banded emitters
+    below use inclusive >= on similarity and are the production path).
     The join only compares same-band rows — linear in corpus size for fixed
     collision rates.
 
@@ -133,6 +137,8 @@ def connected_component_labels(
     max_iterations: int = 50,
     on_exhaustion: str = "fallback",
     metrics: dict | None = None,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
 ) -> DataFrame:
     """(node, label) per input node: label = min id in the node's connected
     component of the pair graph. Min-id label propagation: each round joins
@@ -179,8 +185,8 @@ def connected_component_labels(
     # candidate pipeline) would otherwise re-execute inside EVERY round's
     # join — measured 5x end-to-end on the minhash graph at sf0.1.
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -194,10 +200,19 @@ def connected_component_labels(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    # Convergence probe: labels only ever DECREASE (min propagation), so the
-    # label sum strictly decreases on any change — comparing one scalar per
-    # round replaces a join-and-scan probe over the label sets.
-    label_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # Convergence probe: labels only ever DECREASE (min propagation), so
+    # the label set changes iff anything changed this round. Fingerprint
+    # it as one (count, bit_xor(xxhash64(node, label))) row — the same
+    # type-agnostic probe the two-phase variant uses — NOT sum(label):
+    # sum silently casts non-numeric (string) ids to NULL (declaring
+    # false convergence after one round) and can overflow ANSI long
+    # arithmetic for hash-magnitude ids (r15 review).
+    def _label_fingerprint(frame):
+        return frame.select(
+            F.xxhash64("node", "label").alias("x")
+        ).agg(F.count("*").alias("c"), F.expr("bit_xor(x)").alias("h")).collect()[0]
+
+    label_fp = _label_fingerprint(labels)
     converged = False
     rounds = 0
     for _ in range(max_iterations):
@@ -218,12 +233,12 @@ def connected_component_labels(
             )
             .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        new_fp = _label_fingerprint(new_labels)
         labels = new_labels
-        if new_sum == label_sum:
+        if new_fp == label_fp:
             converged = True
             break
-        label_sum = new_sum
+        label_fp = new_fp
     if metrics is not None:
         metrics["cc_rounds"] = rounds
         metrics["cc_converged"] = converged
@@ -287,6 +302,8 @@ def dedup_keep_representative(
     max_iterations: int = 50,
     on_exhaustion: str = "fallback",
     metrics: dict | None = None,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
 ) -> DataFrame:
     """Drop near-duplicates, keeping one representative (min id) per
     connected component of the pair graph (see
@@ -295,7 +312,8 @@ def dedup_keep_representative(
     and a funnel audit reads the CC round count from the same dict the
     emitter levers wrote their dropped mass into)."""
     labels = connected_component_labels(
-        df, pairs, id_col, max_iterations, on_exhaustion, metrics=metrics
+        df, pairs, id_col, max_iterations, on_exhaustion, metrics=metrics,
+        a_col=a_col, b_col=b_col,
     )
     keep = labels.filter(F.col("node") == F.col("label")).select(F.col("node").alias(id_col))
     return df.join(keep, id_col, "left_semi")
@@ -344,6 +362,8 @@ def connected_component_labels_twophase(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
 ) -> DataFrame:
     """(node, label) via alternating large-star/small-star (Kiveris et al.
     2014) — the diameter-proof alternative to connected_component_labels:
@@ -360,7 +380,7 @@ def connected_component_labels_twophase(
     SUM) because the edge set is distinct, XOR is order-independent, and
     it cannot overflow under ANSI arithmetic."""
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
@@ -595,8 +615,10 @@ def keep_top_k_partners_symmetric(
 
     metrics: optional dict — records
     ``metrics['dropped_verified_pairs']`` (canonical pairs removed) at
-    one eager count over the input (lazily checkpointed; the symmetrize
-    + window then read the checkpoint). Costs 2x the window input of the
+    the cost of TWO eager jobs (r15 review — the doc previously claimed
+    one): a count of the lazily-checkpointed input, and a count of the
+    kept set that also materializes the symmetrize + window + distinct
+    lineage the returned frame would otherwise run lazily. Costs 2x the window input of the
     canonical-left variant — reach for this when per-doc coverage
     matters (e.g. every doc needs near-dup partners for clustering),
     and the cheaper keep_top_k_partners when only the global k*n bound
@@ -631,6 +653,29 @@ def keep_top_k_partners_symmetric(
         kept = kept.localCheckpoint(eager=False)
         metrics["dropped_verified_pairs"] = n_pairs - kept.count()
     return kept
+
+
+def _simhash_hamming_joined(sig: DataFrame, cand: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, hamming) for candidate pairs against a sliced
+    (doc_id, sig) signature frame — the single Hamming-verify
+    construction shared by the emitter (simhash_neardup_pairs) and the
+    audit estimator (estimate_lost_simhash_pairs). The estimator's
+    validity rests on verifying with bit-identical semantics to the
+    emitter it audits; sharing the construction removes the silent-
+    divergence risk a copy carries (r15 review — same class as
+    queries.similarity._semdedup_band_members)."""
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    hamming = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+    )
 
 
 def simhash_neardup_pairs(
@@ -784,19 +829,7 @@ def simhash_neardup_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    hamming = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    out = (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= hamming_max)
-    )
+    out = _simhash_hamming_joined(sig, cand).filter(F.col("hamming") <= hamming_max)
     if top_k_partners is not None:
         if top_k_symmetric:
             out = keep_top_k_partners_symmetric(
@@ -933,19 +966,11 @@ def estimate_lost_simhash_pairs(
             f"simhash_band_signatures(n_bands={n_bands})"
         )
     bands = sig.select("doc_id", F.posexplode("sig").alias("bidx", "bv"))
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    hamming = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
 
     def verify(cand: DataFrame) -> DataFrame:
         return (
-            cand.join(a, "doc_a")
-            .join(b, "doc_b")
-            .filter(hamming <= hamming_max)
+            _simhash_hamming_joined(sig, cand)
+            .filter(F.col("hamming") <= hamming_max)
             .select("doc_a", "doc_b")
         )
 

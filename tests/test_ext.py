@@ -60,6 +60,52 @@ def test_connected_components_transitivity(spark):
     assert sorted(r.doc_id for r in kept.collect()) == [0, 3, 4]
 
 
+def test_connected_components_string_ids(spark):
+    """r15 review: the old sum(label) convergence probe cast string ids
+    to NULL, so None == None declared false convergence after ONE round
+    and a 3-chain got inconsistent labels (z labeled y, y labeled x)
+    with cc_converged=True. The xxhash64-XOR fingerprint is
+    type-agnostic; the chain must fully collapse to its min id."""
+    df = spark.createDataFrame([("x",), ("y",), ("z",), ("lone",)], "doc_id string")
+    pairs = spark.createDataFrame([("x", "y"), ("y", "z")], "id_a string, id_b string")
+    m: dict = {}
+    labels = D.connected_component_labels(df, pairs, metrics=m)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert got == {"x": "x", "y": "x", "z": "x", "lone": "lone"}
+    assert m["cc_converged"] is True and m["cc_rounds"] >= 2
+    kept = D.dedup_keep_representative(df, pairs)
+    assert sorted(r.doc_id for r in kept.collect()) == ["lone", "x"]
+
+
+def test_connected_components_hash_magnitude_ids(spark):
+    """r15 review: under Spark 4 ANSI arithmetic the old sum probe
+    overflowed on xxhash64-magnitude long ids at the very first
+    aggregate; the fingerprint probe must handle them."""
+    big = 9_200_000_000_000_000_000
+    ids = [big, big - 1, big - 2]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(ids[0], ids[1]), (ids[1], ids[2])], "id_a long, id_b long"
+    )
+    labels = D.connected_component_labels(df, pairs)
+    assert {r["label"] for r in labels.collect()} == {big - 2}
+
+
+def test_connected_components_accept_emitter_pair_columns(spark):
+    """r15 review: every production emitter in the module emits
+    doc_a/doc_b while the CC entry points hard-coded id_a/id_b, so the
+    module's own documented composition (emitter -> cluster pick)
+    needed a manual rename at every call site. a_col/b_col close it."""
+    df = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 1), (2, 3)], "doc_a long, doc_b long")
+    kept = D.dedup_keep_representative(df, pairs, a_col="doc_a", b_col="doc_b")
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 2]
+    two = D.connected_component_labels_twophase(
+        df, pairs, a_col="doc_a", b_col="doc_b"
+    )
+    assert {r["node"]: r["label"] for r in two.collect()} == {0: 0, 1: 0, 2: 2, 3: 2}
+
+
 # ------------------------------------------------------------- similarity --
 
 def test_ann_lsh_recall_vs_bruteforce(spark, embeddings):
