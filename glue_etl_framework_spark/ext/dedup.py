@@ -755,6 +755,18 @@ def simhash_neardup_pairs(
             "knob there is no bound to symmetrize (refusing to silently "
             "return the unbounded pair stream)"
         )
+    # Contract check FIRST (r15 review, same as the cosine twin): a bad
+    # cap must not survive to drop_hot_buckets AFTER the eager signature
+    # checkpoint — an input error must not cost a production scan.
+    if max_bucket_size is not None and max_bucket_size != "auto" and (
+        isinstance(max_bucket_size, bool)
+        or not isinstance(max_bucket_size, int)
+        or max_bucket_size < 1
+    ):
+        raise ValueError(
+            f"max_bucket_size must be an int >= 1, the literal 'auto', or "
+            f"None — got {max_bucket_size!r}"
+        )
     if n_bands is None:
         n_bands = hamming_max + 1
     n_docs: int | None = None
@@ -1000,8 +1012,10 @@ def estimate_lost_hyperplane_pairs(
     the CI caveat are exactly the shared core's — see
     estimate_lost_simhash_pairs."""
     from glue_etl_framework_spark.ext.similarity import (
+        assert_vector_dim,
         banded_signatures,
         quantize_embeddings,
+        quantized_cosine_joined,
         scaled_band_bits,
     )
 
@@ -1009,6 +1023,9 @@ def estimate_lost_hyperplane_pairs(
         n = n_rows if n_rows is not None else df.count()
         band_bits = scaled_band_bits(n)
     v = quantize_embeddings(df, id_col, vec_col).localCheckpoint(eager=True)
+    # Near-free aggregate on the checkpoint; same silent-collapse guard
+    # as the emitter (r15 review).
+    assert_vector_dim(v, "q", dim)
     # The banding projection (n_bands * band_bits hyperplane dot products
     # per row) feeds the core's bucket counts, member join, and BOTH sides
     # of the agree join — materialize it once, as the emitter itself does.
@@ -1017,20 +1034,13 @@ def estimate_lost_hyperplane_pairs(
         .select(F.col("vec_id").alias("doc_id"), "bidx", "bv")
         .localCheckpoint(eager=True)
     )
-    x = v.select(F.col("vec_id").alias("doc_a"), F.col("q").alias("qa"), F.col("nq").alias("na"))
-    y = v.select(F.col("vec_id").alias("doc_b"), F.col("q").alias("qb"), F.col("nq").alias("nb"))
-    dot = F.aggregate(
-        F.zip_with(F.col("qa"), F.col("qb"), lambda p, q_: p * q_),
-        F.lit(0).cast("long"),
-        lambda acc, z: acc + z,
-    )
-    cosine = dot / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
 
     def verify(cand: DataFrame) -> DataFrame:
+        # Shared with the emitter (quantized_cosine_joined) so the audit
+        # verifies with bit-identical cosine semantics (r15 review).
         return (
-            cand.join(x, "doc_a")
-            .join(y, "doc_b")
-            .filter(cosine >= threshold)
+            quantized_cosine_joined(v, cand, "doc_a", "doc_b")
+            .filter(F.col("cosine") >= threshold)
             .select("doc_a", "doc_b")
         )
 

@@ -46,6 +46,30 @@ def _hyperplane(dim: int, plane: int, table: int) -> list[float]:
     return [c / norm for c in comps]
 
 
+def assert_vector_dim(df: DataFrame, vec_col: str, dim: int) -> None:
+    """One cheap (min, max array-size) aggregate: raise a clear error if
+    any vector's length differs from ``dim``. Without it a dim mismatch
+    silently ZEROES every hyperplane projection (zip_with pads with
+    nulls, null products null the aggregate, `when(proj > 0)` maps the
+    null to bit 0), collapsing all vectors into one LSH bucket and
+    turning the candidate self-join into the full O(n^2) cross product
+    with bit-correct results — invisible until the shuffle dies at scale
+    (r15 review). Called by the API entry points that take a ``dim``
+    parameter; costs one scan-shaped job, negligible next to the silent
+    failure it prevents."""
+    row = df.agg(
+        F.min(F.size(F.col(vec_col))).alias("lo"),
+        F.max(F.size(F.col(vec_col))).alias("hi"),
+    ).first()
+    if row["lo"] is not None and (row["lo"] != dim or row["hi"] != dim):
+        raise ValueError(
+            f"{vec_col} vectors have length in [{row['lo']}, {row['hi']}] "
+            f"but dim={dim} was configured — a mismatch would silently "
+            "zero every LSH signature (one bucket, O(n^2) candidates); "
+            "pass the actual embedding dimensionality"
+        )
+
+
 def hyperplane_signatures(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -55,7 +79,17 @@ def hyperplane_signatures(
 ) -> DataFrame:
     """Add ``sig_0..sig_{n_tables-1}`` integer bucket columns: bit p of
     sig_t = sign(v . hyperplane(t, p)). Cosine-similar vectors collide with
-    probability (1 - theta/pi)^n_planes per table."""
+    probability (1 - theta/pi)^n_planes per table.
+
+    Contract: every vector must have exactly ``dim`` components — the
+    plan-pure construction cannot check this itself (r15 review: a
+    mismatch nulls the zip_with products and would silently zero every
+    signature); API entry points validate via assert_vector_dim."""
+    if not 1 <= n_planes <= 63:
+        raise ValueError(
+            "n_planes must be in [1, 63] (bit 63 would overflow LongType "
+            "— ADVICE r11, same bound as banded_signatures band_bits)"
+        )
     out = df
     for t in range(n_tables):
         sig = F.lit(0).cast("long")
@@ -87,19 +121,28 @@ def ann_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k neighbors: equi-join queries to corpus on any
     matching LSH table signature, score exact cosine only on candidates,
-    keep best k per query. Returns (query_id, neighbor_id, cosine)."""
-    csig = hyperplane_signatures(corpus, vec_col, dim, n_planes, n_tables)
-    qsig = hyperplane_signatures(queries, vec_col, dim, n_planes, n_tables)
+    keep best k per query. Returns (query_id, neighbor_id, cosine).
+    Validates vector length against ``dim`` up front (one cheap job per
+    side — r15 review: a mismatch would silently collapse every vector
+    into one bucket); norms are computed once per vector, not per
+    candidate pair, and candidate dedup keys on the id pair only."""
+    assert_vector_dim(corpus, vec_col, dim)
+    assert_vector_dim(queries, vec_col, dim)
+    csig = hyperplane_signatures(with_norm(corpus, vec_col), vec_col, dim, n_planes, n_tables)
+    qsig = hyperplane_signatures(with_norm(queries, vec_col), vec_col, dim, n_planes, n_tables)
     c_long = _melt_sigs(csig, id_col, vec_col, n_tables).withColumnRenamed(id_col, "neighbor_id")
     q_long = _melt_sigs(qsig, id_col, vec_col, n_tables).withColumnRenamed(id_col, "query_id")
     cand = (
-        q_long.withColumnRenamed(vec_col, "qv")
-        .join(c_long.withColumnRenamed(vec_col, "cv"), ["table", "sig"])
+        q_long.withColumnRenamed(vec_col, "qv").withColumnRenamed("sqnorm", "q_sqnorm")
+        .join(
+            c_long.withColumnRenamed(vec_col, "cv").withColumnRenamed("sqnorm", "n_sqnorm"),
+            ["table", "sig"],
+        )
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
-        .distinct()
+        .select("query_id", "neighbor_id", "qv", "q_sqnorm", "cv", "n_sqnorm")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    cos = _cosine(F.col("qv"), F.col("cv"))
+    cos = _cos(F.col("qv"), F.col("q_sqnorm"), F.col("cv"), F.col("n_sqnorm"))
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         cand.select("query_id", "neighbor_id", cos.alias("cosine"))
@@ -116,19 +159,10 @@ def _melt_sigs(df: DataFrame, id_col: str, vec_col: str, n_tables: int) -> DataF
             for t in range(n_tables)
         ]
     )
-    return df.select(id_col, vec_col, F.explode(pairs).alias("ts")).select(
-        id_col, vec_col, F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig")
+    carry = [c for c in (id_col, vec_col, "sqnorm") if c in df.columns]
+    return df.select(*carry, F.explode(pairs).alias("ts")).select(
+        *carry, F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig")
     )
-
-
-def _cosine(a, b):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
 
 
 def brute_force_topk(
@@ -141,12 +175,19 @@ def brute_force_topk(
     """Exact cosine top-k (broadcast queries x corpus scan) — the recall
     baseline; same shape as queries/similarity.py but reusable on any
     DataFrame."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = with_norm(queries.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.col("sqnorm").alias("q_sqnorm"),
+    )
+    c = with_norm(corpus.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        F.col("sqnorm").alias("n_sqnorm"),
+    )
     pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    cos = _cos(F.col("qv"), F.col("q_sqnorm"), F.col("cv"), F.col("n_sqnorm"))
     return (
-        pairs.select("query_id", "neighbor_id", _cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+        pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
@@ -222,6 +263,11 @@ def ivf_assign(
     sqrt(corpus) even at 100 TB broadcasts fine). Returns (id, cid, rank).
     One broadcast join + one window; no shuffle of the vectors beyond the
     window's key partitioning."""
+    if n_probe < 1:
+        raise ValueError(
+            "n_probe must be >= 1 (r15 review: 0 silently assigned "
+            "nothing instead of raising like every sibling knob)"
+        )
     c = with_norm(centroids.select("cid", F.col("cvec")), "cvec").withColumnRenamed(
         "sqnorm", "c_sqnorm"
     )
@@ -259,9 +305,13 @@ def ivf_topk(
     """IVF ANN search: corpus vectors live in their nearest-centroid list
     (n_probe=1 assignment); each query scores only the lists of its
     ``n_probe`` nearest centroids. Returns (query_id, neighbor_id, cosine)
-    with ``k`` rows per query. The only non-broadcast shuffle is the
-    per-list candidate join keyed on cid — pairs scored shrink by ~K/n_probe
-    vs brute force."""
+    with up to ``k`` rows per query (fewer when the probed lists hold
+    fewer than k other vectors). The probe-to-list candidate join is
+    BROADCAST (probes are n_probe rows per query); the non-broadcast
+    shuffles are ivf_assign's per-vector aggregate, the corpus-side join
+    keyed on neighbor_id, and the ranking window (r15 review — the old
+    text pointed capacity planning at the wrong join). Pairs scored
+    shrink by ~K/n_probe vs brute force."""
     corpus_lists = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).select(
         F.col(id_col).alias("neighbor_id"), "cid"
     )
@@ -428,6 +478,27 @@ def auto_bucket_cap(n_rows: int, band_bits: int, factor: int = 8) -> int:
     return factor * math.ceil(n_rows / (1 << band_bits))
 
 
+def quantized_cosine_joined(
+    v: DataFrame, cand: DataFrame, a_col: str = "vec_a", b_col: str = "vec_b"
+) -> DataFrame:
+    """(a_col, b_col, cosine) for candidate id pairs against a quantized
+    (vec_id, q, nq) frame — the single exact-cosine verify construction
+    shared by the emitter (lsh_neardup_pairs) and its auditor
+    (ext.dedup.estimate_lost_hyperplane_pairs). The audit's validity
+    rests on verifying with bit-identical semantics to the emitter it
+    prices; sharing removes the silent-divergence risk a copy carries
+    (r15 review — same class as ext.dedup._simhash_hamming_joined)."""
+    x = v.select(F.col("vec_id").alias(a_col), F.col("q").alias("qa"), F.col("nq").alias("na"))
+    y = v.select(F.col("vec_id").alias(b_col), F.col("q").alias("qb"), F.col("nq").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x_: acc + x_,
+    )
+    cosine = dot / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+    return cand.join(x, a_col).join(y, b_col).select(a_col, b_col, cosine.alias("cosine"))
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.35,
@@ -476,6 +547,20 @@ def lsh_neardup_pairs(
             "knob there is no bound to symmetrize (refusing to silently "
             "return the unbounded pair stream)"
         )
+    # Contract check FIRST (r15 review): a misspelled 'Auto', a stringly
+    # '32', or an int < 1 previously survived to drop_hot_buckets — AFTER
+    # two eager full-corpus checkpoints — and a bad string died there
+    # with an opaque TypeError. An input error must not cost a
+    # production scan.
+    if max_bucket_size is not None and max_bucket_size != "auto" and (
+        isinstance(max_bucket_size, bool)
+        or not isinstance(max_bucket_size, int)
+        or max_bucket_size < 1
+    ):
+        raise ValueError(
+            f"max_bucket_size must be an int >= 1, the literal 'auto', or "
+            f"None — got {max_bucket_size!r}"
+        )
     if band_bits is None or max_bucket_size == "auto":
         n = n_rows if n_rows is not None else df.count()
     if band_bits is None:
@@ -488,6 +573,10 @@ def lsh_neardup_pairs(
     # sides) — checkpoint so the lineage doesn't re-execute per consumer
     # (ADVICE r11; the simhash twin already did this).
     v = quantize_embeddings(df, id_col, vec_col).localCheckpoint(eager=True)
+    # Aggregates the already-materialized checkpoint — near-free, and it
+    # catches the silent all-in-one-bucket collapse a dim mismatch causes
+    # (r15 review; see assert_vector_dim).
+    assert_vector_dim(v, "q", dim)
     sig = banded_signatures(v, n_bands=n_bands, band_bits=band_bits, dim=dim)
     if max_bucket_size is not None:
         from glue_etl_framework_spark.ext.dedup import drop_hot_buckets
@@ -506,19 +595,10 @@ def lsh_neardup_pairs(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    x = v.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("nq").alias("na"))
-    y = v.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("nq").alias("nb"))
-    dot = F.aggregate(
-        F.zip_with(F.col("qa"), F.col("qb"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x_: acc + x_,
-    )
-    cosine = dot / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
     out = (
-        cand.join(x, "vec_a")
-        .join(y, "vec_b")
-        .filter(cosine >= threshold)
-        .select("vec_a", "vec_b", F.round(cosine, 9).alias("cosine"))
+        quantized_cosine_joined(v, cand)
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 9).alias("cosine"))
     )
     if top_k_partners is not None:
         from glue_etl_framework_spark.ext.dedup import (

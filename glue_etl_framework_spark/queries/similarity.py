@@ -40,16 +40,15 @@ _NORM_SQL = """
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """vec_id, q (BIGINT array), nq (squared norm, exact BIGINT)."""
-    e = t(spark, sf_dir, "embeddings")
-    q = F.transform(F.col("embedding"), lambda x: F.round(x.cast("double") * SCALE).cast("long"))
-    df = e.select("vec_id", q.alias("q"))
-    nq = F.aggregate(
-        F.transform(F.col("q"), lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return df.select("vec_id", "q", nq.alias("nq"))
+    """vec_id, q (BIGINT array), nq (squared norm, exact BIGINT) —
+    delegates to ext.similarity.quantize_embeddings (r15 review: the
+    construction was duplicated line-for-line with only a comment
+    keeping SCALE == QUANT_SCALE in sync; the oracle SQL pins 2^20, so a
+    drift in either copy would break the bit-for-bit contract silently).
+    PLANS.md regen confirmed the delegation is plan-identical."""
+    from glue_etl_framework_spark.ext.similarity import quantize_embeddings
+
+    return quantize_embeddings(t(spark, sf_dir, "embeddings"))
 
 
 def _dot(qa, qb):

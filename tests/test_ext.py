@@ -108,6 +108,39 @@ def test_connected_components_accept_emitter_pair_columns(spark):
 
 # ------------------------------------------------------------- similarity --
 
+def test_lsh_input_guards(spark, embeddings):
+    """r15 review guards: (a) a dim mismatch must raise a clear error
+    instead of silently zeroing every signature (one bucket, O(n^2)
+    candidates with bit-correct results); (b) a bad cap must fail at
+    entry, before the eager full-corpus checkpoints; (c) out-of-range
+    knobs raise like their siblings."""
+    import pytest as _pytest
+
+    from glue_etl_framework_spark.ext import similarity as S
+
+    short = embeddings.select(
+        "vec_id", F.slice("embedding", 1, 32).alias("embedding")
+    )
+    with _pytest.raises(ValueError, match="dim=64"):
+        S.ann_topk_lsh(short, short.limit(2))
+    with _pytest.raises(ValueError, match="dim=64"):
+        S.lsh_neardup_pairs(short, band_bits=8)
+    for bad in ("Auto", "32", 0, -1, True):
+        with _pytest.raises(ValueError, match="max_bucket_size"):
+            S.lsh_neardup_pairs(embeddings, band_bits=8, max_bucket_size=bad)
+        with _pytest.raises(ValueError, match="max_bucket_size"):
+            D.simhash_neardup_pairs(
+                spark.createDataFrame([(1, "a b c")], ["doc_id", "text"]),
+                max_bucket_size=bad,
+            )
+    with _pytest.raises(ValueError, match="n_probe"):
+        S.ivf_assign(embeddings, embeddings.limit(1).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        ), n_probe=0)
+    with _pytest.raises(ValueError, match="n_planes"):
+        S.hyperplane_signatures(embeddings, n_planes=64)
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark, embeddings):
     corpus = embeddings
     queries = embeddings.filter(F.col("vec_id") < 15)
