@@ -184,21 +184,30 @@ def connected_component_labels(
     # Materialize the edge list ONCE: its lineage (often a full MinHash/LSH
     # candidate pipeline) would otherwise re-execute inside EVERY round's
     # join — measured 5x end-to-end on the minhash graph at sf0.1.
+    # Lazy: materialized (together with the initial label set) by the first
+    # fingerprint job below — the single sequential first consumer — then
+    # read as checkpoint blocks by every round's join.
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Iterate ONLY over nodes that appear in the dup graph: isolated nodes
     # never change label, so they join back once at the end. At corpus
     # scale the per-round state is O(|dup graph|), not O(|corpus|) — with
     # 1% near-dups that's 100x less shuffled per round.
+    # Lazy checkpoint, materialized by the fingerprint aggregate below —
+    # one job instead of an eager-checkpoint job PLUS a probe job. Safe
+    # here (unlike the multi-consumer frames that need eager=True): the
+    # fingerprint is the single, sequential first consumer, so the lazy
+    # first-materialization race never arises; every later consumer reads
+    # the registered checkpoint blocks.
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Convergence probe: labels only ever DECREASE (min propagation), so
     # the label set changes iff anything changed this round. Fingerprint
@@ -222,16 +231,20 @@ def connected_component_labels(
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        # Checkpoint BEFORE the convergence probe: the round's plan executes
-        # exactly once (into the checkpoint); the probe then aggregates the
-        # already-materialized label set — no recompute.
+        # Lazy checkpoint + fingerprint in ONE job (r15 optimization): the
+        # probe aggregate is the checkpoint's first action, so the round's
+        # plan executes exactly once INTO the checkpoint blocks during the
+        # probe — the next round's join (and the caller's final join) read
+        # the blocks, never recompute. The previous eager-then-probe shape
+        # paid two jobs per round for the same guarantee — at scale, two
+        # full passes over the label set per round instead of one.
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_fp = _label_fingerprint(new_labels)
         labels = new_labels

@@ -706,9 +706,22 @@ def bloom_ctes_sql(incoming_cte: str) -> str:
 def bloom_shingle_frames(incoming: DataFrame, ref_docs: DataFrame):
     """Spark twin of bloom_ctes_sql: (per_shingle, truth) frames keyed
     (doc_id, h). `incoming` must provide (doc_id, text); `ref_docs` just
-    text. The words frame (the filter itself) is a bounded broadcast —
-    {BLOOM_BITS} bits in {BLOOM_BITS // 32} BIGINT words — at ANY
-    reference size; probes check it map-side."""
+    text. The filter is a bounded broadcast — {BLOOM_BITS} bits in
+    {BLOOM_BITS // 32} BIGINT words — at ANY reference size; probes check
+    it map-side.
+
+    r15 optimization (guide §2.3/§2.4): the probe is now a PURE PROJECTION
+    — the word array travels as a one-row (word -> bits) map crossJoined
+    as a broadcast, and all {BLOOM_HASHES} bit tests evaluate inline with
+    ``least(...)`` reproducing the oracle's MIN-over-probes exactly. The
+    previous shape exploded {BLOOM_HASHES} position rows per shingle,
+    broadcast-joined each against the words frame, and re-aggregated by
+    (doc_id, h) — a full shuffle of {BLOOM_HASHES}x the shingle stream
+    keyed on 32-char strings that a map-side filter never needed. The
+    ref / new_sh diamonds stay plan-pure: their distinct() exchanges are
+    identical across consumers, so AQE's ReusedExchange already shares
+    them (eager checkpoints here measured slower — the
+    dedup_prefix_filter_jaccard lesson, probes/abx_r15opt_main.txt)."""
     ref = (
         ref_docs.select(F.explode(F.expr(SHINGLE_REGEX)).alias("shingle"))
         .select(F.md5("shingle").alias("h"))
@@ -730,18 +743,30 @@ def bloom_shingle_frames(incoming: DataFrame, ref_docs: DataFrame):
             "bits"
         )
     )
-    probes = new_sh.select("doc_id", "h", F.explode(positions).alias("p"))
-    bitmask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {_BLOOM_WORD} AS INT))")
-    checks = probes.join(
-        F.broadcast(words), (F.col("p") / _BLOOM_WORD).cast("long") == F.col("w"), "left"
-    ).select(
-        "doc_id",
-        "h",
-        F.when(F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(bitmask) != 0), 1)
-        .otherwise(0)
-        .alias("bit_set"),
+    # The whole bit array as ONE bounded row: word-index -> bits map.
+    wmap = words.agg(
+        F.map_from_arrays(F.collect_list("w"), F.collect_list("bits")).alias("wm")
     )
-    per_shingle = checks.groupBy("doc_id", "h").agg(F.min("bit_set").alias("bloom_hit"))
+
+    def bit_set(j):
+        pj = pos(j)
+        wbits = F.element_at(F.col("wm"), (pj / _BLOOM_WORD).cast("long"))
+        # call_function: F.shiftleft only takes a literal bit count
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pj % _BLOOM_WORD).cast("int")
+        )
+        return (
+            F.when(wbits.isNotNull() & (wbits.bitwiseAND(mask) != 0), 1).otherwise(0)
+        )
+
+    per_shingle = (
+        new_sh.crossJoin(F.broadcast(wmap))
+        .select(
+            "doc_id",
+            "h",
+            F.least(*[bit_set(j) for j in range(BLOOM_HASHES)]).alias("bloom_hit"),
+        )
+    )
     truth = new_sh.join(
         ref.withColumnRenamed("h", "rh"), F.col("h") == F.col("rh"), "left"
     ).select(
@@ -903,7 +928,17 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes; the standard trade, cf. Spark ML's HashingTF). The oracle
     stays STRING-exact all-pairs with no prefix logic and no hashing, so
     the driver hash-match certifies both the prefix filter's losslessness
-    and the collision-free equivalence of the hashed computation."""
+    and the collision-free equivalence of the hashed computation.
+
+    r15 optimization note — checkpointing REJECTED by measurement: the
+    static plan shows the shingle/prefix subtrees replicated 8x (46
+    Exchange nodes), which looks like the dedup_minhash_verified diamond,
+    but at runtime AQE's ReusedExchange already deduplicates the identical
+    exchanges, so eager localCheckpoints on sh/prefix/cand only added
+    three serial materialization barriers — measured 1.49x SLOWER at
+    sf0.1 (interleaved cross-tree A/B, probes/abx_r15opt_main.txt).
+    Static Exchange counts overstate executed shuffles wherever the
+    duplicated subtrees are exchange-identical."""
     from pyspark.sql import Window as W
 
     sh = _shingles(spark, sf_dir).select(

@@ -3148,7 +3148,11 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.xxhash64("g").alias("g"))
     )
     # DF ceiling via a shingle-partitioned window: one shuffle on g, which
-    # the candidate self-join below reuses (same key).
+    # the candidate self-join below reuses (same key). r15 optimization
+    # note: an eager localCheckpoint here (three consumers of g) measured
+    # NEUTRAL at sf0.1 — AQE's ReusedExchange already shares the window's
+    # exchange across the consumers — so the plan-pure form stays
+    # (probes/abx_r15opt_main.txt).
     g = (
         g0.withColumn("df_ct", F.count("*").over(W.partitionBy("g")))
         .filter(F.col("df_ct") <= SHINGLE_DF_CAP)
@@ -6154,13 +6158,19 @@ def _bpe_repr0(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_pair_counts(repr_df: DataFrame) -> DataFrame:
     """(p, c): frequency-weighted adjacent symbol-pair counts over the
-    working representation — the per-round aggregate both trainers share."""
+    working representation — the per-round aggregate both trainers share.
+    The symbol string is split ONCE into an array column before the
+    adjacent-pair transform (the previous single-expression form evaluated
+    `split(r, ' ')` four times per row — filter, size, and twice inside
+    the lambda — and Catalyst does not CSE across the projection/filter
+    boundary); identical pair stream, ~4x fewer regex splits per pass."""
     pair_arr = F.expr(
-        "transform(sequence(0, size(split(r, ' ')) - 2), i -> "
-        "concat(split(r, ' ')[i], ' ', split(r, ' ')[i + 1]))"
+        "transform(sequence(0, size(toks) - 2), i -> "
+        "concat(toks[i], ' ', toks[i + 1]))"
     )
     return (
-        repr_df.filter(F.size(F.split("r", " ")) >= 2)
+        repr_df.select("freq", F.split("r", " ").alias("toks"))
+        .filter(F.size("toks") >= 2)
         .select("freq", F.explode(pair_arr).alias("p"))
         .groupBy("p")
         .agg(F.sum("freq").alias("c"))
@@ -6194,7 +6204,10 @@ def _bpe_rounds(repr_df: DataFrame, k: int):
     inside the next round's plan, doubling work per round (~2^k vocab
     passes — a review finding); with the literal inlining, k rounds is
     exactly k bounded passes, as a 32k-merge production trainer needs.
-    Returns ([(round, pair, merged, count), ...], final_repr)."""
+    Callers checkpoint the incoming vocab frame (see text_bpe_learn_merges)
+    so each round's argmax re-reads materialized blocks instead of
+    re-running the corpus scan + word aggregate underneath its merge
+    projections. Returns ([(round, pair, merged, count), ...], final_repr)."""
     merges = []
     for i in range(1, k + 1):
         row = _bpe_best_pair(repr_df).collect()
@@ -6236,7 +6249,16 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     real merge budget use text_bpe_learn_merges_batched, the designated
     scale path (batched top-m non-conflicting merges per pass; m~64
     cuts 32k rounds to ~500)."""
-    merges, _ = _bpe_rounds(_bpe_repr0(spark, sf_dir), BPE_MERGES)
+    # Materialize the corpus -> weighted-vocab collapse ONCE (r15
+    # optimization, guide §5): every round's argmax otherwise re-runs the
+    # document scan + word aggregate underneath its merge projections —
+    # k rounds = k corpus scans. Lazy checkpoint: round 1's collect is the
+    # single sequential first consumer; later rounds re-apply their cheap
+    # vocab-sized merge projections on the materialized blocks — one
+    # corpus pass, k vocab passes, the production trainer shape.
+    merges, _ = _bpe_rounds(
+        _bpe_repr0(spark, sf_dir).localCheckpoint(eager=False), BPE_MERGES
+    )
     return spark.createDataFrame(
         merges, "merge_order int, pair string, merged string, pair_count long"
     )
@@ -6285,7 +6307,10 @@ def text_bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     word frame (never a corpus re-scan), exact BIGINTs. Same unrolled
     deterministic chain as the trainer, so the measurement is
     driver-hash-pinned end to end."""
-    base = _bpe_repr0(spark, sf_dir)
+    # One materialized vocab build for the trainer rounds AND the
+    # before/after token counts (three consumers of repr0 — see
+    # text_bpe_learn_merges for the rationale).
+    base = _bpe_repr0(spark, sf_dir).localCheckpoint(eager=False)
     merges, repr_df = _bpe_rounds(base, BPE_MERGES)
     if merges:  # _bpe_rounds applies all but the last learned merge
         repr_df = _bpe_apply_merge(repr_df, merges[-1][1])
@@ -6391,7 +6416,8 @@ def text_bpe_learn_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame
     (pass_no, cand_rank, pair, merged, pair_count) for the selected
     merges of each pass, driver-hash-pinned against the identically
     unrolled DuckDB chain."""
-    repr_df = _bpe_repr0(spark, sf_dir)
+    # One materialized vocab build for all passes (see text_bpe_learn_merges).
+    repr_df = _bpe_repr0(spark, sf_dir).localCheckpoint(eager=False)
     out = []
     for pass_no in range(1, BPE_BATCH_PASSES + 1):
         cands = (
@@ -6557,7 +6583,20 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     like this (score candidates for a user/session batch, not all
     pairs); the shuffles are keyed on node ids and the only fan-out is
     the seed frontier. Hub mitigation (cap/frequency-weight the w
-    expansion) composes the same way as SHINGLE_DF_CAP."""
+    expansion) composes the same way as SHINGLE_DF_CAP.
+
+    r15 optimization (guide §3.1): everything keyed by the SEED side is
+    bounded by LP_SEEDS x max-degree — the seed frontier `qadj`, the
+    seeds' own adjacency (the anti-join's only relevant slice: cand.q is
+    a seed by construction, so anti-joining against the FULL adjacency
+    was equivalent but shuffled the whole graph by (q,b)), and the seed
+    degrees (derivable from `qadj` itself, sparing a join against the
+    full degree table). Broadcasting those three collapses four
+    SortMergeJoins of the full adjacency/degree frames to broadcast hash
+    joins: 10 Exchanges -> 5, measured 3.38s -> ~1.6s at sf0.1. The
+    frontier is eagerly checkpointed once for its three consumers. Only
+    the candidate-side degree attach (db, node-count-sized) stays a
+    shuffle join — that one is data-sized and must not be hinted."""
     l = t(spark, sf_dir, "lineitem")
     lp = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")).distinct()
     a0, b0 = lp.alias("a"), lp.alias("b")
@@ -6577,24 +6616,39 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     adj = adj.localCheckpoint()
     deg = adj.groupBy("n").agg(F.count("*").alias("d"))
     seeds = deg.select(F.col("n").alias("q")).orderBy("q").limit(LP_SEEDS)
-    qadj = F.broadcast(seeds).join(adj, F.col("n") == F.col("q")).select("q", F.col("nbr").alias("w"))
+    # Seed frontier: LP_SEEDS x max-degree rows — bounded by the query
+    # batch, never by the graph. Materialized once for its three consumers
+    # (hop-2 probe, existing-edge anti-join, seed degrees).
+    qadj = (
+        F.broadcast(seeds)
+        .join(adj, F.col("n") == F.col("q"))
+        .select("q", F.col("nbr").alias("w"))
+        .localCheckpoint(eager=True)
+    )
     hop2 = adj.select(F.col("n").alias("w"), F.col("nbr").alias("b"))
+    # Broadcast the frontier into the hop-2 expansion: the full adjacency
+    # is probed in place instead of being shuffled by w.
     cand = (
-        qadj.join(hop2, "w")
+        hop2.join(F.broadcast(qadj), "w")
         .filter(F.col("b") != F.col("q"))
         .groupBy("q", "b")
         .agg(F.count("*").alias("cn"))
     )
-    existing = adj.select(F.col("n").alias("q"), F.col("nbr").alias("b"))
-    new_links = cand.join(existing, ["q", "b"], "left_anti")
-    dq = deg.select(F.col("n").alias("q"), F.col("d").alias("dq"))
+    # cand.q is a seed, so "edge (q,b) already exists" only needs the
+    # seeds' adjacency — which IS the frontier (q, w->b). Anti-joining
+    # against the full adjacency was equivalent but data-sized.
+    existing = qadj.select("q", F.col("w").alias("b"))
+    new_links = cand.join(F.broadcast(existing), ["q", "b"], "left_anti")
+    # Seed degrees fall out of the frontier (adj restricted to n in seeds,
+    # rows distinct), sparing a join against the full degree table.
+    dq = qadj.groupBy("q").agg(F.count("*").alias("dq"))
     db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
     jac = F.col("cn").cast("double") / (F.col("dq") + F.col("db") - F.col("cn"))
     from pyspark.sql import Window as W
 
     rk = F.row_number().over(W.partitionBy("q").orderBy(jac.desc(), F.col("b")))
     return (
-        new_links.join(dq, "q")
+        new_links.join(F.broadcast(dq), "q")
         .join(db, "b")
         .withColumn("rk", rk)
         .filter(F.col("rk") <= LP_TOP)

@@ -984,49 +984,50 @@ def join_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame
     certifies losslessness (false positives cost only wasted shuffle
     rows; the exact join drops them).
 
-    Plan shape: bit-array build = two bounded aggregates (positions ->
-    <= 256 BIGINT words); the probe is SJR_HASHES broadcast hash joins
-    on word index + a scan-side bit test — no extra shuffle, no per-row
-    Python. At 100 TB you'd size m from the build side's NDV (~10
-    bits/key for 1% FP) exactly as dedup's bloom prefilter documents."""
+    Plan shape (r15 optimization, guide §2.3/§2.4): bit-array build = one
+    bounded aggregate (positions -> <= 256 BIGINT words) folded into a
+    ONE-ROW (word -> bits) map; the probe is a broadcast of that single
+    row plus SJR_HASHES inline bit tests — a pure scan-side projection,
+    no per-hash join, no extra shuffle, no per-row Python. Probe
+    positions are salted xxhash64(key, j) — any hash works because bloom
+    false positives are dropped by the exact join (the previous
+    md5-substring-conv chain cost two cryptographic digests + two base
+    conversions per fact row for no semantic gain; the oracle sees only
+    the final join). The pre-aggregate distinct() is gone too: bit_or is
+    idempotent, so duplicate positions cost nothing and the dedup
+    exchange bought nothing. At 100 TB you'd size m from the build
+    side's NDV (~10 bits/key for 1% FP) exactly as dedup's bloom
+    prefilter documents."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
 
     def pos(j, key_col):
-        return (
-            F.conv(F.substring(F.md5(key_col.cast("string")), 1 + 8 * j, 8), 16, 10)
-            .cast("long") % SJR_BITS
-        )
+        return F.pmod(F.xxhash64(key_col, F.lit(j)), F.lit(SJR_BITS))
 
     build_pos = orders.select(
         F.explode(F.array(*[pos(j, F.col("o_orderkey")) for j in range(SJR_HASHES)])).alias("p")
-    ).distinct()
+    )
     words = build_pos.groupBy((F.col("p") / SJR_WORD).cast("long").alias("w")).agg(
         F.expr(f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % {SJR_WORD} AS INT)))").alias("bits")
     )
-    # The bit-array is consumed once per hash function below; without
-    # materialization each per-j projection is a distinct broadcast subtree
-    # that re-runs the build aggregate. <= SJR_BITS/64 rows, so pinning it
-    # with localCheckpoint makes the build provably one job.
-    words = words.localCheckpoint()
-    probed = li
-    for j in range(SJR_HASHES):
-        wj = words.select(F.col("w").alias(f"w{j}"), F.col("bits").alias(f"bits{j}"))
+    wmap = words.agg(
+        F.map_from_arrays(F.collect_list("w"), F.collect_list("bits")).alias("wm")
+    )
+
+    def bit_set(j):
         pj = pos(j, F.col("l_orderkey"))
-        probed = (
-            probed.withColumn(f"p{j}", pj)
-            .join(F.broadcast(wj), (F.col(f"p{j}") / SJR_WORD).cast("long") == F.col(f"w{j}"), "left")
-            .filter(
-                F.col(f"bits{j}").isNotNull()
-                & (
-                    F.col(f"bits{j}").bitwiseAND(
-                        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p{j} % {SJR_WORD} AS INT))")
-                    )
-                    != 0
-                )
-            )
-            .drop(f"p{j}", f"w{j}", f"bits{j}")
+        wbits = F.element_at(F.col("wm"), (pj / SJR_WORD).cast("long"))
+        # call_function: F.shiftleft only takes a literal bit count
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pj % SJR_WORD).cast("int")
         )
+        return wbits.isNotNull() & (wbits.bitwiseAND(mask) != 0)
+
+    probed = (
+        li.join(F.broadcast(wmap), how="cross")
+        .filter(bit_set(0) & bit_set(1))
+        .drop("wm")
+    )
     return (
         probed.join(orders, probed.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderpriority")

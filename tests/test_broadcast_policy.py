@@ -31,8 +31,9 @@ ALLOWED: dict[str, set[str]] = {
     # cells: fixed 4x256 count-min grid; r: region (5 rows); the rest are
     # 1-row aggregate scalars (s = the median pass's n/maxc stats frame)
     "aggregates.py": {"cells", "e", "inter", "med", "n", "p90", "r", "s", "stats", "target"},
-    # words: bounded bloom bit-array (<= 8 KiB by construction)
-    "dedup.py": {"words"},
+    # wmap: the bounded bloom bit-array (<= 8 KiB by construction) folded
+    # into a one-row (word -> bits) map
+    "dedup.py": {"wmap"},
     # base: 24 hour-of-day rows; tot: 1-row
     "events.py": {"base", "tot"},
     # 1-row scalars (after/before/horizon/lent/nb/nbase/overall/span/tot/
@@ -40,18 +41,20 @@ ALLOWED: dict[str, set[str]] = {
     # (cuts/lam: 4096 buckets), per-lang/source/type bounded frames
     # (alloc/cols_/rows_/mad/med/nn/rates/sizes/sized/stats/tc),
     # fixed query/seed batches (queries/probes/seeds), region dim (r/reg),
-    # per-arm stats (s)
+    # per-arm stats (s); qadj/existing/dq: the link-prediction seed
+    # frontier and its derivatives, bounded by LP_SEEDS x max-degree (the
+    # query batch, never the graph)
     "llmops.py": {
         "after", "alloc", "base", "before", "cb", "cols_", "csub", "cuts",
-        "horizon", "lam", "lent", "lut", "mad", "med", "n", "nb", "nbase",
-        "nn", "overall", "probes", "queries", "r", "rates", "reg", "rows_",
-        "seeds", "sized", "sizes", "span", "stats", "summary", "tc",
-        "tot", "total",
+        "dq", "existing", "horizon", "lam", "lent", "lut", "mad", "med",
+        "n", "nb", "nbase", "nn", "overall", "probes", "qadj", "queries",
+        "r", "rates", "reg", "rows_", "seeds", "sized", "sizes", "span",
+        "stats", "summary", "tc", "tot", "total",
     },
-    # nation/region fixed dims; wj: bounded bloom words; c/p: the two
-    # documented hint-is-the-operator demos (join_range_theta,
+    # nation/region fixed dims; wmap: bounded bloom words as a 1-row map;
+    # c/p: the two documented hint-is-the-operator demos (join_range_theta,
     # join_broadcast_hint); n/r: nation/region aliases
-    "relational.py": {"c", "n", "nation", "p", "r", "region", "wj"},
+    "relational.py": {"c", "n", "nation", "p", "r", "region", "wmap"},
     # fixed-K centroids/codebooks, fixed query/probe batches, 1-row scalars
     "similarity.py": {"cent", "centers", "centroids", "nd", "probes", "queries", "qv", "tot", "v"},
     # 1-row corpus scalars
