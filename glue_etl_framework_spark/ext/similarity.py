@@ -377,6 +377,28 @@ def hyperplane_signs(plane: int, dim: int = 64) -> list[int]:
     ]
 
 
+def band_value_sql(b: int, band_bits: int, dim: int, q_col: str = "q") -> str:
+    """Spark-SQL text of hyperplane band b's value over a quantized BIGINT
+    array column — semantically identical to the unrolled Column build
+    (same zip_with/aggregate/CASE tree after parsing), but ONE F.expr
+    parse instead of band_bits x dim py4j literal round-trips. r15
+    optimization: profiling showed the banded queries spent ~60% of their
+    wall in Python-side plan CONSTRUCTION (~0.7 s per 8x64 sign-array
+    batch of F.lit calls), not execution; the SQL-string form builds in
+    ~1 ms. Value parity with the old build is pinned by the unchanged
+    DuckDB oracles and tests/test_simhash_banding.py."""
+    bits = []
+    for k in range(band_bits):
+        signs = hyperplane_signs(b * band_bits + k, dim)
+        arr = "array(" + ",".join(str(s) for s in signs) + ")"
+        proj = (
+            f"aggregate(zip_with(`{q_col}`, {arr}, (x, s) -> x * CAST(s AS BIGINT)), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << k} ELSE 0 END)")
+    return " + ".join(bits)
+
+
 def quantize_embeddings(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -413,18 +435,10 @@ def banded_signatures(
     an explicit band_bits bypasses it)."""
     if not 1 <= band_bits <= 63:
         raise ValueError("band_bits must be in [1, 63] (bit 63 would overflow LongType)")
-    band_cols = []
-    for b in range(n_bands):
-        bits = []
-        for k in range(band_bits):
-            signs = F.array(*[F.lit(s) for s in hyperplane_signs(b * band_bits + k, dim)])
-            proj = F.aggregate(
-                F.zip_with(F.col(q_col), signs, lambda x, s: x * s.cast("long")),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0)))
-        band_cols.append(sum(bits[1:], bits[0]).alias(f"band{b}"))
+    band_cols = [
+        F.expr(band_value_sql(b, band_bits, dim, q_col)).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
     return qdf.select(
         "vec_id", F.posexplode(F.array(*band_cols)).alias("bidx", "bv")
     )

@@ -599,19 +599,13 @@ def similarity_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataF
     scale shape as similarity_lsh_hyperplane_pairs, but set-vs-set instead
     of self-join."""
     v = _quantized(spark, sf_dir)
-    band_cols = []
-    for b in range(N_HYPERPLANES // _BAND_BITS):
-        bits = []
-        for k in range(_BAND_BITS):
-            j = b * _BAND_BITS + k
-            signs = F.array(*[F.lit(s) for s in _hyperplane_signs(j)])
-            proj = F.aggregate(
-                F.zip_with(F.col("q"), signs, lambda x, s: x * s.cast("long")),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0)))
-        band_cols.append(sum(bits[1:], bits[0]).alias(f"band{b}"))
+    # One SQL-string parse per band (r15 — see ext.similarity.band_value_sql)
+    from glue_etl_framework_spark.ext.similarity import band_value_sql
+
+    band_cols = [
+        F.expr(band_value_sql(b, _BAND_BITS, 64, "q")).alias(f"band{b}")
+        for b in range(N_HYPERPLANES // _BAND_BITS)
+    ]
     sig = v.select("vec_id", F.posexplode(F.array(*band_cols)).alias("bidx", "bv"))
     is_ref = F.col("vec_id") % REF_CORPUS_MOD == 0
     bench = sig.filter(is_ref).select(F.col("vec_id").alias("ref_id"), "bidx", "bv")
@@ -769,20 +763,15 @@ def _semdedup_band_members(v: DataFrame, assign: DataFrame) -> DataFrame:
     Shared with tools_probe_semdedup_funnel so occupancy probes measure
     the SAME bucketing the (cell, band) cap acts on (r15 review: the
     probe previously copy-pasted this construction and could silently
-    diverge)."""
-    band_cols = []
-    for b in range(N_HYPERPLANES // _BAND_BITS):
-        bits = []
-        for k in range(_BAND_BITS):
-            j = b * _BAND_BITS + k
-            signs = F.array(*[F.lit(s) for s in _hyperplane_signs(j)])
-            proj = F.aggregate(
-                F.zip_with(F.col("q"), signs, lambda x, s: x * s.cast("long")),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0)))
-        band_cols.append(sum(bits[1:], bits[0]).alias(f"band{b}"))
+    diverge). Band values build as one SQL-string parse per band (r15
+    optimization — see ext.similarity.band_value_sql: the unrolled
+    F.lit construction dominated the builder's wall in py4j calls)."""
+    from glue_etl_framework_spark.ext.similarity import band_value_sql
+
+    band_cols = [
+        F.expr(band_value_sql(b, _BAND_BITS, 64, "q")).alias(f"band{b}")
+        for b in range(N_HYPERPLANES // _BAND_BITS)
+    ]
     sig = v.select("vec_id", *band_cols)
     return assign.join(sig, "vec_id").select(
         "vec_id", "cid", F.posexplode(F.array("band0", "band1")).alias("bidx", "bv")
@@ -1414,12 +1403,16 @@ def similarity_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFram
         b, F.col("vec_b") == F.col("vec_a") + 250
     )
 
-    def proj(vec_col, j):
-        signs = F.array(*[F.lit(s) for s in _hyperplane_signs(100 + j)])
-        return F.aggregate(
-            F.zip_with(vec_col, signs, lambda x, s: x * s.cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+    # Projections as ONE SQL-string parse (r15 — see
+    # ext.similarity.band_value_sql): the unrolled build evaluated 4
+    # proj trees per dim x 64 F.lit py4j calls each (~4k round trips per
+    # invocation) purely to CONSTRUCT the plan; the parsed tree is
+    # shape-identical, so execution and values are unchanged.
+    def proj_sql(col, j):
+        arr = "array(" + ",".join(str(s) for s in _hyperplane_signs(100 + j)) + ")"
+        return (
+            f"aggregate(zip_with(`{col}`, {arr}, (x, s) -> x * CAST(s AS BIGINT)), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         )
 
     d_full = F.aggregate(
@@ -1427,11 +1420,13 @@ def similarity_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFram
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    d_proj_terms = [
-        (proj(F.col("qa"), j) - proj(F.col("qb"), j)) * (proj(F.col("qa"), j) - proj(F.col("qb"), j))
-        for j in range(JL_DIMS)
-    ]
-    d_proj_raw = sum(d_proj_terms[1:], d_proj_terms[0])
+    d_proj_raw = F.expr(
+        " + ".join(
+            f"(({proj_sql('qa', j)}) - ({proj_sql('qb', j)}))"
+            f" * (({proj_sql('qa', j)}) - ({proj_sql('qb', j)}))"
+            for j in range(JL_DIMS)
+        )
+    )
     return (
         pairs.select("vec_a", "vec_b", d_full.alias("d_full"), d_proj_raw.alias("d_proj_raw"))
         .filter(F.col("d_full") > 0)
