@@ -644,9 +644,14 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     measure sketch error at test scale; a production frequency service
     ships the 8 KiB cell table alone. All hashing is md5 byte-slices, so
     the full sketch — not just the verdict — is cross-engine identical."""
+    # The token stream feeds the sketch build AND the exact-count audit;
+    # the shared subtree has no exchange, so nothing is reusable and the
+    # scan+split+explode ran twice. Eager checkpoint = one pass (r15,
+    # probes/abx_r15opt_ckpt3.txt).
     toks = (
         t(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("tok"))
+        .localCheckpoint(eager=True)
     )
     cells = cm_cells(toks)
     counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
@@ -739,7 +744,15 @@ def agg_exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned windows run over the 4096-bin histogram and one bin's
     distinct values — both bounded (plan-audit allowlisted)."""
     li = t(spark, sf_dir, "lineitem")
-    vals = li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"))
+    # `vals` feeds four consumers (stats, the binning pass, and both
+    # pass-2 bin re-scans); the shared subtree is scan+project with no
+    # exchange, so each consumer re-scanned the table. One eager
+    # checkpoint of the single 8-byte column = one scan (r15,
+    # probes/abx_r15opt_ckpt3.txt); pass 2 stays a block re-read of only
+    # the target bin's values.
+    vals = li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")).localCheckpoint(
+        eager=True
+    )
     s = (
         vals.agg(F.count("*").alias("n"), F.max("c").alias("maxc"))
         .withColumn("kmed", F.expr("(n + 1) div 2"))

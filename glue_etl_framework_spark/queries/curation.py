@@ -156,17 +156,19 @@ def pipeline_training_data_curation(
         .select("r.doc_id", "r.lang", "r.text", "r.n_tokens")
     )
     # `exact` feeds BOTH the shingle/minhash branch and the final anti-join
-    # (a diamond — Spark recomputes it once per branch). Persisting it is a
-    # wash at sf0.1 (cache store ≈ recompute cost for this cheap scan) but
-    # wins when the upstream scan is expensive; opt in at scale.
+    # (a diamond whose two consumers prune DIFFERENT columns, so their
+    # exchanges never match for AQE reuse and the scan+quality+min_by agg
+    # ran twice). Eagerly checkpointed since r15 (interleaved A/B: 2.96s
+    # -> 2.04s min-of-medians at sf0.1, probes/abx_r15opt_ckpt2.txt);
+    # persist_intermediate remains the caller-facing knob for
+    # cluster-scale storage-level control.
+    exact = exact.localCheckpoint(eager=True)
     if persist_intermediate:
         from pyspark.storagelevel import StorageLevel
 
         exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
     if metrics is not None:
-        # Materialize once (the metrics run reads `exact` for this count,
-        # the shingle branch, and the final anti-join) and count it.
-        exact = exact.localCheckpoint(eager=False)
+        # `exact` is already checkpointed above; the count reads blocks.
         n_exact = exact.count()
         metrics["exact_removed"] = (
             metrics["input_docs"] - metrics["quality_removed"] - n_exact
@@ -462,10 +464,16 @@ def pipeline_incremental_ingest(
     words = F.split(F.col("text"), " ")
     n_tokens = F.size(words)
     diversity = F.size(F.array_distinct(words)).cast("double") / n_tokens
+    # Two consumers (the shingle/bloom branch and the final verdict join)
+    # prune different columns (text vs n_tokens), so their scans never
+    # share and the quality predicates (split + array_distinct per row)
+    # evaluated twice. Eager checkpoint = one quality pass (r15,
+    # probes/abx_r15opt_ckpt3.txt).
     incoming = (
         d.filter(F.col("source") != "src0")
         .filter(n_tokens.between(MIN_TOKENS, MAX_TOKENS) & (diversity > MIN_DIVERSITY))
         .select("doc_id", "text", n_tokens.cast("long").alias("n_tokens"))
+        .localCheckpoint(eager=True)
     )
     per_shingle, truth = bloom_shingle_frames(
         incoming.select("doc_id", "text"),

@@ -204,7 +204,13 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     make every sum order-independent and oracle-hashable."""
     d = t(spark, sf_dir, "documents")
     bg = d.select("doc_id", F.explode(F.expr(BIGRAM_REGEX)).alias("bigram"))
-    split = bg.select("doc_id", "bigram", F.substring_index("bigram", " ", 1).alias("w1"))
+    # Three consumers (both frequency aggregates + the scoring join), a
+    # shared subtree with no exchange — the regex explode ran three
+    # times. Eager checkpoint = one extraction pass (r15,
+    # probes/abx_r15opt_ckpt3.txt).
+    split = bg.select(
+        "doc_id", "bigram", F.substring_index("bigram", " ", 1).alias("w1")
+    ).localCheckpoint(eager=True)
     bfreq = split.groupBy("bigram").agg(F.count("*").alias("cb"))
     ufreq = split.groupBy("w1").agg(F.count("*").alias("cu"))
     lp = F.round(F.log(F.col("cb").cast("double") / F.col("cu")) * LM_SCALE).cast("long")
@@ -1318,9 +1324,15 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: aws-samples/glue-etl-framework has no dedup surface (EXT,
     north star BASELINE.json:6)."""
     d = t(spark, sf_dir, "documents")
+    # The window stream feeds two consumers whose exchanges DIFFER (the
+    # dup aggregate exchanges partial min/max rows; the join side
+    # exchanges raw (doc_id, h)), so AQE's ReusedExchange cannot share
+    # them and the scan+regex+md5 ran twice. Eager checkpoint = one pass
+    # (r15; contrast dedup_prefix_filter_jaccard where the consumers'
+    # exchanges are identical and checkpointing LOST).
     w = d.select(
         "doc_id", F.explode(F.expr(WIN_REGEX)).alias("win")
-    ).select("doc_id", F.md5("win").alias("h"))
+    ).select("doc_id", F.md5("win").alias("h")).localCheckpoint(eager=True)
     dup = (
         w.groupBy("h")
         .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
