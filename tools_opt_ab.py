@@ -52,6 +52,9 @@ def main() -> None:
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
             )
             (plans_dir / f"{name}_{args.tag}.txt").write_text(formatted)
+        if args.runs < 1:  # plan-only capture
+            print(f"{name}: plan written", flush=True)
+            continue
         spark.sparkContext.setJobDescription(f"{name} [{args.tag}] warmup")
         fn(spark, args.sf).write.format("noop").mode("overwrite").save()
         runs = []
