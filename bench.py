@@ -324,19 +324,36 @@ def main() -> None:
         json.dumps(detail, indent=2) + "\n"
     )
     print(json.dumps(detail))
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "sf": sf_val,
-                "n_queries": len(timings),
-                "box_cal_sec": detail["box_cal_sec"],
-                "jvm_cal_sec": jvm_cal,
-                "queries_detail_file": "BENCH_DETAIL.json",
-            }
-        )
+    print(final_summary_line(timings, sf_val, detail["box_cal_sec"], jvm_cal))
+
+
+def final_summary_line(
+    timings: dict[str, float], sf_val, box_cal: float, jvm_cal: float
+) -> str:
+    """The contract line: ONE JSON object whose LAST-line position and
+    length both matter. The driver's stdout tail capture is 2000 chars
+    (measured: BENCH_r15.json's recorded tail is exactly 2000), and its
+    per-query comparator went blind in r14/r15 (`PERF per_query: {}`)
+    because the queries dict lived only in the longer detail line, whose
+    FRONT the tail truncated mid-JSON. Fix (VERDICT r15 item 6): put the
+    per-query dict IN the final line — as the driver contract always
+    specified — at 2-decimal precision with compact separators so the
+    whole line stays under the window even at worst-case digit widths
+    (tests/test_bench_guard.py pins the worst-case length < 1990).
+    Full 4-decimal detail still goes to BENCH_DETAIL.json and the earlier
+    detail stdout line; timing methodology is unchanged."""
+    return json.dumps(
+        {
+            "metric": "headline_query_wall_seconds",
+            "value": round(sum(timings.values()), 4),
+            "unit": "sec",
+            "queries": {n: round(s, 2) for n, s in timings.items()},
+            "sf": sf_val,
+            "n_queries": len(timings),
+            "box_cal_sec": round(box_cal, 4),
+            "jvm_cal_sec": round(jvm_cal, 4),
+        },
+        separators=(",", ":"),
     )
 
 

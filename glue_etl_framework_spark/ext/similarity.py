@@ -70,6 +70,41 @@ def assert_vector_dim(df: DataFrame, vec_col: str, dim: int) -> None:
         )
 
 
+def float_array_sql(vals: list[float]) -> str:
+    """Spark-SQL text of an array<double> literal whose elements are
+    EXACTLY the given Python floats. ``repr(float)`` emits the shortest
+    decimal that round-trips to the same IEEE-754 double, and Spark's
+    decimal/scientific literal -> DOUBLE conversion is correctly rounded,
+    so ``CAST(<repr> AS DOUBLE)`` reconstructs the identical bits (pinned
+    value- and bit-exact by tests/test_r16_optimizations.py). Used by the
+    float-plane signature builder below — the r15 band_value_sql treatment
+    (one F.expr parse instead of dim x planes py4j F.lit round trips)
+    extended to non-integer components (VERDICT r15 item 5)."""
+    return "array(" + ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in vals) + ")"
+
+
+def table_sig_sql(table: int, dim: int, n_planes: int, vec_col: str) -> str:
+    """Spark-SQL text of hyperplane table ``table``'s signature value over
+    a float-array column — semantically identical to the unrolled Column
+    build it replaced in hyperplane_signatures (same zip_with/aggregate/
+    CASE tree after parsing; the reference construction is kept in
+    tests/test_r16_optimizations.py and pinned value- and dtype-equal)."""
+    ident = vec_col.replace("`", "``")
+    bits = []
+    for p in range(n_planes):
+        arr = float_array_sql(_hyperplane(dim, p, table))
+        dot = (
+            f"aggregate(zip_with(`{ident}`, {arr}, "
+            f"(x, c) -> CAST(x AS DOUBLE) * c), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        bits.append(
+            f"(CASE WHEN {dot} > 0.0 THEN CAST({1 << p} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    return " + ".join(bits)
+
+
 def hyperplane_signatures(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -84,7 +119,15 @@ def hyperplane_signatures(
     Contract: every vector must have exactly ``dim`` components — the
     plan-pure construction cannot check this itself (r15 review: a
     mismatch nulls the zip_with products and would silently zero every
-    signature); API entry points validate via assert_vector_dim."""
+    signature); API entry points validate via assert_vector_dim.
+
+    r16 (guide §1.2 step 2, the band_value_sql treatment): each table's
+    signature parses as ONE SQL string. The previous unrolled build made
+    dim x n_planes x n_tables F.lit py4j round trips (64x12x3 ≈ 2.3k) per
+    call — ~0.9 s of driver-side plan construction; the SQL text builds in
+    ~1 ms and parses to the same expression tree, so execution is
+    untouched (float literals reconstruct bit-exactly, see
+    float_array_sql)."""
     if not 1 <= n_planes <= 63:
         raise ValueError(
             "n_planes must be in [1, 63] (bit 63 would overflow LongType "
@@ -92,20 +135,9 @@ def hyperplane_signatures(
         )
     out = df
     for t in range(n_tables):
-        sig = F.lit(0).cast("long")
-        for p in range(n_planes):
-            plane = _hyperplane(dim, p, t)
-            dot = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(c) for c in plane]),
-                    lambda x, c: x.cast("double") * c,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            sig = sig + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-        out = out.withColumn(f"sig_{t}", sig)
+        out = out.withColumn(
+            f"sig_{t}", F.expr(table_sig_sql(t, dim, n_planes, vec_col))
+        )
     return out
 
 
@@ -387,12 +419,16 @@ def band_value_sql(b: int, band_bits: int, dim: int, q_col: str = "q") -> str:
     batch of F.lit calls), not execution; the SQL-string form builds in
     ~1 ms. Value parity with the old build is pinned by the unchanged
     DuckDB oracles and tests/test_simhash_banding.py."""
+    # Backtick-escape the interpolated column name (ADVICE r15): every
+    # current caller passes a safe internal name, but a name containing a
+    # backtick would otherwise produce malformed/injected SQL.
+    q_ident = q_col.replace("`", "``")
     bits = []
     for k in range(band_bits):
         signs = hyperplane_signs(b * band_bits + k, dim)
         arr = "array(" + ",".join(str(s) for s in signs) + ")"
         proj = (
-            f"aggregate(zip_with(`{q_col}`, {arr}, (x, s) -> x * CAST(s AS BIGINT)), "
+            f"aggregate(zip_with(`{q_ident}`, {arr}, (x, s) -> x * CAST(s AS BIGINT)), "
             f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         )
         bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << k} ELSE 0 END)")

@@ -99,7 +99,20 @@ def register(name: str, oracle: str | None, category: str, window_rank: int = 0)
 # 0.2-0.5 s of pure inference per run. Keyed on the path so distinct SFs /
 # temp fixtures never collide; per-process, so every bench/driver
 # invocation still derives it from the parquet footers once.
+#
+# Invalidation contract (ADVICE r15): there is none, by design — fixtures
+# are immutable per process (TESTDATA.md: the driver's testdata is
+# read-only; tests that synthesize tables write to fresh tmp paths). A tool
+# that REWRITES a parquet file at a path it already read through t() must
+# call clear_schema_cache() first, or a stale schema would be force-applied
+# to the new footers (nulls or execution errors instead of re-inference).
 _SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
+def clear_schema_cache() -> None:
+    """Drop every cached StructType — for tools that rewrite a fixture
+    in-place within one process (see _SCHEMA_CACHE's contract above)."""
+    _SCHEMA_CACHE.clear()
 
 
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

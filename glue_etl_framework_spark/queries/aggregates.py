@@ -647,11 +647,15 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The token stream feeds the sketch build AND the exact-count audit;
     # the shared subtree has no exchange, so nothing is reusable and the
     # scan+split+explode ran twice. Eager checkpoint = one pass (r15,
-    # probes/abx_r15opt_ckpt3.txt).
-    toks = (
+    # probes/abx_r15opt_ckpt3.txt). DATA_SIZED (r16, VERDICT item 3): the
+    # exploded token stream is input-proportional, so its storage class is
+    # audited and its level parameterized — see ckpt policy.
+    from glue_etl_framework_spark.ckpt import DATA_SIZED, checkpoint_shared
+
+    toks = checkpoint_shared(
         t(spark, sf_dir, "documents")
-        .select(F.explode(F.split("text", " ")).alias("tok"))
-        .localCheckpoint(eager=True)
+        .select(F.explode(F.split("text", " ")).alias("tok")),
+        size_class=DATA_SIZED,
     )
     cells = cm_cells(toks)
     counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
@@ -749,9 +753,13 @@ def agg_exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange, so each consumer re-scanned the table. One eager
     # checkpoint of the single 8-byte column = one scan (r15,
     # probes/abx_r15opt_ckpt3.txt); pass 2 stays a block re-read of only
-    # the target bin's values.
-    vals = li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")).localCheckpoint(
-        eager=True
+    # the target bin's values. DATA_SIZED (r16): one long per input row is
+    # still input-proportional — level parameterized, evictable default (ckpt policy).
+    from glue_etl_framework_spark.ckpt import DATA_SIZED, checkpoint_shared
+
+    vals = checkpoint_shared(
+        li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")),
+        size_class=DATA_SIZED,
     )
     s = (
         vals.agg(F.count("*").alias("n"), F.max("c").alias("maxc"))

@@ -161,8 +161,11 @@ def pipeline_training_data_curation(
     # ran twice). Eagerly checkpointed since r15 (interleaved A/B: 2.96s
     # -> 2.04s min-of-medians at sf0.1, probes/abx_r15opt_ckpt2.txt);
     # persist_intermediate remains the caller-facing knob for
-    # cluster-scale storage-level control.
-    exact = exact.localCheckpoint(eager=True)
+    # cluster-scale storage-level control. DATA_SIZED (r16): survivor text
+    # rows are corpus-proportional — level parameterized, evictable default (ckpt policy).
+    from glue_etl_framework_spark.ckpt import DATA_SIZED, checkpoint_shared
+
+    exact = checkpoint_shared(exact, size_class=DATA_SIZED)
     if persist_intermediate:
         from pyspark.storagelevel import StorageLevel
 
@@ -468,12 +471,15 @@ def pipeline_incremental_ingest(
     # prune different columns (text vs n_tokens), so their scans never
     # share and the quality predicates (split + array_distinct per row)
     # evaluated twice. Eager checkpoint = one quality pass (r15,
-    # probes/abx_r15opt_ckpt3.txt).
-    incoming = (
+    # probes/abx_r15opt_ckpt3.txt). DATA_SIZED (r16): quality-gated text
+    # rows are batch-proportional — level parameterized, evictable default (ckpt policy).
+    from glue_etl_framework_spark.ckpt import DATA_SIZED, checkpoint_shared
+
+    incoming = checkpoint_shared(
         d.filter(F.col("source") != "src0")
         .filter(n_tokens.between(MIN_TOKENS, MAX_TOKENS) & (diversity > MIN_DIVERSITY))
-        .select("doc_id", "text", n_tokens.cast("long").alias("n_tokens"))
-        .localCheckpoint(eager=True)
+        .select("doc_id", "text", n_tokens.cast("long").alias("n_tokens")),
+        size_class=DATA_SIZED,
     )
     per_shingle, truth = bloom_shingle_frames(
         incoming.select("doc_id", "text"),

@@ -234,6 +234,7 @@ def _minhash_candidates(
     sh: DataFrame,
     max_bucket_size: int | None = None,
     cap_metrics: dict | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs from a (doc_id, shingle) frame (the body
     of dedup_minhash_lsh, reusable against a shared/materialized shingle
@@ -253,8 +254,15 @@ def _minhash_candidates(
     one band (p ~ n_docs^2/2^65 per band — the same documented trade as
     the r9 shingle-token hashing, certified end-to-end by the driver
     hash-match). The self-join shuffle moves ~4x less key volume and skips
-    4 md5 digests per doc."""
-    sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
+    4 md5 digests per doc.
+
+    ``sig``: optional precomputed signature frame (doc_id, s0..s7, extra
+    columns ignored) — callers that also need per-doc shingle counts fuse
+    the two into ONE aggregate over the shingle stream and pass it here
+    (r16: dedup_minhash_verified; one map pass + one doc_id exchange
+    instead of two of each)."""
+    if sig is None:
+        sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
     band_structs = F.array(
         *[
             F.struct(
@@ -464,10 +472,30 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans the four subtrees independently — no automatic exchange reuse
     across differently-keyed downstream joins; eager, because concurrent
     first-materialization of a lazy checkpoint races block registration).
-    30% faster at sf0.1 (2.1s -> 1.5s)."""
-    sh = _shingles(spark, sf_dir).localCheckpoint(eager=True)
-    cand = _minhash_candidates(sh)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    30% faster at sf0.1 (2.1s -> 1.5s). DATA_SIZED: the shingle stream is
+    input-proportional — audited size class, level parameterized (ckpt policy).
+
+    r16 (guide §2.3 "aggregate before you shuffle", §2.4): the signature
+    aggregate and the per-doc size aggregate were two independent full
+    passes over the checkpointed shingle stream, each with its own doc_id
+    exchange. They now FUSE into one groupBy (min-signatures + count are
+    both partial-aggregable), so the stream is map-scanned and exchanged
+    once; sizes project off the fused frame. Same values by construction
+    (each doc's rows all reach the one aggregate). The fused frame is
+    itself checkpointed: without that, column pruning splits the
+    aggregate back per consumer (the bands branch keeps s0..s7, the sizes
+    branch keeps only n) and the exchanges stop matching — the exact
+    non-reuse the fusion exists to fix. One narrow row per doc
+    (DATA_SIZED, ~80 B/doc)."""
+    from glue_etl_framework_spark.ckpt import DATA_SIZED, checkpoint_shared
+
+    sh = checkpoint_shared(_shingles(spark, sf_dir), size_class=DATA_SIZED)
+    per_doc = checkpoint_shared(
+        sh.groupBy("doc_id").agg(*_minhash_sig_cols(), F.count("*").alias("n")),
+        size_class=DATA_SIZED,
+    )
+    cand = _minhash_candidates(sh, sig=per_doc)
+    sizes = per_doc.select("doc_id", "n")
     # Verify-stage token compression (round 10, VERDICT r09 item 6): the
     # exact-Jaccard verify only needs intersection COUNTS, so both verify
     # sides shuffle xxhash64 tokens (8-byte longs) instead of ~30-byte
@@ -945,7 +973,15 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.xxhash64("shingle").alias("shingle")
     )
     # Global document frequency per shingle: the ordering key of the
-    # canonical prefix order (shingle-keyed agg; same key as the probe join).
+    # canonical prefix order (shingle-keyed agg; same key as the probe
+    # join). r16 measured-and-REVERTED: a shingle-partitioned window
+    # count looked like one exchange saved, but the aggregate's output
+    # (distinct shingles) is small enough that the attach plans as a
+    # BROADCAST hash join — no shuffle of sh at all — while the window
+    # forces a full exchange+sort of the shingle stream (interleaved A/B
+    # burst: 2.58s -> 3.13s; plan: 34 -> 14 BroadcastHashJoin,
+    # +20 Window/+10 Sort). Same lesson as the r15 checkpoint revert:
+    # static-plan arithmetic loses to what AQE/broadcast actually executes.
     df_ct = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     sized = sh.join(df_ct, "shingle")
     rn = F.row_number().over(
@@ -1073,6 +1109,14 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.lit(i) for i in range(1, SN_WINDOW)])).alias("off"),
     ).select("bucket", "id_a", (F.col("rn") + F.col("off")).alias("target"))
     b = ranked.select("bucket", F.col("doc_id").alias("id_b"), F.col("rn").alias("target"))
+    # r16 measured-and-REVERTED: checkpointing `cand` for its three
+    # consumers in _verify_jaccard_pairs (flagged in OPTIMIZATION_r15
+    # "Not yet optimized") read mildly SLOWER at every scale tried
+    # (1.01x sf0.1, 1.06x/1.08x at 10x realistic, grouped+isolated
+    # ladders) — the three consumer subtrees are identical through the
+    # distinct's exchange, so AQE ReusedExchange already shares them and
+    # the checkpoint only added a serial materialization barrier (the
+    # dedup_prefix_filter_jaccard r15 lesson again).
     cand = (
         a.join(b, ["bucket", "target"])
         .select(

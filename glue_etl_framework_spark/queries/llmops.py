@@ -207,10 +207,16 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Three consumers (both frequency aggregates + the scoring join), a
     # shared subtree with no exchange — the regex explode ran three
     # times. Eager checkpoint = one extraction pass (r15,
-    # probes/abx_r15opt_ckpt3.txt).
-    split = bg.select(
-        "doc_id", "bigram", F.substring_index("bigram", " ", 1).alias("w1")
-    ).localCheckpoint(eager=True)
+    # probes/abx_r15opt_ckpt3.txt). DATA_SIZED (r16): the exploded bigram
+    # stream is input-proportional — level parameterized, evictable default (ckpt policy).
+    from glue_etl_framework_spark.ckpt import DATA_SIZED, checkpoint_shared
+
+    split = checkpoint_shared(
+        bg.select(
+            "doc_id", "bigram", F.substring_index("bigram", " ", 1).alias("w1")
+        ),
+        size_class=DATA_SIZED,
+    )
     bfreq = split.groupBy("bigram").agg(F.count("*").alias("cb"))
     ufreq = split.groupBy("w1").agg(F.count("*").alias("cu"))
     lp = F.round(F.log(F.col("cb").cast("double") / F.col("cu")) * LM_SCALE).cast("long")
@@ -944,7 +950,20 @@ def dedup_minhash_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     reused per batch (append-only index), so per-batch cost is
     O(batch shingles + candidate pairs), independent of corpus size. The
     shared shingle frame is checkpointed once for its four consumers (the
-    dedup_minhash_verified lesson)."""
+    dedup_minhash_verified lesson; DATA_SIZED per the ckpt policy).
+
+    r16 (guide §2.3 "aggregate before you shuffle"): the new-side
+    signatures, ref-side signatures, and per-doc sizes were THREE
+    independent full aggregates over the checkpointed shingle stream —
+    three map passes, three doc_id exchanges. Every doc's shingles carry
+    one constant source, so signatures grouped over ALL docs then split by
+    source are identical to per-side aggregates; fusing sigs + count +
+    max(source) into ONE groupBy leaves one map pass and one exchange,
+    with the band/size consumers projecting off the fused frame. The
+    fused frame is checkpointed (one narrow row per doc): without that,
+    column pruning splits the aggregate back per consumer and the
+    exchanges stop matching (see dedup_minhash_verified)."""
+    from glue_etl_framework_spark.ckpt import DATA_SIZED, checkpoint_shared
     from glue_etl_framework_spark.queries.dedup import (
         BAND_SIZE,
         N_MINHASH,
@@ -953,32 +972,37 @@ def dedup_minhash_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = t(spark, sf_dir, "documents")
-    sh = (
+    sh = checkpoint_shared(
         d.select("doc_id", "source", F.explode(F.expr(SHINGLE_REGEX)).alias("shingle"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        size_class=DATA_SIZED,
     )
-
-    def bands_of(side_filter):
-        # Band keys are xxhash64 longs where the oracle keys on md5
-        # strings — identical bucket partitions over the same md5-exact
-        # signature pairs (see dedup._minhash_candidates, round 10).
-        sig = sh.filter(side_filter).groupBy("doc_id").agg(*_minhash_sig_cols())
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(F.concat(F.col(f"s{2*b}"), F.col(f"s{2*b+1}"))).alias("bh"),
-                )
-                for b in range(N_MINHASH // BAND_SIZE)
-            ]
-        )
-        return sig.select("doc_id", F.explode(band_structs).alias("x")).select(
-            "doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
-        )
-
-    bands_new = bands_of(F.col("source") != BENCH_SOURCE).alias("n")
-    bands_ref = bands_of(F.col("source") == BENCH_SOURCE).alias("r")
+    per_doc = checkpoint_shared(
+        sh.groupBy("doc_id").agg(
+            *_minhash_sig_cols(),
+            F.count("*").alias("n"),
+            # constant per doc (a doc has ONE source); max() is deterministic
+            F.max("source").alias("source"),
+        ),
+        size_class=DATA_SIZED,
+    )
+    # Band keys are xxhash64 longs where the oracle keys on md5 strings —
+    # identical bucket partitions over the same md5-exact signature pairs
+    # (see dedup._minhash_candidates, round 10).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat(F.col(f"s{2*b}"), F.col(f"s{2*b+1}"))).alias("bh"),
+            )
+            for b in range(N_MINHASH // BAND_SIZE)
+        ]
+    )
+    bands = per_doc.select("doc_id", "source", F.explode(band_structs).alias("x")).select(
+        "doc_id", "source", F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
+    )
+    bands_new = bands.filter(F.col("source") != BENCH_SOURCE).drop("source").alias("n")
+    bands_ref = bands.filter(F.col("source") == BENCH_SOURCE).drop("source").alias("r")
     cand = (
         bands_new.join(
             bands_ref,
@@ -989,7 +1013,7 @@ def dedup_minhash_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = per_doc.select("doc_id", "n")
     # Verify-stage token compression (round 10): exact-Jaccard counts over
     # xxhash64 tokens instead of shingle strings — 8-byte longs through
     # both verify shuffles; signatures upstream stay md5-of-string (see
@@ -1329,10 +1353,15 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchanges raw (doc_id, h)), so AQE's ReusedExchange cannot share
     # them and the scan+regex+md5 ran twice. Eager checkpoint = one pass
     # (r15; contrast dedup_prefix_filter_jaccard where the consumers'
-    # exchanges are identical and checkpointing LOST).
-    w = d.select(
-        "doc_id", F.explode(F.expr(WIN_REGEX)).alias("win")
-    ).select("doc_id", F.md5("win").alias("h")).localCheckpoint(eager=True)
+    # exchanges are identical and checkpointing LOST). DATA_SIZED (r16):
+    # one hash per token window is input-proportional (ckpt policy).
+    from glue_etl_framework_spark.ckpt import DATA_SIZED, checkpoint_shared
+
+    w = checkpoint_shared(
+        d.select("doc_id", F.explode(F.expr(WIN_REGEX)).alias("win"))
+        .select("doc_id", F.md5("win").alias("h")),
+        size_class=DATA_SIZED,
+    )
     dup = (
         w.groupBy("h")
         .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
@@ -4920,7 +4949,13 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sub, csub, assign_pq = _pq_frames(spark, sf_dir)
-    v = _quantized(spark, sf_dir)
+    # r16: the coarse layer's quantized frame feeds the centroid sample
+    # and the full n x K scoring cross join over a no-exchange
+    # scan+transform subtree — same diamond as dedup_semdedup; one
+    # DATA_SIZED checkpoint = one quantization pass.
+    from glue_etl_framework_spark.ckpt import DATA_SIZED, checkpoint_shared
+
+    v = checkpoint_shared(_quantized(spark, sf_dir), size_class=DATA_SIZED)
     _, scored, cassign = coarse_cells(v, "ccid")
     rn_w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("ccid"))
     probes = (
@@ -6624,8 +6659,18 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     # without materialization each re-runs the per-order pair self-join —
     # ReusedExchange usually dedups it but is not guaranteed across the
     # four subtrees. localCheckpoint pins the edge build to exactly one
-    # job (same discipline as dedup_connected_components).
-    adj = adj.localCheckpoint()
+    # job (same discipline as dedup_connected_components). r16
+    # measured-and-REVERTED: checkpointing the half-size undirected edge
+    # set `e` instead (adj as a lazy union over the blocks) read 1.36x
+    # SLOWER (probes/abx_r16opt_graph_sf01.txt) — every consumer then
+    # scanned the blocks twice through the union and the frontier job
+    # absorbed the whole build serially. LAZY here (r16, kept after A/B):
+    # the sequential first consumer is qadj's eager-checkpoint job, so the
+    # build materializes inside it instead of paying its own job barrier
+    # (the dedup_connected_components fingerprint-probe pattern).
+    from glue_etl_framework_spark.ckpt import DATA_SIZED, checkpoint_shared
+
+    adj = checkpoint_shared(adj, size_class=DATA_SIZED, eager=False)
     deg = adj.groupBy("n").agg(F.count("*").alias("d"))
     seeds = deg.select(F.col("n").alias("q")).orderBy("q").limit(LP_SEEDS)
     # Seed frontier: LP_SEEDS x max-degree rows — bounded by the query

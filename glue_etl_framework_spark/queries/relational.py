@@ -954,7 +954,7 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SJR_BITS = 8192   # bloom size in bits for the runtime join filter
 SJR_WORD = 32     # bits packed per BIGINT word
-SJR_HASHES = 2    # probe positions per key (md5 byte-slices)
+SJR_HASHES = 2    # probe positions per key (salted xxhash64)
 
 
 @register(
@@ -1002,7 +1002,12 @@ def join_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame
     orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
 
     def pos(j, key_col):
-        return F.pmod(F.xxhash64(key_col, F.lit(j)), F.lit(SJR_BITS))
+        # xxhash64 is TYPE-sensitive: an int32 key and an int64 key with the
+        # same value hash differently, so a fixture regen that narrowed one
+        # side would silently produce bloom false NEGATIVES (dropped join
+        # rows). Cast both sides to long so build and probe hash the same
+        # type by construction (ADVICE r15; a no-op on today's int64 keys).
+        return F.pmod(F.xxhash64(key_col.cast("long"), F.lit(j)), F.lit(SJR_BITS))
 
     build_pos = orders.select(
         F.explode(F.array(*[pos(j, F.col("o_orderkey")) for j in range(SJR_HASHES)])).alias("p")

@@ -368,8 +368,16 @@ def similarity_lsh_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     candidates collide on a band equi-join (shuffle keyed on an 8-bit band
     value — never an all-pairs product), then exact cosine >= 0.35 verify.
     Raising bands/bits trades recall vs candidate volume; recall against
-    the label-blocked exact pairs is property-tested in tests/."""
-    v = _quantized(spark, sf_dir)
+    the label-blocked exact pairs is property-tested in tests/.
+
+    r16: the quantized frame feeds THREE consumers (signatures + both
+    verify-join sides) over a scan+transform subtree with no exchange —
+    nothing for AQE to reuse, so the scan and per-element quantization ran
+    three times. One DATA_SIZED checkpoint = one pass (the pattern
+    ext.similarity.lsh_neardup_pairs already used; ADVICE r11)."""
+    from glue_etl_framework_spark.ckpt import DATA_SIZED, checkpoint_shared
+
+    v = checkpoint_shared(_quantized(spark, sf_dir), size_class=DATA_SIZED)
     # One (band_idx, band_value) row per vector per band, then ONE self-join
     # keyed on both — the same banded shape as MinHash LSH. The per-band
     # union-of-self-joins formulation re-derives the signature lineage
@@ -597,8 +605,15 @@ def similarity_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataF
     never materialized), then exact quantized cosine verifies candidates;
     clean docs come back via a left join with n_matches = 0. Same banded
     scale shape as similarity_lsh_hyperplane_pairs, but set-vs-set instead
-    of self-join."""
-    v = _quantized(spark, sf_dir)
+    of self-join.
+
+    r16: the quantized frame feeds FOUR consumers (signatures, both verify
+    sides, the clean-doc base) over a no-exchange scan+transform subtree —
+    one DATA_SIZED checkpoint = one quantization pass (flagged in
+    OPTIMIZATION_r15 "Not yet optimized")."""
+    from glue_etl_framework_spark.ckpt import DATA_SIZED, checkpoint_shared
+
+    v = checkpoint_shared(_quantized(spark, sf_dir), size_class=DATA_SIZED)
     # One SQL-string parse per band (r15 — see ext.similarity.band_value_sql)
     from glue_etl_framework_spark.ext.similarity import band_value_sql
 
@@ -872,7 +887,13 @@ def dedup_semdedup(
             "banding has no occupancy target for 'auto', see "
             "ext.similarity.lsh_neardup_pairs"
         )
-    v = _quantized(spark, sf_dir)
+    # r16: the quantized frame feeds FIVE consumers (centroid sample, cell
+    # assignment, band members, both verify sides) over a no-exchange
+    # scan+transform subtree — one DATA_SIZED checkpoint = one
+    # quantization pass (see similarity_lsh_hyperplane_pairs).
+    from glue_etl_framework_spark.ckpt import DATA_SIZED, checkpoint_shared
+
+    v = checkpoint_shared(_quantized(spark, sf_dir), size_class=DATA_SIZED)
     _, _, assign = coarse_cells(v, "cid")
     mem = _semdedup_band_members(v, assign)
     if metrics is not None:

@@ -639,6 +639,42 @@ def test_refreeze_window_sorts_rounds_numerically():
     }
 
 
+# ---- final summary line: per-query dict within the tail window (r16) ------
+# VERDICT r15 item 6: the driver's per-query comparator (PERF per_query) went
+# blind in r14/r15 because the queries dict lived only in the detail line,
+# whose FRONT the 2000-char stdout tail truncated mid-JSON. bench.py's final
+# line now carries the dict itself (the driver contract always specified it);
+# these tests pin that it fits the tail window even at worst-case digit
+# widths and that the driver can parse per-query values straight from it.
+
+
+def test_final_summary_line_carries_queries_and_fits_tail_window():
+    from bench import HEADLINE, final_summary_line
+
+    # worst case: every query at 2-digit seconds, calibrations likewise
+    worst = dict.fromkeys(HEADLINE, 99.99)
+    line = final_summary_line(worst, 0.1, 99.9999, 99.9999)
+    assert len(line) + 1 < 1990, (
+        f"final bench line is {len(line)} chars at worst-case widths — the "
+        "driver tail capture is 2000 chars and the line must survive whole "
+        "(trim keys or precision before adding headline queries)"
+    )
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_query_wall_seconds"
+    assert parsed["unit"] == "sec"
+    assert set(parsed["queries"]) == set(HEADLINE)
+    assert parsed["n_queries"] == len(HEADLINE)
+
+
+def test_final_summary_line_values_match_timings_at_2dp():
+    from bench import final_summary_line
+
+    timings = {"q_a": 1.2345, "q_b": 0.0467}
+    parsed = json.loads(final_summary_line(timings, 0.1, 0.1, 0.5))
+    assert parsed["queries"] == {"q_a": 1.23, "q_b": 0.05}
+    assert parsed["value"] == round(1.2345 + 0.0467, 4)  # full-precision total
+
+
 # ---- sub-floor cluster backstop (ADVICE r13 + VERDICT r13 item 7) ----------
 
 
