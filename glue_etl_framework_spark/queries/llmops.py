@@ -6643,7 +6643,22 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     joins: 10 Exchanges -> 5, measured 3.38s -> ~1.6s at sf0.1. The
     frontier is eagerly checkpointed once for its three consumers. Only
     the candidate-side degree attach (db, node-count-sized) stays a
-    shuffle join — that one is data-sized and must not be hinted."""
+    shuffle join — that one is data-sized and must not be hinted.
+
+    r16 (VERDICT item 7 record): the db attach stays SortMergeJoin even
+    in the AQE-FINAL executed plan at sf0.1
+    (probes/final_plan_r16_sf01_graph_link_prediction_jaccard.txt) — the
+    deg exchange's map-side partial rows (per-partition per-key) exceed
+    the 10 MB adaptive-broadcast threshold even though deg's final output
+    is small. That is the correct conservative outcome: deg is node-count
+    sized, and a broadcast hint here would OOM on a billion-node graph.
+    Stage profile at sf0.1 (2 trials): adj build+checkpoint 1.4-1.9 s of
+    the 2.5-2.9 s query; deg 0.3-0.5 s; cand wedge aggregate 0.4-0.7 s —
+    the db SMJ is not where the time goes. A half-size undirected-edge
+    checkpoint (adj as a lazy union over the blocks) was A/B'd 1.36x
+    SLOWER and reverted; the kept change is the LAZY adjacency
+    checkpoint (see inline comment), 0.97x on its sf0.1 ladder and
+    inside the ±15% noise band at 10x (probes/abx_r16opt_graph_*.txt)."""
     l = t(spark, sf_dir, "lineitem")
     lp = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")).distinct()
     a0, b0 = lp.alias("a"), lp.alias("b")
