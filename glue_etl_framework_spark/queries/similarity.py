@@ -253,8 +253,16 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     in its nprobe=2 nearest centroid lists, cutting scored pairs by
     ~K/nprobe vs brute force. Exact quantized cosine everywhere, so the
     whole pipeline is oracle-checkable; recall vs brute force is
-    property-tested in tests/test_ext.py."""
-    v = _quantized(spark, sf_dir)
+    property-tested in tests/test_ext.py.
+
+    r16: the quantized frame feeds FIVE consumers (centroid sample, n x K
+    scoring, both exact-cosine sides, the query broadcast) over a
+    no-exchange scan+transform subtree — one DATA_SIZED checkpoint = one
+    quantization pass (the dedup_semdedup / similarity_ivf_pq_topk
+    pattern, 0.84x-0.91x on their 10x ladders)."""
+    from glue_etl_framework_spark.ckpt import DATA_SIZED, checkpoint_shared
+
+    v = checkpoint_shared(_quantized(spark, sf_dir), size_class=DATA_SIZED)
     rn_w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
     _, scored, assign = coarse_cells(v, "cid")
     probes = (
